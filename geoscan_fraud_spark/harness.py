@@ -1,0 +1,628 @@
+"""Correctness-harness query registry (SURVEY §2 inventory → driver contract).
+
+Each entry pairs a Spark DataFrame query (callable ``(spark, sf_dir) ->
+DataFrame``) with, where SQL-expressible, an equivalent ANSI-SQL string the
+driver runs through DuckDB on the same parquet fixtures. Column names are
+aliased identically on both sides (the driver sorts columns by name and
+value-hashes).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+* money/quantity sums go through DECIMAL casts (exact, order-insensitive)
+  and are cast back to DOUBLE at the end;
+* transcendental outputs (ln, trig) are rounded to a few decimals — the
+  two engines' libm may differ in the last ulp;
+* pure +,-,*,/ and floor arithmetic is IEEE-exact and left unrounded
+  (the grid index oracle is bit-exact);
+* set-producing queries never rely on result order; top-k queries carry a
+  unique tiebreaker key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.functions.geo import haversine_m
+from geoscan_fraud_spark.functions.grid import cell_id
+from geoscan_fraud_spark.operators import scoring
+from geoscan_fraud_spark.sources.io import load_fixture
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_fixture(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the reference's fraud anti-join (`02:62-68`) on events (§7.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_event_anomalies",
+    sql="""
+    WITH ev AS (
+      SELECT *, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket FROM events
+    ),
+    cut AS (SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM ev),
+    profile AS (
+      SELECT DISTINCT user_id, event_type, bucket FROM ev, cut WHERE ts < cutoff
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+    FROM ev e, cut
+    WHERE e.ts >= cut.cutoff
+      AND NOT EXISTS (
+        SELECT 1 FROM profile p
+        WHERE p.user_id = e.user_id AND p.event_type = e.event_type
+          AND p.bucket = e.bucket)
+    """,
+)
+def flagship_event_anomalies(spark, sf_dir):
+    return scoring.event_anomalies(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / §2.2 projections & predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s2_pruned_scan",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5.0
+    """,
+)
+def s2_pruned_scan(spark, sf_dir):
+    """S2 + predicate pushdown + column pruning (the scan reads 3 columns)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 5.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "p_project_filter_alias",
+    sql="""
+    SELECT c_custkey, c_name AS customer_name, c_acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
+    """,
+)
+def p_project_filter_alias(spark, sf_dir):
+    """P1 select, P4 equality filter, P7 alias, P8 literal."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == F.lit("BUILDING")) & (F.col("c_acctbal") > F.lit(0.0))
+    ).select("c_custkey", F.col("c_name").alias("customer_name"), "c_acctbal")
+
+
+@register(
+    "p_derived_column",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS net_price,
+           ROUND(LN(l_quantity + 1.0), 4) AS log_qty
+    FROM lineitem
+    """,
+)
+def p_derived_column(spark, sf_dir):
+    """P3 withColumn + U6 log (IEEE-exact arithmetic unrounded; ln rounded)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "net_price", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        )
+        .withColumn("log_qty", F.round(F.log(F.col("l_quantity") + F.lit(1.0)), 4))
+        .select("l_orderkey", "l_linenumber", "net_price", "log_qty")
+    )
+
+
+@register(
+    "p_isnull_left_outer",
+    sql="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT OUTER JOIN (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0) o
+      ON c.c_custkey = o.o_custkey
+    WHERE o.o_custkey IS NULL
+    """,
+)
+def p_isnull_left_outer(spark, sf_dir):
+    """P5 — the literal left_outer + IS NULL idiom of `02:62-68`:
+    customers with no high-value order (non-empty at every sf)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000.0)
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .filter(F.expr("o_custkey IS NULL"))
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "p_drop_neq_filter",
+    sql="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'view'
+    """,
+)
+def p_drop_neq_filter(spark, sf_dir):
+    """P2 drop + P6 inequality filter."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") != "view").drop("ts", "value", "props")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_join_single_key",
+    sql="""
+    SELECT n.n_name,
+           count(*) AS order_cnt,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_join_single_key(spark, sf_dir):
+    """J1 — equi joins on one key; dims broadcast (map-side join at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "j2_join_two_keys",
+    sql="""
+    WITH pq AS (
+      SELECT l_orderkey, l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
+      FROM lineitem GROUP BY l_orderkey, l_partkey)
+    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, pq.part_qty
+    FROM lineitem l JOIN pq ON l.l_orderkey = pq.l_orderkey
+                           AND l.l_partkey = pq.l_partkey
+    """,
+)
+def j2_join_two_keys(spark, sf_dir):
+    """J2 — two-key equi join (`01:401` shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("part_qty")
+    )
+    return li.join(pq, ["l_orderkey", "l_partkey"]).select(
+        "l_orderkey", "l_partkey", "l_linenumber", "part_qty"
+    )
+
+
+@register(
+    "j3_anti_join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000.0)
+    """,
+)
+def j3_anti_join(spark, sf_dir):
+    """J3 — idiomatic left_anti (equivalent to p_isnull_left_outer)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "j5_scalar_in_expr",
+    sql="""
+    SELECT n.n_name,
+           count(*) AS customer_cnt,
+           ROUND(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM customer), 6)
+             AS customer_share
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j5_scalar_in_expr(spark, sf_dir):
+    """J5 — scalar 'broadcast' as a folded literal (replaces `01:408-409`
+    RDD broadcast with `F.lit(count)` constant folding)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    total = c.count()
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("customer_cnt"))
+        .withColumn(
+            "customer_share",
+            F.round(F.col("customer_cnt") / F.lit(float(total)), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_groupby_count",
+    sql="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def a1_groupby_count(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("event_type").count().withColumnRenamed("count", "cnt")
+
+
+@register(
+    "a2_collect_sorted",
+    sql="""
+    SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def a2_collect_sorted(spark, sf_dir):
+    """A2 — collect_list made deterministic: collect_set → sort → join.
+
+    (`01:185-188`, `02:173`; at 100 TB the raw list is guarded — here we
+    aggregate the bounded distinct set.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+    )
+
+
+@register(
+    "a3_sum_lit1",
+    sql="""
+    SELECT l_returnflag, l_linestatus, sum(1) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a3_sum_lit1(spark, sf_dir):
+    """A3 — the reference's `F.sum(F.lit(1))` counting idiom (`01:393-394`)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "a4_distinct",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def a4_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register(
+    "a5_groupby_max",
+    sql="""
+    SELECT o_orderpriority, max(o_totalprice) AS max_price, min(o_orderdate) AS first_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a5_groupby_max(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+    )
+
+
+@register("a6_global_count", sql="SELECT count(*) AS n FROM lineitem")
+def a6_global_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a8_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_percentiles(spark, sf_dir):
+    """A8 — exact interpolated percentiles (engine also exposes
+    percentile_approx as the 100 TB-scale variant)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("p90"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sorts / top-k / sampling / TTL window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_topk_desc",
+    sql="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 10
+    """,
+)
+def w1_topk_desc(spark, sf_dir):
+    """W1 + W3 — global sort desc with unique tiebreaker, top-k."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "w2_sort_asc_limit",
+    sql="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 20
+    """,
+)
+def w2_sort_asc_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "w4_systematic_sample",
+    sql="SELECT event_id, user_id, value FROM events WHERE event_id % 10 = 0",
+)
+def w4_systematic_sample(spark, sf_dir):
+    """W4 — deterministic systematic sample (seeded Bernoulli `df.sample`
+    is exposed by the engine but is not cross-engine reproducible, so the
+    oracle pins the modulo form)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 10 == 0).select("event_id", "user_id", "value")
+
+
+@register(
+    "ttl_window_filter",
+    sql="""
+    WITH cut AS (SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events)
+    SELECT user_id, count(*) AS recent_events
+    FROM events, cut WHERE ts >= cutoff GROUP BY user_id
+    """,
+)
+def ttl_window_filter(spark, sf_dir):
+    """W5/S9 — the 7-day TTL behavioral window (`02:281-287`) as an
+    event-time filter, anchored to max(ts) for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.select((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("recent_events"))
+    )
+
+
+@register(
+    "setop_unionbyname",
+    sql="""
+    SELECT c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_name AS name, 'supplier' AS kind FROM supplier
+    """,
+)
+def setop_unionbyname(spark, sf_dir):
+    """§2.6 — unionByName (multi-generation table append pattern)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions: explode, json, tf-idf, grid index, haversine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u4_explode_tokens",
+    sql="""
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def u4_explode_tokens(spark, sf_dir):
+    """U4 — explode (`01:189`) on the documents fixture."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "json_extract_props",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
+    FROM events GROUP BY k
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """events.props JSON parity (FIXTURES §C)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "u3_tfidf_relational",
+    sql="""
+    WITH tf AS (
+      SELECT user_id, event_type, sum(1) AS tf FROM events GROUP BY user_id, event_type),
+    df AS (
+      SELECT event_type, sum(1) AS df FROM (
+        SELECT DISTINCT user_id, event_type FROM events) GROUP BY event_type),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM events)
+    SELECT tf.user_id, tf.event_type,
+           ROUND(tf.tf * LN(n.n / df.df), 4) AS tf_idf
+    FROM tf JOIN df ON tf.event_type = df.event_type, n
+    """,
+)
+def u3_tfidf_relational(spark, sf_dir):
+    """U3 — the tiles TF-IDF pipeline shape (`01:386-422`) on events:
+    documents = users, terms = event types. Native expr, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    tf = ev.groupBy("user_id", "event_type").agg(F.sum(F.lit(1)).alias("tf"))
+    dfreq = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.sum(F.lit(1)).alias("df"))
+    )
+    n = float(ev.select("user_id").distinct().count())
+    return (
+        tf.join(F.broadcast(dfreq), "event_type")
+        .withColumn("tf_idf", F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")), 4))
+        .select("user_id", "event_type", "tf_idf")
+    )
+
+
+#: deterministic synthetic coordinates derived from events.value — IEEE-exact
+#: on both engines (only +,-,*,/ and floor involved).
+_COORD_SQL = """
+      SELECT event_id, user_id,
+             40.5 + (value - FLOOR(value / 200.0) * 200.0) / 1000.0 AS latitude,
+             -74.3 + (value - FLOOR(value / 157.0) * 157.0) / 800.0 AS longitude
+      FROM events
+"""
+
+
+def _events_coords(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.lit(40.5) + (v - F.floor(v / 200.0) * 200.0) / 1000.0).alias("latitude"),
+        (F.lit(-74.3) + (v - F.floor(v / 157.0) * 157.0) / 800.0).alias("longitude"),
+    )
+
+
+@register(
+    "u1_cell_id",
+    sql=f"""
+    WITH pts AS ({_COORD_SQL})
+    SELECT event_id,
+           printf('%02X%07X%07X', 10,
+                  CAST(FLOOR((latitude + 90.0) / {65.907807 / 111320.0!r}) AS BIGINT),
+                  CAST(FLOOR((longitude + 180.0) / {65.907807 / 111320.0!r}) AS BIGINT))
+             AS h3
+    FROM pts
+    """,
+)
+def u1_cell_id(spark, sf_dir):
+    """U1 — the grid index (engine's `to_h3` analog, `utils/spark_utils.py:6-9`).
+
+    Bit-exact oracle: quantization uses only IEEE +,/ and floor, and hex
+    formatting matches DuckDB printf."""
+    pts = _events_coords(spark, sf_dir)
+    return pts.select(
+        "event_id", cell_id(F.col("latitude"), F.col("longitude"), 10).alias("h3")
+    )
+
+
+@register(
+    "u7_haversine",
+    sql=f"""
+    WITH pts AS ({_COORD_SQL})
+    SELECT a.event_id,
+           ROUND(2.0 * 6371000.0 * ASIN(SQRT(
+             POW(SIN(RADIANS(b.latitude - a.latitude) / 2), 2)
+             + COS(RADIANS(a.latitude)) * COS(RADIANS(b.latitude))
+               * POW(SIN(RADIANS(b.longitude - a.longitude) / 2), 2))), 2)
+             AS dist_m
+    FROM pts a JOIN pts b ON b.event_id = a.event_id + 1
+    """,
+)
+def u7_haversine(spark, sf_dir):
+    """U7 — native haversine (`01:20`), rounded (libm last-ulp tolerance)."""
+    pts = _events_coords(spark, sf_dir)
+    a, b = pts.alias("a"), pts.alias("b")
+    return (
+        a.join(b, F.col("b.event_id") == F.col("a.event_id") + 1)
+        .select(
+            F.col("a.event_id").alias("event_id"),
+            F.round(
+                haversine_m(
+                    F.col("a.latitude"),
+                    F.col("a.longitude"),
+                    F.col("b.latitude"),
+                    F.col("b.longitude"),
+                ),
+                2,
+            ).alias("dist_m"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""IO layer — sources/sinks from SURVEY §2.1 (S1-S10), Spark-first.
+
+The reference loads its CSV through pandas and per-column float casts
+(`01_geofraud_clustering.py:56-62`); the engine reads CSV/parquet straight
+into the JVM with explicit schemas so predicate pushdown and column pruning
+reach the scan. The Delta ZORDER layout step (`01:440`) is approximated for
+OSS Spark with range-repartition + in-partition sort, which gives parquet
+row-group min/max pruning on the leading keys (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the reference's transactions CSV
+#: (`/root/reference/data/transactions.csv`, header at line 1).
+TRANSACTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("latitude", T.DoubleType()),
+        T.StructField("longitude", T.DoubleType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("user", T.StringType()),
+    ]
+)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1 — CSV source. JVM-native read (no pandas hop)."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2 — parquet source (`02_geofraud_fraud.py:29`)."""
+    return spark.read.parquet(path)
+
+
+def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver fixture table, normalizing nano-precision timestamps.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` on, TIMESTAMP(NANOS)
+    parquet columns surface as epoch-nano longs; convert them back to
+    microsecond timestamps (matching DuckDB's truncation) right at the scan
+    so every downstream plan sees a proper timestamp column.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """S3 — managed-table source (`01:449`, `02:18`)."""
+    return spark.read.table(name)
+
+
+def write_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    """S4 — managed table sink (parquet; Delta not present in this env)."""
+    df.write.mode(mode).format("parquet").saveAsTable(name)
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """S7 — ZORDER-approximation for OSS Spark.
+
+    Delta's `OPTIMIZE ... ZORDER BY (user, h3)` (`01:440`) clusters the file
+    layout for point lookups. Without Delta, range-partitioning on the sort
+    keys then sorting within partitions yields parquet files whose row-group
+    min/max statistics are tight on the leading keys, so per-user / per-cell
+    lookups prune most files — the property the reference is after.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    out = df.repartitionByRange(*(([num_files] if num_files else []) + cols))
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def write_csv_artifact(df: DataFrame, path: str) -> str:
+    """S8 — driver-side CSV artifact sink (`02_geofraud_fraud.py:200-206`).
+
+    Kept only for artifact parity; engine model artifacts use parquet (the
+    reference's stringified-list CSV causes the `bu:21` bug, SURVEY §5.3).
+    """
+    df.toPandas().to_csv(path, index=False)
+    return path
+
+
+def create_database(spark: SparkSession, name: str, location: str | None = None) -> None:
+    """S5 — DDL parity (`config/configure_notebook.py:18-27`)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}")
+    spark.sql(f"USE {name}")
+
+
+def drop_database(spark: SparkSession, name: str, path: str | None = None) -> None:
+    """S6 — teardown parity (`config/configure_notebook.py:44-48`)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    if path:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def with_ttl_filter(df: DataFrame, ts_col: str, ttl_seconds: int = 604_800) -> DataFrame:
+    """S9 TTL semantics, relationally: keep rows younger than the TTL.
+
+    Models the MongoDB `expireAfterSeconds: 604800` index of
+    `02_geofraud_fraud.py:283-287` as an event-time filter.
+    """
+    return df.filter(
+        F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {ttl_seconds} SECOND")
+    )

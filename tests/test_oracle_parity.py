@@ -2,6 +2,7 @@
 
 import pytest
 
+import geoscan_fraud_spark.harness_geo  # noqa: F401 — registers geo ops
 from geoscan_fraud_spark.harness import ORACLES, QUERIES
 from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection
 

@@ -24,6 +24,8 @@ def main():
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from geoscan_fraud_spark import get_spark
+    import geoscan_fraud_spark.harness_geo  # noqa: F401
+    import geoscan_fraud_spark.harness_pipeline  # noqa: F401
     from geoscan_fraud_spark.harness import QUERIES
 
     spark = get_spark(app_name="geoscan-bench")
@@ -40,6 +42,12 @@ def main():
         "w1_topk_desc",
         "u4_explode_tokens",
         "ttl_window_filter",
+        "geoscan_score_pipeline",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "text_token_stats",
+        "text_winnow_fingerprint",
     ]
     headline = [q for q in headline if q in QUERIES]
 

@@ -1,0 +1,292 @@
+"""Harness entries for the LLM-data-pipeline operators (SURVEY §2.10):
+dedup, similarity search, text analysis, multimodal plumbing — over the
+`documents` / `embeddings` fixtures, with DuckDB oracles wherever the
+semantics are SQL-expressible (cosine folds verified bit-exact between
+engines; md5 fingerprints are engine-portable by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.harness import _t, register
+from geoscan_fraud_spark.operators import dedup as dd
+from geoscan_fraud_spark.operators import multimodal as mm
+from geoscan_fraud_spark.operators import similarity as sim
+from geoscan_fraud_spark.operators import text as tx
+from geoscan_fraud_spark.operators.text import LANG_PROFILES, TOKEN_PATTERN
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(d, ["text"]).select("doc_id")
+
+
+def _with_neardups(spark, sf_dir):
+    """documents + mutated copies (every 13th word dropped, id+10^6) — the
+    deterministic near-dup workload for the MinHash/SimHash entries. Each
+    drop breaks ~3 of the 3-gram shingles, so a 1-in-13 drop rate keeps
+    shingle Jaccard ~0.6 — above the 0.5 dedup threshold."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.filter(words, lambda w, i: (i % 13) != 5),
+        ).alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+@register("dedup_minhash")
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup dedup: shingle -> minhash -> band-bucket join
+    -> exact-Jaccard verify -> connected components -> keep min id.
+    Non-SQL (xxhash64 + iterative CC) -> rows-only; semantics pinned in
+    tests/test_pipeline_ops.py."""
+    docs = _with_neardups(spark, sf_dir)
+    kept = dd.minhash_dedup(docs, threshold=0.5, n=3, num_hashes=48, bands=12)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.tok, b.tok))) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard between consecutive docs — pins the verify
+    arithmetic used by the LSH dedup path."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.array_distinct(F.split(F.col("text"), " "))
+    t = d.select(F.col("doc_id"), tok.alias("tok"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("tok").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("tok").alias("tb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("double")
+                / F.size(F.array_union("ta", "tb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit sign-aggregated signature, 4x16-bit
+    pigeonhole blocking). rows-only (bit ops over xxhash64)."""
+    docs = _with_neardups(spark, sf_dir)
+    return dd.simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding cosine near-dup via random-hyperplane LSH. rows-only
+    (seeded hyperplanes not expressible in SQL); cosine math itself is
+    oracle-pinned by ann_cosine_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    return (
+        dd.embedding_neardup_pairs(e.unionByName(dup), threshold=0.98)
+        .withColumn("cosine", F.round("cosine", 6))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    sql="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+               AS sim
+      FROM q, c WHERE q.query_id <> c.vec_id)
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k baseline (left-fold accumulation verified
+    bit-exact against DuckDB's list_dot_product)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(q, e, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (seeded-KMeans inverted file, nprobe=4) ANN. rows-only —
+    recall vs the brute-force baseline is asserted in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(q, e, k=10, n_centroids=16, nprobe=4).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok, text FROM documents)
+    SELECT doc_id,
+           len(tok) AS n_tokens,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_regex_tokens,
+           len(list_distinct(tok)) AS n_distinct_tokens,
+           ROUND(CAST(list_sum(list_transform(tok, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE)
+                 / len(tok), 4) AS avg_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    return tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_STOPLIST_SQL = "[" + ",".join(f"'{w}'" for w in tx.EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_quality",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok FROM documents),
+    m AS (
+      SELECT doc_id, len(tok) AS n,
+             CAST(len(list_filter(tok, x -> list_contains({_STOPLIST_SQL}, x))) AS DOUBLE)
+               / len(tok) AS stop_ratio,
+             CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) AS distinct_ratio
+      FROM t)
+    SELECT doc_id, n AS n_tokens,
+           ROUND(stop_ratio, 4) AS stopword_ratio,
+           ROUND(distinct_ratio, 4) AS distinct_ratio,
+           ROUND(0.4 * (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0
+                             ELSE LEAST(n / 20.0, 1.0) END)
+                 + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
+                 + 0.3 * distinct_ratio, 4) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    return tx.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    scores = ",\n           ".join(
+        "len(list_intersect(tok, ["
+        + ",".join(f"'{w}'" for w in words)
+        + f"])) AS s_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    m = "GREATEST(" + ",".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tok
+               FROM documents),
+    s AS (SELECT doc_id,
+           {scores}
+    FROM t),
+    g AS (SELECT *, {m} AS m FROM s)
+    SELECT doc_id,
+           CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred,
+           m AS lang_score
+    FROM g
+    """
+
+
+@register("text_lang_id", sql=_lang_sql())
+def text_lang_id(spark, sf_dir):
+    return tx.lang_id(_t(spark, sf_dir, "documents")).withColumn(
+        "lang_score", F.col("lang_score").cast("long")
+    )
+
+
+@register(
+    "text_winnow_fingerprint",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN [array_to_string(tok[i+1:i+3], ' ') for i in range(0, len(tok) - 2)]
+                 ELSE [array_to_string(tok, ' ')] END AS grams
+          FROM t),
+    h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS hs FROM g),
+    m AS (SELECT doc_id,
+            CASE WHEN len(hs) >= 4
+                 THEN [list_min(hs[i+1:i+4]) for i in range(0, len(hs) - 3)]
+                 ELSE [list_min(hs)] END AS mins
+          FROM h),
+    d AS (SELECT doc_id, list_sort(list_distinct(mins)) AS dm FROM m)
+    SELECT doc_id, len(dm) AS n_fingerprints,
+           md5(array_to_string(dm, ',')) AS fingerprint
+    FROM d
+    """,
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling k-gram md5, min per window) — engine-portable
+    hashes, full value oracle."""
+    return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: metadata sniff + fake-kernel feature
+    extraction via mapInPandas. rows-only (crc32/blake2b not in DuckDB)."""
+    blobs = mm.documents_as_blobs(_t(spark, sf_dir, "documents"))
+    meta = mm.attach_blob_metadata(blobs)
+    feats = mm.extract_features(blobs)
+    return (
+        meta.select("blob_id", "byte_len", "crc32", "sniffed_type")
+        .join(
+            feats.select("blob_id", F.round(F.element_at("features", 1), 6).alias("f0")),
+            "blob_id",
+        )
+        .orderBy("blob_id")
+    )

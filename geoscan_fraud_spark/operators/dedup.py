@@ -1,0 +1,329 @@
+"""Document deduplication — exact, MinHash+LSH, SimHash, embedding LSH.
+
+Beyond-reference operators (SURVEY §2.10) for large-scale training-data
+pipelines, built on the same machinery as the geo engine: the band-bucket
+equi-join is the cell-bucketed spatial join J4 generalized (compare only
+co-bucketed candidates, "ignoring 99.99% of the dataset"), and duplicate
+groups are resolved with the same DataFrame connected-components operator
+the clusterer uses.
+
+Everything up to the pair verification is native column expressions
+(higher-order array functions + xxhash64) — no Python in the hot path; at
+100 TB the only shuffles are (a) the band-bucket join keyed by
+(band, hash) — high cardinality, naturally balanced — and (b) the
+candidate-pair verification join, whose input is already ~0.01% of the
+cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.components import connected_components
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-grams as array<string> (native, no UDF)."""
+    words = F.split(text_col, r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles_col, num_hashes: int = 64):
+    """array<bigint> MinHash signature: per seed, min over shingle hashes.
+
+    Row-level expression form (handy for single-doc scoring). The bulk
+    path is `minhash_signature_table` — nested higher-order functions are
+    NOT whole-stage-codegen'd by Spark and run interpreted, ~100x slower
+    at scale (measured: 260 s vs 4 s on 10k docs)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) via explode + codegen'd min-aggregates.
+
+    Shingles explode to rows; each of the H seed-hashes is a plain
+    `min(xxhash64(shingle, seed))` aggregate — whole-stage codegen with
+    map-side partial aggregation, so the shuffle carries H longs per doc
+    regardless of document length. This is the 100 TB path."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per exact duplicate group (hash-groupBy path)."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidates: (id_a, id_b) sharing >=1 signature band.
+
+    bands x rows = num_hashes; collision prob ~ 1-(1-j^r)^b for Jaccard j.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    r = num_hashes // bands
+    sig = minhash_signature_table(df, text_col, id_col, n, num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", F.posexplode(band_hashes).alias("band", "bh")
+    )
+    a = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
+    b = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs -> (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    return (
+        candidates.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup dedup: keep one representative (min id) per duplicate
+    cluster; the cluster is the connected component over verified pairs
+    (A near B near C collapses to one doc even if A!~C)."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, n, num_hashes, bands)
+    pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drop = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col):
+    """64-bit SimHash as a native expression: per bit, sign of the sum of
+    +-1 contributions from each token hash (token multiplicity = weight)."""
+    tokens = F.split(text_col, r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                # F.shiftright needs a literal bit count; call_function
+                # routes the SQL shiftright, which takes column args
+                lambda acc, h: acc
+                + F.when(
+                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # pack bits (bit 0 = LSB); shift+or, not arithmetic — setting bit 63
+    # would overflow a signed long under ANSI mode
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x),
+    )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sh) 64-bit SimHash via explode + codegen'd aggregates — the
+    bulk path (the row-level `simhash64` expression runs interpreted).
+    Per bit b: sum over token hashes of +-1 by bit value; sign -> bit."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("id").agg(*bit_aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"s_{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("id", packed.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: a 64-bit signature split into 4 x 16-bit chunks —
+    any pair within distance 3 agrees on >=1 chunk, so the equi-join on
+    (chunk_idx, chunk_value) finds all of them without a cross join.
+    """
+    sig = simhash_table(df, text_col, id_col)
+    chunked = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.call_function("shiftright", F.col("sh"), i * 16).bitwiseAND(
+                    F.lit(0xFFFF)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (random hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<numeric> columns — native fold,
+    deterministic accumulation order (oracle-matchable)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold.
+
+    Sign-bit LSH: 16 seeded hyperplanes -> 16-bit bucket key; near-identical
+    vectors land in the same bucket with high probability; cosine verified
+    natively. (Recall is probabilistic — by design; the brute-force path in
+    operators/similarity.py is the exact baseline.)
+    """
+    hp = _hyperplanes(dim, planes, seed)
+    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    key = None
+    for p, plane in enumerate(hp):
+        dot = F.aggregate(
+            F.zip_with(emb, F.array(*[F.lit(v) for v in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        key = bit if key is None else key + bit
+    keyed = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), key.alias("bucket"))
+    a = keyed.select("bucket", F.col("id").alias("id_a"), F.col("e").alias("e_a"))
+    b = keyed.select("bucket", F.col("id").alias("id_b"), F.col("e").alias("e_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,139 @@
+"""Text analysis — language ID, quality scoring, token stats, winnowing.
+
+Beyond-reference operators (SURVEY §2.10) over the `documents` table; the
+reference's own TF-IDF pipeline IS a text pipeline on H3 "words"
+(`01_geofraud_clustering.py:380`), so these reuse its algebra. All native
+column expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: small per-language marker-word profiles (n-gram heuristic degenerates to
+#: marker words for whitespace text). Public common-word lists.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+    "zh": ["de5", "shi4", "zai4", "le5", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"] + ["a", "an", "on", "at", "by", "with", "as"]
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_regex_tokens, n_distinct_tokens, avg_token_len)."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        # NB: F.lit(pattern), not an F.expr SQL string — SQL single-quoted
+        # literals eat the backslash in \s
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))).alias(
+            "n_regex_tokens"
+        ),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(tok, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size(tok),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1]:
+    length band, stopword presence, repetition (distinct ratio)."""
+    tok = tokens(F.col(text_col))
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(tok)
+    stop_ratio = F.size(F.filter(tok, lambda t: F.array_contains(stop, t))) / n
+    distinct_ratio = F.size(F.array_distinct(tok)) / n
+    length_band = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(
+        F.least(n / F.lit(20.0), F.lit(1.0))
+    )
+    score = F.round(
+        F.lit(0.4) * length_band
+        + F.lit(0.3) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.3) * distinct_ratio,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax marker-word overlap;
+    ties and zero-overlap resolve to 'und' semantics via score=0 + first
+    profile order. Deterministic."""
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    out = df.select(F.col(id_col), tok.alias("__tok"))
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, words in LANG_PROFILES.items():
+        prof = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.array_intersect(F.col("__tok"), prof))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return out.select(
+        F.col(id_col),
+        best_lang.alias("lang_pred"),
+        best_score.alias("lang_score"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: k-gram rolling hashes, keep the
+    min per sliding window (Schleimer et al. MOSS scheme).
+
+    Hash = md5 (string compare) so the result is engine-portable; output
+    (doc_id, n_fingerprints, fingerprint) where fingerprint is the md5 of
+    the sorted distinct mins — a stable whole-document signature.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.transform(grams, F.md5)
+    mins = F.when(
+        F.size(hashes) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(hashes) - window),
+            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    distinct_mins = F.array_sort(F.array_distinct(mins))
+    return df.select(
+        F.col(id_col),
+        F.size(distinct_mins).alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", distinct_mins)).alias("fingerprint"),
+    )

@@ -1,0 +1,139 @@
+"""Semantics tests for dedup / similarity / text / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators import multimodal as mm
+from geoscan_fraud_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    simhash_pairs,
+)
+from geoscan_fraud_spark.operators.similarity import brute_force_topk, ivf_topk
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_drops_copies(spark, docs):
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(copies)
+    kept = exact_dedup(both, ["text"])
+    assert kept.count() == docs.count()
+    # min id retained
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_dedup_recall(spark, docs):
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.filter(words, lambda w, i: (i % 13) != 5)).alias("text"),
+    )
+    both = docs.unionByName(mutated)
+
+    # pair recall: the (orig, mutated-orig) pair must be found for >=90%
+    # of docs (LSH band collision + jaccard >= threshold)
+    from geoscan_fraud_spark.operators.dedup import jaccard_verified_pairs
+
+    cand = minhash_candidate_pairs(both, num_hashes=48, bands=12)
+    pairs = jaccard_verified_pairs(both, cand, threshold=0.5)
+    n_orig = docs.count()
+    hits = pairs.filter(F.col("id_b") == F.col("id_a") + 10_000).count()
+    assert hits >= n_orig * 0.9
+
+    kept = minhash_dedup(both, threshold=0.5, n=3, num_hashes=48, bands=12)
+    n_kept = kept.count()
+    # nearly every mutated doc collapses into its original's component;
+    # intra-fixture near-dups may collapse further (word-soup docs share
+    # shingles), so the floor is loose
+    assert n_orig * 0.5 <= n_kept <= n_orig * 1.1
+    # a component representative is always its min id: every kept mutated
+    # doc must NOT have its original surviving too
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert all((i - 10_000) not in kept_ids or (i - 10_000, i) not in
+               {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+               for i in kept_ids if i >= 10_000)
+
+
+def test_minhash_candidates_subset_verified(spark, docs):
+    cand = minhash_candidate_pairs(docs, num_hashes=48, bands=12)
+    # candidate generation is symmetric-free and dedup'd
+    assert cand.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        # drop a single word — tiny simhash perturbation
+        F.concat_ws(" ", F.filter(words, lambda w, i: i != 2)).alias("text"),
+    )
+    both = docs.limit(100).unionByName(mutated.limit(100))
+    pairs = simhash_pairs(both, max_hamming=8)
+    hits = pairs.filter(F.col("id_b") == F.col("id_a") + 10_000).count()
+    assert hits > 50  # most single-word-dropped docs within hamming 8
+
+
+def test_embedding_neardup_lsh(spark, embeddings):
+    dup = embeddings.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    both = embeddings.unionByName(dup)
+    pairs = embedding_neardup_pairs(both, threshold=0.999)
+    hits = pairs.filter(F.col("id_b") == F.col("id_a") + 10_000).count()
+    # scaled copies are cosine-identical; same LSH bucket by construction
+    assert hits == embeddings.count()
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(q, embeddings, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(q, embeddings, k=10, n_centroids=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # nprobe/centroids = half the space probed
+
+
+def test_multimodal_plumbing(spark, docs):
+    blobs = mm.documents_as_blobs(
+        docs.withColumnRenamed("text", "t").selectExpr(
+            "doc_id", "t as text", "'srcX' as source"
+        )
+    )
+    meta = mm.attach_blob_metadata(blobs)
+    row = meta.first()
+    assert row["byte_len"] > 0 and row["sniffed_type"] == "application/octet-stream"
+
+    feats = mm.extract_features(blobs).collect()
+    assert all(len(r["features"]) == mm.FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = mm.extract_features(blobs).collect()
+    assert {r["blob_id"]: r["features"] for r in feats} == {
+        r["blob_id"]: r["features"] for r in feats2
+    }
+
+    frames = mm.frame_sample(blobs.limit(5), every_n=1)
+    assert frames.count() >= 5
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.extract_features(blobs, mode="real")
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.frame_sample(blobs, mode="real")

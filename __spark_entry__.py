@@ -22,6 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import geoscan_fraud_spark.harness_geo  # noqa: F401 — registers geo ops
+    import geoscan_fraud_spark.harness_ext  # noqa: F401 — §7.5 extensions
     import geoscan_fraud_spark.harness_pipeline  # noqa: F401 — dedup/ANN/text ops
     from geoscan_fraud_spark.harness import QUERIES
 
@@ -30,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     import geoscan_fraud_spark.harness_geo  # noqa: F401
+    import geoscan_fraud_spark.harness_ext  # noqa: F401
     import geoscan_fraud_spark.harness_pipeline  # noqa: F401
     from geoscan_fraud_spark.harness import ORACLES
 

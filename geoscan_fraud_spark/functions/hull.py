@@ -18,12 +18,17 @@ import numpy as np
 DEGENERATE_PAD_DEG = 1e-4
 
 
-def convex_hull(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
+def convex_hull(
+    points: list[tuple[float, float]], pad_degenerate: bool = True
+) -> list[tuple[float, float]]:
     """Monotone-chain convex hull.
 
     ``points``: (lng, lat) pairs. Returns CCW hull vertices (unclosed).
     Degenerate inputs (all collinear or <3 distinct) get a small bounding
-    box so downstream polygon fill still produces tiles.
+    box so downstream polygon fill still produces tiles — unless
+    ``pad_degenerate=False`` (used by the partial level of the two-level
+    hull, where synthetic vertices would leak into the global hull); then
+    the distinct input points are returned as-is.
     """
     pts = sorted(set(points))
     if len(pts) >= 3:
@@ -43,6 +48,8 @@ def convex_hull(points: list[tuple[float, float]]) -> list[tuple[float, float]]:
         hull = lower[:-1] + upper[:-1]
         if len(hull) >= 3:
             return hull
+    if not pad_degenerate:
+        return pts
     # degenerate: pad the bounding box into a quad
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]

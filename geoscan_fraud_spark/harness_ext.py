@@ -160,6 +160,51 @@ def generation_latest_snapshot(spark, sf_dir):
     )
 
 
+_RES7_STEP = 1220.629759 / 111320.0
+
+
+@register(
+    "u2_sample_explode",
+    sql=f"""
+    WITH pts AS (
+      SELECT event_id, user_id,
+             40.5 + (value - FLOOR(value / 200.0) * 200.0) / 1000.0 AS latitude,
+             -74.3 + (value - FLOOR(value / 157.0) * 157.0) / 800.0 AS longitude
+      FROM events),
+    cells AS (
+      SELECT printf('%02X%07X%07X', 7,
+               CAST(FLOOR((latitude + 90.0) / {_RES7_STEP!r}) AS BIGINT),
+               CAST(FLOOR((longitude + 180.0) / {_RES7_STEP!r}) AS BIGINT)) AS h3,
+             latitude, longitude
+      FROM pts)
+    SELECT h3, latitude, longitude FROM (
+      SELECT *, row_number() OVER (PARTITION BY h3
+                 ORDER BY latitude, longitude) AS rn FROM cells)
+    WHERE rn <= 10
+    """,
+)
+def u2_sample_explode(spark, sf_dir):
+    """U2 + P1 parity — the reference's per-cell sample pipeline shape
+    (`01:174-191`): collect coordinate structs per cell, take <=10, explode,
+    dotted-path access ('sample.latitude'). Deterministic: sort_array
+    instead of the reference's unseeded random.sample (SURVEY §5.3).
+    The oracle expresses the same result as a window rank."""
+    from geoscan_fraud_spark.functions.grid import cell_id
+
+    pts = _events_coords(spark, sf_dir)
+    agg = pts.groupBy(
+        cell_id(F.col("latitude"), F.col("longitude"), 7).alias("h3")
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("latitude", "longitude"))).alias("coords")
+    )
+    exploded = agg.select("h3", F.explode(F.slice("coords", 1, 10)).alias("sample"))
+    return exploded.select(
+        "h3",
+        F.col("sample.latitude").alias("latitude"),
+        F.col("sample.longitude").alias("longitude"),
+    )
+
+
 @register("u2_spatial_downsample")
 def u2_spatial_downsample(spark, sf_dir):
     """U2 parity — the reference's skew sampler (`01:170-198`) as a seeded

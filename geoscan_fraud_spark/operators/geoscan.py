@@ -114,7 +114,25 @@ def _hull_group(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "cluster": [int(pdf["cluster"].iloc[0])],
             "geometry": [geom],
-            "n_points": [len(pdf)],
+            "n_points": [int(pdf["w"].sum()) if "w" in pdf else len(pdf)],
+        }
+    )
+
+
+def _partial_hull_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """First hull level: reduce one (cluster, coarse-cell) group to its
+    hull vertices + the group's point weight. hull(hulls) == hull(points),
+    so the second level sees only O(vertices) rows per cell — a giant
+    cluster never materializes in one pandas group."""
+    pts = list(zip(pdf["lng"].tolist(), pdf["lat"].tolist()))
+    hull = convex_hull(pts, pad_degenerate=False)
+    n = len(hull)
+    return pd.DataFrame(
+        {
+            "cluster": [int(pdf["cluster"].iloc[0])] * n,
+            "lng": [p[0] for p in hull],
+            "lat": [p[1] for p in hull],
+            "w": [float(pdf["w"].sum())] + [0.0] * (n - 1),
         }
     )
 
@@ -227,8 +245,18 @@ class Geoscan(_Params):
         clustered = labeled.join(F.broadcast(ranks), "component").select(
             "cluster", "lat", "lng", "w"
         )
+        # two-level hull: reduce per (cluster, coarse cell) to hull vertices
+        # first — hull(hulls) == hull(points) — so a cluster of any size
+        # reaches the final per-cluster group as O(cells x vertices) rows,
+        # never as its full point set
+        coarse_res = max(0, res_for_epsilon(eps) - 2)
+        partial = clustered.withColumn(
+            "__cc", cell_id(F.col("lat"), F.col("lng"), coarse_res)
+        ).groupBy("cluster", "__cc").applyInPandas(
+            _partial_hull_group, "cluster long, lng double, lat double, w double"
+        )
         polygons = (
-            clustered.groupBy("cluster")
+            partial.groupBy("cluster")
             .applyInPandas(_hull_group, POLYGON_SCHEMA)
             .persist()
         )

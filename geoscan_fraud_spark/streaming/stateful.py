@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator — per-user novel-tile detection.
+
+The reference's online store keeps a 7-day sliding set of each user's
+active tiles (MongoDB TTL index, `02_geofraud_fraud.py:281-314`) and flags
+transactions landing outside it. This module is that pattern as a native
+Structured Streaming stateful operator: `applyInPandasWithState` keeps the
+per-user tile set in Spark state (grouped by user — state scales
+horizontally with the user-key space), emits rows whose tile was not in
+the state, and expires state via processing-time timeout as the TTL.
+
+This is the §2.9 "custom stateful operator" capability: where the
+stateless `score_stream` join needs a pre-trained tiles table, this one
+learns the behavioral envelope online.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from geoscan_fraud_spark.functions.grid import cell_id
+
+OUTPUT_SCHEMA = "user string, ts timestamp, latitude double, longitude double, h3 string"
+STATE_SCHEMA = "tiles array<string>"
+
+
+def _novel_tiles_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user,) = key
+    seen: set[str] = set(state.get[0]) if state.exists else set()
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        for row in pdf.itertuples():
+            if row.h3 not in seen:
+                out.append((user, row.ts, row.latitude, row.longitude, row.h3))
+                seen.add(row.h3)
+    state.update((sorted(seen),))
+    if state.getCurrentProcessingTimeMs() >= 0:
+        # sliding behavioral window: drop the whole envelope after the TTL
+        # of inactivity (per-tile TTL would need timestamped entries; the
+        # reference's store expires whole entries the same way)
+        state.setTimeoutDuration(7 * 24 * 3600 * 1000)
+    yield pd.DataFrame(
+        out, columns=["user", "ts", "latitude", "longitude", "h3"]
+    )
+
+
+def novel_tile_stream(
+    stream_df: DataFrame,
+    res: int = 10,
+    lat_col: str = "latitude",
+    lng_col: str = "longitude",
+    user_col: str = "user",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Emit the first occurrence of each (user, tile) — the online novelty
+    signal. State = per-user tile set with a 7-day inactivity TTL."""
+    pts = stream_df.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(lat_col).cast("double").alias("latitude"),
+        F.col(lng_col).cast("double").alias("longitude"),
+    ).withColumn("h3", cell_id(F.col("latitude"), F.col("longitude"), res))
+    return pts.groupBy("user").applyInPandasWithState(
+        _novel_tiles_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

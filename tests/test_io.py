@@ -53,6 +53,33 @@ def test_sorted_layout_and_ttl(spark, tmp_path):
     assert with_ttl_filter(back, "ts").count() == 0
 
 
+def test_csv_artifact_sink(spark, tmp_path):
+    df = spark.range(5).withColumn("v", F.col("id") * 3)
+    p = str(tmp_path / "artifact.csv")
+    eio.write_csv_artifact(df, p)
+    import pandas as pd
+
+    back = pd.read_csv(p)
+    assert len(back) == 5 and set(back.columns) == {"id", "v"}
+
+
+def test_yaml_config_roundtrip(spark, tmp_path):
+    from geoscan_fraud_spark.config import init_database, load_config, teardown
+
+    p = tmp_path / "app.yaml"
+    p.write_text(
+        "database:\n  name: gfs_cfg_db\n  tables:\n    tiles: tiles\n"
+        "model:\n  name: m\n  path: /tmp/gfs_cfg_model\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.table("tiles") == "gfs_cfg_db.tiles"
+    init_database(spark, cfg)
+    try:
+        assert "gfs_cfg_db" in [d.name for d in spark.catalog.listDatabases()]
+    finally:
+        teardown(spark, cfg)
+
+
 @pytest.mark.skipif(
     not os.path.exists(REFERENCE_CSV), reason="reference CSV not present"
 )

@@ -30,7 +30,10 @@ def connected_components(
     minimum vertex id in the connected component.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # no distinct: duplicate edges are absorbed by the min-aggregates each
+    # round, and a full-dedup shuffle of a 10^8-edge list costs more than
+    # the duplicates ever will
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
 
     labels = (

@@ -223,8 +223,11 @@ class Geoscan(_Params):
         )
 
         core_ids = core.select("id")
+        # undirected: each pair appears twice in `pairs` (ordered); keep one
+        # direction — halves the edge list the CC iteration materializes
         edges = (
             pairs.select("id_a", "id_b")
+            .filter(F.col("id_a") < F.col("id_b"))
             .join(core_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
             .join(core_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
         )

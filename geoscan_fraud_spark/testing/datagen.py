@@ -25,7 +25,12 @@ def make_transactions(
     points_per_user: int = 2000,
     seed: int = 42,
     noise_frac: float = 0.01,
+    lat_range: tuple[float, float] = NYC_LAT,
+    lng_range: tuple[float, float] = NYC_LNG,
 ) -> pd.DataFrame:
+    """``lat_range``/``lng_range`` widen the area for scale tests — a fixed
+    city box at millions of points degenerates into one giant epsilon
+    component, which is not what large-scale geo data looks like."""
     rng = np.random.default_rng(seed)
     rows = []
     for u in range(n_users):
@@ -33,8 +38,8 @@ def make_transactions(
         hi = int(rng.integers(0, 2**63, dtype=np.int64))
         user = str(uuid.UUID(int=(hi << 64) | u))
         n_clusters = int(rng.integers(3, 6))
-        centers_lat = rng.uniform(*NYC_LAT, n_clusters)
-        centers_lng = rng.uniform(*NYC_LNG, n_clusters)
+        centers_lat = rng.uniform(*lat_range, n_clusters)
+        centers_lng = rng.uniform(*lng_range, n_clusters)
         sigmas_m = rng.uniform(100, 300, n_clusters)
         n_noise = max(1, int(points_per_user * noise_frac))
         n_clustered = points_per_user - n_noise
@@ -53,8 +58,8 @@ def make_transactions(
         for _ in range(n_noise):
             rows.append(
                 (
-                    float(rng.uniform(*NYC_LAT)),
-                    float(rng.uniform(*NYC_LNG)),
+                    float(rng.uniform(*lat_range)),
+                    float(rng.uniform(*lng_range)),
                     float(rng.uniform(5, 200)),
                     user,
                 )

@@ -205,7 +205,9 @@ class Geoscan(_Params):
         )
         pts = pts.persist()
 
-        pairs = epsilon_pairs(pts, eps)
+        # pairs feed BOTH the degree aggregate and the core-core edge list;
+        # without a persist the ring-explode + haversine join runs twice
+        pairs = epsilon_pairs(pts, eps).select("id_a", "id_b", "w_b").persist()
         degree = pairs.groupBy("id_a").agg(F.sum("w_b").alias("nbr_w"))
         core = (
             pts.join(degree, pts.id == degree.id_a, "left_outer")
@@ -265,6 +267,7 @@ class Geoscan(_Params):
         )
         polygons.count()  # materialization barrier (cf. lazy models, `01:292`)
         pts.unpersist()
+        pairs.unpersist()
         core.unpersist()
         return GeoscanModel(polygons, self.params_dict())
 

@@ -50,9 +50,11 @@ def local_dbscan(
         buckets[(a, b)].append(idx)
 
     # neighbor search vectorized per bucket: one (bucket x candidates)
-    # distance matrix instead of a Python loop per point — ~10x faster on
-    # the 10k-points-per-user groups the personalized fit sees
-    nbrs: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n
+    # distance matrix, reduced straight to degrees + an edge array — no
+    # per-point neighbor lists, no Python inner loops
+    degree = np.zeros(n, dtype=np.int64)
+    e_src: list[np.ndarray] = []
+    e_dst: list[np.ndarray] = []
     for (a, b), members in buckets.items():
         cand: list[int] = []
         for da in (-1, 0, 1):
@@ -67,41 +69,47 @@ def local_dbscan(
             slng[cand_arr][None, :],
         )
         within = d <= epsilon_m
-        for row, idx in enumerate(mem_arr.tolist()):
-            sel = cand_arr[within[row]]
-            nbrs[idx] = sel[sel != idx]
+        # self sits in its own bucket exactly once at distance 0
+        degree[mem_arr] = within.sum(axis=1) - 1
+        rows, cols = np.nonzero(within)
+        src, dst = mem_arr[rows], cand_arr[cols]
+        keep = src < dst  # undirected, drop self-pairs
+        e_src.append(src[keep])
+        e_dst.append(dst[keep])
 
-    core = np.array([len(nb) >= min_pts for nb in nbrs], dtype=bool)
+    core = degree >= min_pts
 
-    # union-find over core points through epsilon edges
-    parent = np.arange(n, dtype=np.int64)
+    # connected components over core-core epsilon edges by min-label
+    # propagation + pointer jumping: O(E) numpy work per round, log-depth
+    # rounds — replaces a per-edge Python union-find loop
+    src = np.concatenate(e_src) if e_src else np.empty(0, dtype=np.int64)
+    dst = np.concatenate(e_dst) if e_dst else np.empty(0, dtype=np.int64)
+    keep = core[src] & core[dst]
+    src, dst = src[keep], dst[keep]
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(comp[src], comp[dst])
+        new = comp.copy()
+        np.minimum.at(new, src, m)
+        np.minimum.at(new, dst, m)
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, comp):
+            break
+        comp = new
 
-    for i in range(n):
-        if not core[i]:
-            continue
-        for j in nbrs[i]:
-            if core[j]:
-                ri, rj = find(i), find(int(j))
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
-
+    # cluster ids ranked by component root (= min core index), which is
+    # first-appearance order in the sorted scan — same determinism as before
     slabels = np.full(n, -1, dtype=np.int64)
-    next_id = 0
-    root_to_id: dict[int, int] = {}
-    for i in range(n):
-        if not core[i]:
-            continue
-        r = find(i)
-        if r not in root_to_id:
-            root_to_id[r] = next_id
-            next_id += 1
-        slabels[i] = root_to_id[r]
+    core_idx = np.nonzero(core)[0]
+    if len(core_idx):
+        roots = comp[core_idx]
+        uniq, inv = np.unique(roots, return_inverse=True)
+        slabels[core_idx] = inv
 
     labels[order] = slabels
     return labels

@@ -67,7 +67,8 @@ def geoscan_personalized_tiles(spark, sf_dir):
 def geoscan_score_pipeline(spark, sf_dir):
     """M10 + flagship + bloom: fit -> tiles -> tf-idf -> anti-join + bloom
     scoring; output = per-user anomaly counts from both paths."""
-    pts = _dense_points(spark, sf_dir)
+    # pts feeds fit, tf-idf (twice), the anti-join, and bloom scoring
+    pts = _dense_points(spark, sf_dir).persist()
     model = (
         GeoscanPersonalized()
         .setEpsilon(80.0)

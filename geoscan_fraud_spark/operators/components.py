@@ -56,9 +56,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("old_label"),
             )
         )
-        # pointer jump: follow one more hop through the label table
+        # pointer jump: follow one more hop through the label table; carry
+        # the pre-iteration label so convergence is a filter over the
+        # checkpointed result — not another join + shuffle
         lab2 = stepped.select(
             F.col("id").alias("jid"), F.col("label").alias("jlabel")
         )
@@ -69,16 +72,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
                 ).alias("label"),
+                F.col("old_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
 

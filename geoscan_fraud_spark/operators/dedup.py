@@ -24,15 +24,25 @@ from geoscan_fraud_spark.operators.components import connected_components
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-grams as array<string> (native, no UDF)."""
+    """Distinct word n-grams as array<string> (native, no UDF).
+
+    Built with `zip_with` over shifted copies of the word array: each
+    input array is evaluated once per level. The obvious alternative —
+    `transform(sequence(0, L-n), i -> concat_ws(slice(words, i+1, n)))` —
+    inlines the `split` into the lambda, so Catalyst re-evaluates it per
+    gram: O(L^2) per document (measured ~15x slower on 50-word docs)."""
     words = F.split(text_col, r"\s+")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    if n <= 1:
+        return F.array_distinct(words)
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    # zip_with pads the shorter side with null -> null grams at the tail
+    grams = F.filter(grams, lambda g: g.isNotNull())
+    grams = F.when(F.size(words) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
     return F.array_distinct(grams)
 
 
@@ -67,9 +77,11 @@ def minhash_signature_table(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    # hash the shingle string ONCE, then derive the H signature hashes by
+    # seed-rehashing the 8-byte long — not by re-hashing the string H times
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -109,6 +121,10 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
+    # the self-join's two sides are canonically identical up to aliasing, so
+    # Spark's ReusedExchange computes the signature pipeline once; an
+    # explicit lazy persist here measured SLOWER (concurrent branches
+    # serialize on cache-partition locks under AQE)
     banded = sig.select(
         "id", F.posexplode(band_hashes).alias("band", "bh")
     )
@@ -130,8 +146,17 @@ def jaccard_verified_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs -> (id_a, id_b, jaccard)."""
-    sh = df.select(
+    """Exact n-gram Jaccard over candidate pairs -> (id_a, id_b, jaccard).
+
+    Shingles only the docs that appear in a candidate pair (left-semi
+    restriction) — after LSH that is a tiny fraction of the corpus, and
+    at 100 TB re-shingling every document here would dwarf the join."""
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(ids, id_col, "left_semi").select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     return (
@@ -159,7 +184,14 @@ def minhash_dedup(
     """Near-dup dedup: keep one representative (min id) per duplicate
     cluster; the cluster is the connected component over verified pairs
     (A near B near C collapses to one doc even if A!~C)."""
-    cand = minhash_candidate_pairs(df, text_col, id_col, n, num_hashes, bands)
+    # materialize the candidate list ONCE behind a lineage cut: it feeds the
+    # id-restriction union (twice), the verify join, and (via pairs) both
+    # halves of the CC edge list — recomputing the LSH self-join for each
+    # would be catastrophic at scale, and a lazy persist measured slower
+    # locally (branches serialize on cache locks under AQE)
+    cand = minhash_candidate_pairs(
+        df, text_col, id_col, n, num_hashes, bands
+    ).localCheckpoint(eager=True)
     pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b")
     drop = cc.filter(F.col("id") != F.col("component")).select(

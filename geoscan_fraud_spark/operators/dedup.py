@@ -241,24 +241,41 @@ def simhash_table(
 ) -> DataFrame:
     """(id, sh) 64-bit SimHash via explode + codegen'd aggregates — the
     bulk path (the row-level `simhash64` expression runs interpreted).
-    Per bit b: sum over token hashes of +-1 by bit value; sign -> bit."""
+
+    Per bit b the signature wants sign(sum over tokens of +-1 by bit
+    value) = [2*count(bit set) - n_tokens >= 0]. The 64 per-bit counts are
+    SIMD-packed into 22 sum-aggregates: each long carries 3 bit-count
+    lanes of 21 bits (bits b, b+22, b+44), safe under ANSI arithmetic for
+    documents up to 2^20 (~1M) tokens. Versus 64 sum(when(..)) aggregates
+    this cuts the generated aggregate code ~3x (cold-start janino compile
+    was the dominant cost) and narrows the shuffle; the per-bit unpack
+    runs on one row per doc."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
     ).select("id", F.xxhash64("t").alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(64)
-    ]
-    sums = tok.groupBy("id").agg(*bit_aggs)
+    lane_aggs = []
+    for k in range(22):
+        lanes = None
+        for j in range(3):
+            b = k + 22 * j
+            if b >= 64:
+                continue
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            lane = F.shiftleft(bit, 21 * j)
+            lanes = lane if lanes is None else lanes.bitwiseOR(lane)
+        lane_aggs.append(F.sum(lanes).alias(f"p_{k}"))
+    sums = tok.groupBy("id").agg(
+        *lane_aggs, F.count(F.lit(1)).alias("n_tok")
+    )
     packed = F.lit(0).cast("long")
     for b in range(64):
+        k, j = b % 22, b // 22
+        c = F.shiftright(F.col(f"p_{k}"), 21 * j).bitwiseAND(F.lit(0x1FFFFF))
         packed = packed.bitwiseOR(
-            F.when(F.col(f"s_{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                c * 2 >= F.col("n_tok"), F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select("id", packed.alias("sh"))
 
@@ -294,8 +311,8 @@ def simhash_pairs(
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: shrink the dedup shuffle
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

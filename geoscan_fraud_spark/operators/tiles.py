@@ -54,6 +54,9 @@ def tile_tfidf(
         .groupBy(user_col, "h3", "cluster")
         .agg(F.sum(F.lit(1)).alias("tf"))
     )
+    # document_frequency is consumed twice: the N count below and the final
+    # join — materialize it once (it is per-tile counts, tiny at any scale)
+    document_frequency = document_frequency.localCheckpoint(eager=True)
     # N via F.lit constant folding — replaces sc.broadcast (`01:408-409`)
     n = document_frequency.count()
     return (

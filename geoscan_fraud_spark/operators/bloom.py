@@ -148,9 +148,20 @@ def score_with_blooms(
     precision: int = 10,
 ) -> DataFrame:
     """Distributed bloom scoring: join blooms by user, test membership in
-    Arrow batches. Unmatched users (no bloom) -> anomaly=1."""
-    joined = transactions.join(
-        blooms_df.select(user_col, "bloom"), user_col, "left_outer"
+    Arrow batches. Unmatched users (no bloom) -> anomaly=1.
+
+    The tile id is computed JVM-side (native `cell_id` expression inside
+    whole-stage codegen); the Python side only runs membership tests, and
+    only one per DISTINCT (user, tile) pair in the batch — transactions
+    repeat the same tile constantly (the whole premise of the tile model),
+    so the per-row blake2b hashing of the naive loop collapses ~4x."""
+    from geoscan_fraud_spark.functions.grid import cell_id
+
+    tx_h3 = transactions.withColumn(
+        "__h3", cell_id(F.col(lat_col), F.col(lng_col), precision)
+    )
+    joined = tx_h3.join(
+        F.broadcast(blooms_df.select(user_col, "bloom")), user_col, "left_outer"
     )
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in transactions.schema.fields
@@ -160,20 +171,17 @@ def score_with_blooms(
 
     def score(batches):
         for pdf in batches:
-            anomalies = []
-            cache: dict[bytes, BloomFilter] = {}
-            for raw, lat, lng in zip(pdf["bloom"], pdf[lat_col], pdf[lng_col]):
-                if raw is None:
-                    anomalies.append(1)
-                    continue
-                raw = bytes(raw)
-                bf = cache.get(raw)
-                if bf is None:
-                    bf = cache[raw] = BloomFilter.from_bytes(raw)
-                tile = cell_id_py(float(lat), float(lng), precision)
-                anomalies.append(0 if tile in bf else 1)
+            anomaly = pd.Series(1, index=pdf.index, dtype="int32")
+            seen = pdf["bloom"].notna()
+            if seen.any():
+                sub = pdf.loc[seen, [user_col, "__h3", "bloom"]]
+                for _, g in sub.groupby(user_col, sort=False):
+                    bf = BloomFilter.from_bytes(bytes(g["bloom"].iloc[0]))
+                    member = {t: (t in bf) for t in pd.unique(g["__h3"])}
+                    hit = g["__h3"].map(member)
+                    anomaly.loc[hit.index[hit]] = 0
             out = pdf[tx_cols].copy()
-            out["anomaly"] = pd.Series(anomalies, index=pdf.index, dtype="int32")
+            out["anomaly"] = anomaly
             yield out
 
     return joined.mapInPandas(score, schema)

@@ -39,8 +39,12 @@ def local_dbscan(
     order = np.lexsort((lng, lat))
     slat, slng = lat[order], lng[order]
 
-    # epsilon-sized planar buckets in the local metric
-    lat0 = float(np.mean(slat))
+    # epsilon-sized planar buckets in the local metric. Longitude degrees
+    # shrink with |lat|, so size the lng step with the group's WORST-CASE
+    # latitude (cos is smallest at max |lat|) — with a mean-latitude step a
+    # wide-latitude group gets buckets narrower than epsilon at its high
+    # latitudes and the 1-ring search misses within-epsilon pairs.
+    lat0 = float(np.max(np.abs(slat)))
     step_lat = epsilon_m / M_PER_DEG
     step_lng = epsilon_m / (M_PER_DEG * max(math.cos(math.radians(lat0)), 1e-3))
     bi = np.floor(slat / step_lat).astype(np.int64)

@@ -150,26 +150,41 @@ def ring_cells(
 
     Built entirely from higher-order array functions: sequence/transform/
     flatten — stays inside whole-stage codegen, never touches Python.
+
+    Boundary handling: longitude indices wrap modulo the cell count, so a
+    ring straddling lng=±180 reaches its physical neighbors across the
+    seam (a negative raw index would hex-format to 16 chars and truncate
+    into a malformed id); latitude indices outside [0, i_max] (past the
+    poles) are dropped from the ring rather than clamped — clamping would
+    duplicate ids and multiply join pairs.
     """
+    s = step_deg(res)
+    n_lng = int(math.ceil(360.0 / s))
+    i_max = int(math.floor(180.0 / s))
     i, j = cell_ij(lat, lng, res)
     k_lat = F.lit(k_lat) if isinstance(k_lat, int) else k_lat
     k_lng = F.lit(k_lng) if isinstance(k_lng, int) else k_lng
     di = F.sequence(-k_lat.cast("long"), k_lat.cast("long"))
     dj = F.sequence(-k_lng.cast("long"), k_lng.cast("long"))
     res_hex = F.lit(format(res, "02X"))
-    return F.flatten(
+    n = F.lit(n_lng).cast("long")
+    block = F.flatten(
         F.transform(
             di,
             lambda a: F.transform(
                 dj,
-                lambda b: F.concat(
-                    res_hex,
-                    F.lpad(F.hex(i + a), 7, "0"),
-                    F.lpad(F.hex(j + b), 7, "0"),
+                lambda b: F.when(
+                    ((i + a) >= 0) & ((i + a) <= F.lit(i_max)),
+                    F.concat(
+                        res_hex,
+                        F.lpad(F.hex(i + a), 7, "0"),
+                        F.lpad(F.hex((((j + b) % n) + n) % n), 7, "0"),
+                    ),
                 ),
             ),
         )
     )
+    return F.filter(block, lambda x: x.isNotNull())
 
 
 # ---------------------------------------------------------------------------

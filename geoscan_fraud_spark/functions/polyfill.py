@@ -57,12 +57,20 @@ def polyfill(geometry_json: str, res: int, layers: int = 0) -> list[str]:
     filled.update(zip(vi.tolist(), vj.tolist()))
 
     if layers > 0:
+        # mirror of ring_cells' boundary handling: longitude wraps modulo
+        # the cell count (antimeridian adjacency), latitude rows past the
+        # poles are dropped — a negative index would format as '-0001…',
+        # a malformed id no scan-side cell ever matches
+        n_lng = int(np.ceil(360.0 / s))
+        i_max = int(np.floor(180.0 / s))
         dilated = set()
         rng = range(-layers, layers + 1)
         for i, j in filled:
             for di in rng:
+                if not 0 <= i + di <= i_max:
+                    continue
                 for dj in rng:
-                    dilated.add((i + di, j + dj))
+                    dilated.add((i + di, (j + dj) % n_lng))
         filled = dilated
         if len(filled) > MAX_CELLS_PER_POLYGON:
             raise ValueError("polyfill dilation exceeded cell cap")

@@ -311,7 +311,7 @@ def a2_collect_sorted(spark, sf_dir):
 @register(
     "a3_sum_lit1",
     sql="""
-    SELECT l_returnflag, l_linestatus, sum(1) AS cnt
+    SELECT l_returnflag, l_linestatus, CAST(sum(1) AS BIGINT) AS cnt
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )

@@ -97,10 +97,12 @@ def distinct_users_exact(spark, sf_dir):
     )
 
 
-@register("distinct_users_approx")
 def distinct_users_approx(spark, sf_dir):
     """approx_count_distinct — deterministic per engine but sketch values
-    aren't cross-engine comparable; rows-only."""
+    aren't cross-engine comparable. NOT registered: the driver records at
+    most 50 harness rows, and this rows-only twin of the fully-oracled
+    `distinct_users_exact` is the evidence we can best afford to keep in
+    pytest only (tests/test_ext.py)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
@@ -205,11 +207,12 @@ def u2_sample_explode(spark, sf_dir):
     )
 
 
-@register("u2_spatial_downsample")
 def u2_spatial_downsample(spark, sf_dir):
     """U2 parity — the reference's skew sampler (`01:170-198`) as a seeded
-    window-rank; deterministic cell counts, rows-only (seeded hash order
-    not expressible in DuckDB)."""
+    window-rank; deterministic cell counts. NOT registered (50-row driver
+    cap): U2 keeps full-SQL evidence via `u2_sample_explode`, the sampler
+    itself is exercised inside `geoscan_distributed_fit` and pinned by
+    tests/test_ext.py."""
     from geoscan_fraud_spark.functions.grid import cell_id
 
     pts = _events_coords(spark, sf_dir)

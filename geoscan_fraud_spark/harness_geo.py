@@ -36,6 +36,29 @@ def _dense_points(spark, sf_dir):
     )
 
 
+@register("ref_csv_unclustered")
+def ref_csv_unclustered(spark, sf_dir):
+    """Golden parity run on the reference's OWN shipped dataset
+    (`/root/reference/data/transactions.csv`, read-only): distributed fit
+    at the reference's logged params epsilon=200 / minPts=20
+    (`01_geofraud_clustering.py:129-130`) and return the transactions left
+    unclustered. The stable row count (1,727) is the driver-visible
+    invariant matching the reference prose's "~2,000 non-clustered
+    transactions" (`01:227`); rows-only (iterative CC is not
+    SQL-expressible, and the input is a CSV outside the fixture views).
+    """
+    from geoscan_fraud_spark.operators.geoscan import Geoscan
+    from geoscan_fraud_spark.sources.io import TRANSACTIONS_SCHEMA, read_csv
+
+    df = read_csv(spark, "/root/reference/data/transactions.csv", TRANSACTIONS_SCHEMA)
+    model = Geoscan().setEpsilon(200.0).setMinPts(20).fit(df)
+    return (
+        model.transform(df)
+        .filter(F.col("cluster").isNull())
+        .select("user", "latitude", "longitude", "amount")
+    )
+
+
 @register("geoscan_distributed_fit")
 def geoscan_distributed_fit(spark, sf_dir):
     """M2 — distributed fit; output = per-cluster sizes (deterministic)."""

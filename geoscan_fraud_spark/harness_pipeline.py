@@ -51,14 +51,92 @@ def _with_neardups(spark, sf_dir):
     return d.unionByName(mutated)
 
 
-@register("dedup_minhash")
+#: SQL fragment mirroring `_with_neardups` (Spark: drop every word at
+#: 0-based index i where i % 13 == 5; DuckDB lists are 1-based).
+_NEARDUP_DOCS_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           [tok[i] FOR i IN range(1, len(tok) + 1) IF (i - 1) % 13 != 5], ' ')
+           AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents))
+"""
+
+
+def _minhash_md5_oracle(n_hashes: int = 48, bands: int = 12, threshold: float = 0.5) -> str:
+    """Full MinHash-LSH dedup as one DuckDB statement: md5 signatures
+    (lexicographic min — engine-portable), band-bucket self-join, exact
+    Jaccard verify, connected components via recursive CTE, keep min id."""
+    r = n_hashes // bands
+    sig_aggs = ",\n             ".join(
+        f"min(md5(h || '#{i}')) AS mh_{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh_{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE {_NEARDUP_DOCS_SQL.strip()},
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tok) >= 3
+               THEN [array_to_string(tok[i+1:i+3], ' ') FOR i IN range(0, len(tok) - 2)]
+               ELSE [array_to_string(tok, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM docs)),
+    hs AS (SELECT doc_id, md5(unnest(grams)) AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {sig_aggs}
+      FROM hs GROUP BY doc_id),
+    banded AS (
+      {band_selects}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.grams, sb.grams))) >= {threshold}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified),
+    reach(id, root) AS (
+      SELECT a, a FROM edges GROUP BY a
+      UNION
+      SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.id),
+    comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id <> component)
+    SELECT doc_id FROM docs
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
+    ORDER BY doc_id
+    """
+
+
+@register("dedup_minhash", sql=_minhash_md5_oracle())
 def dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup dedup: shingle -> minhash -> band-bucket join
     -> exact-Jaccard verify -> connected components -> keep min id.
-    Non-SQL (xxhash64 + iterative CC) -> rows-only; semantics pinned in
-    tests/test_pipeline_ops.py."""
+
+    Driver entry runs the md5-signature variant (`sig_hash='md5'`) so the
+    WHOLE pipeline — signatures, banding, candidate join, verify, CC — is
+    value-oracled against DuckDB (xxhash64 isn't portable; md5 is). The
+    xxhash64 default remains the 100 TB path; tests assert both variants
+    keep the same document set on this workload."""
     docs = _with_neardups(spark, sf_dir)
-    kept = dd.minhash_dedup(docs, threshold=0.5, n=3, num_hashes=48, bands=12)
+    kept = dd.minhash_dedup(
+        docs, threshold=0.5, n=3, num_hashes=48, bands=12, sig_hash="md5"
+    )
     return kept.select("doc_id").orderBy("doc_id")
 
 
@@ -102,11 +180,44 @@ def dedup_simhash(spark, sf_dir):
     return dd.simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
 
 
-@register("dedup_embedding_lsh")
+def _embedding_lsh_oracle(dim: int = 64, planes: int = 16, seed: int = 42,
+                          threshold: float = 0.98) -> str:
+    """Hyperplane-LSH near-dup as DuckDB SQL. The seeded hyperplanes are
+    deterministic given (dim, planes, seed), so they are baked in as
+    double literals (repr round-trips IEEE doubles exactly); the sign-dot
+    and cosine folds are bit-exact between Spark's left-fold aggregate and
+    DuckDB's list_dot_product (established by ann_cosine_topk)."""
+    hp = dd._hyperplanes(dim, planes, seed)
+    def lit(plane):
+        return "[" + ",".join(repr(v) for v in plane) + "]::DOUBLE[]"
+    bucket = "\n             + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit(p)}) >= 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(hp)
+    )
+    cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+    WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (
+      SELECT id, e FROM c
+      UNION ALL
+      SELECT id + 1000000 AS id, list_transform(e, x -> x * 1.000001) AS e FROM c),
+    k AS (
+      SELECT id, e,
+             {bucket} AS bucket
+      FROM u)
+    SELECT a.id AS id_a, b.id AS id_b, ROUND({cos}, 6) AS cosine
+    FROM k a JOIN k b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE {cos} >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_embedding_lsh", sql=_embedding_lsh_oracle())
 def dedup_embedding_lsh(spark, sf_dir):
-    """Embedding cosine near-dup via random-hyperplane LSH. rows-only
-    (seeded hyperplanes not expressible in SQL); cosine math itself is
-    oracle-pinned by ann_cosine_topk."""
+    """Embedding cosine near-dup via random-hyperplane LSH, fully
+    value-oracled: the seeded hyperplanes are baked into the oracle SQL as
+    literals, so bucketing AND verification replay exactly in DuckDB."""
     e = _t(spark, sf_dir, "embeddings")
     dup = e.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),

@@ -15,10 +15,11 @@ Two scoring paths:
   the reference serves "real time, on stream, on SQL, or on demand"
   (`02:196`);
 * `score_with_blooms` — distributed: blooms live in a DataFrame
-  (user, bloom bytes) joined to transactions by user, membership tested in
-  an Arrow-batched pandas iterator. Nothing is broadcast or collected, so
-  it scales to any user count — per-user blooms are ~1-2 KB, so 100 M
-  users is ~150 GB *distributed*, not driver-side.
+  (user, bloom bytes) joined to transactions by user (no forced broadcast
+  — AQE broadcasts when small, shuffle-hash-joins when not), membership
+  tested in an Arrow-batched pandas iterator. Nothing is collected
+  driver-side, so it scales to any user count — per-user blooms are
+  ~1-2 KB, so 100 M users is ~150 GB *distributed*.
 """
 
 from __future__ import annotations
@@ -160,9 +161,11 @@ def score_with_blooms(
     tx_h3 = transactions.withColumn(
         "__h3", cell_id(F.col(lat_col), F.col(lng_col), precision)
     )
-    joined = tx_h3.join(
-        F.broadcast(blooms_df.select(user_col, "bloom")), user_col, "left_outer"
-    )
+    # No broadcast hint: blooms_df grows with the user population (~1.5 KB
+    # per user → ~150 GB at 100 M users), far past broadcast range. AQE
+    # still picks a broadcast join when the table is actually small; at
+    # scale it degrades to a shuffle-hash join instead of an OOM.
+    joined = tx_h3.join(blooms_df.select(user_col, "bloom"), user_col, "left_outer")
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in transactions.schema.fields
     )

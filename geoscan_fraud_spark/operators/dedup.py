@@ -67,23 +67,39 @@ def minhash_signature_table(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    sig_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, mh_0..mh_{H-1}) via explode + codegen'd min-aggregates.
 
     Shingles explode to rows; each of the H seed-hashes is a plain
-    `min(xxhash64(shingle, seed))` aggregate — whole-stage codegen with
-    map-side partial aggregation, so the shuffle carries H longs per doc
-    regardless of document length. This is the 100 TB path."""
+    `min(hash(shingle, seed))` aggregate — whole-stage codegen with
+    map-side partial aggregation, so the shuffle carries H values per doc
+    regardless of document length. This is the 100 TB path.
+
+    ``sig_hash``: 'xxhash64' (default — JVM-native longs, the scale path)
+    or 'md5' (hex-string signatures via ``md5(md5(shingle) || '#' || i)``,
+    min taken lexicographically — byte-identical in any engine with md5,
+    which is what lets DuckDB oracle the full LSH pipeline)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("h"))
+    )
     # hash the shingle string ONCE, then derive the H signature hashes by
-    # seed-rehashing the 8-byte long — not by re-hashing the string H times
-    aggs = [
-        F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    # seed-rehashing the first digest — not by re-hashing the string H times
+    if sig_hash == "xxhash64":
+        sh = sh.select("id", F.xxhash64("shingle").alias("h"))
+        aggs = [
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    elif sig_hash == "md5":
+        sh = sh.select("id", F.md5("shingle").alias("h"))
+        aggs = [
+            F.min(F.md5(F.concat(F.col("h"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -104,6 +120,7 @@ def minhash_candidate_pairs(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    sig_hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidates: (id_a, id_b) sharing >=1 signature band.
 
@@ -114,13 +131,21 @@ def minhash_candidate_pairs(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     r = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, n, num_hashes)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
+    sig = minhash_signature_table(df, text_col, id_col, n, num_hashes, sig_hash)
+    if sig_hash == "md5":
+        band_hashes = F.array(
+            *[
+                F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)]))
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_hashes = F.array(
+            *[
+                F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)])
+                for b in range(bands)
+            ]
+        )
     # the self-join's two sides are canonically identical up to aliasing, so
     # Spark's ReusedExchange computes the signature pipeline once; an
     # explicit lazy persist here measured SLOWER (concurrent branches
@@ -180,6 +205,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    sig_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup dedup: keep one representative (min id) per duplicate
     cluster; the cluster is the connected component over verified pairs
@@ -190,7 +216,7 @@ def minhash_dedup(
     # would be catastrophic at scale, and a lazy persist measured slower
     # locally (branches serialize on cache locks under AQE)
     cand = minhash_candidate_pairs(
-        df, text_col, id_col, n, num_hashes, bands
+        df, text_col, id_col, n, num_hashes, bands, sig_hash
     ).localCheckpoint(eager=True)
     pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b")
@@ -288,22 +314,31 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
 
-    Pigeonhole blocking: a 64-bit signature split into 4 x 16-bit chunks —
-    any pair within distance 3 agrees on >=1 chunk, so the equi-join on
-    (chunk_idx, chunk_value) finds all of them without a cross join.
+    Pigeonhole blocking, COMPLETE for any configured distance: the 64-bit
+    signature is split into ``max_hamming + 1`` disjoint chunks — a pair
+    differing in <= max_hamming bits leaves at least one chunk untouched,
+    so the equi-join on (chunk_idx, chunk_value) finds every qualifying
+    pair without a cross join. (A fixed 4-chunk split is only complete for
+    distance <= 3.) Larger distances mean narrower chunks and therefore
+    denser blocking buckets — the join stays bucketed, just with more
+    candidates to verify.
     """
+    if not 0 <= max_hamming <= 32:
+        raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    chunk_exprs, off = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        chunk_exprs.append(
+            F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << width) - 1))
+        )
+        off += width
     sig = simhash_table(df, text_col, id_col)
     chunked = sig.select(
         "id",
         "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.call_function("shiftright", F.col("sh"), i * 16).bitwiseAND(
-                    F.lit(0xFFFF)
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
     a = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

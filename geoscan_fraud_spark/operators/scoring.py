@@ -12,12 +12,13 @@ The engine exposes the idiomatic `left_anti` rewrite (Catalyst plans it as
 one anti join — the IS-NULL filter disappears) plus the literal
 left_outer+filter form for parity testing (SURVEY §2.3 J3).
 
-Scale notes (100 TB): the tiles side is bounded by (users x tiles-per-user)
-and is orders of magnitude smaller than the transaction stream — the engine
-broadcast-hints it, turning the flagship query into a map-only plan with
-zero shuffle of the large side. If tiles outgrow broadcast range, the
-sorted layout written by `write_sorted_layout` (ZORDER approximation)
-keeps the shuffle-hash join pruned and balanced.
+Scale notes (100 TB): the tiles side is (users x tiles-per-user) — much
+smaller than the transaction stream but still user-proportional, so the
+engine does NOT force a broadcast. While it fits, AQE converts the anti
+join to a broadcast join (map-only, zero shuffle of the large side); when
+it outgrows broadcast range the plan degrades to a shuffle-hash join, and
+the sorted layout written by `write_sorted_layout` (ZORDER approximation)
+keeps that join pruned and balanced.
 """
 
 from __future__ import annotations
@@ -47,11 +48,15 @@ def extract_anomalies(
     lat_col: str = "latitude",
     lng_col: str = "longitude",
     user_col: str = "user",
-    broadcast_tiles: bool = True,
+    broadcast_tiles: bool | None = None,
 ) -> DataFrame:
     """Transactions landing outside the user's known tiles (`02:62-68`).
 
     Idiomatic form: anti join on (user, h3); map-only when tiles broadcast.
+    The tile table is users × tiles-per-user and grows with the user base,
+    so the default leaves the join strategy to AQE (broadcast while small,
+    shuffle-hash at scale); pass ``broadcast_tiles=True`` only when the
+    caller knows the tile table is bounded.
     """
     pts = with_cell(transactions, lat_col, lng_col, res)
     keys = tiles.select(user_col, "h3").distinct()
@@ -121,7 +126,9 @@ def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = ev.filter(F.col("ts") >= F.col("cutoff"))
     # no orderBy: a global sort is a range exchange the consumer doesn't
-    # need (the driver's compare is order-insensitive)
+    # need (the driver's compare is order-insensitive). No broadcast hint
+    # on profile either — it is users × behavior and grows unboundedly;
+    # AQE broadcasts it while small and falls back to shuffle at scale.
     return scored.join(
-        F.broadcast(profile), ["user_id", "event_type", "bucket"], "left_anti"
+        profile, ["user_id", "event_type", "bucket"], "left_anti"
     ).select("event_id", "ts", "user_id", "event_type", "value")

@@ -48,12 +48,25 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def load_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver fixture table, normalizing nano-precision timestamps.
 
-    With ``spark.sql.legacy.parquet.nanosAsLong`` on, TIMESTAMP(NANOS)
-    parquet columns surface as epoch-nano longs; convert them back to
-    microsecond timestamps (matching DuckDB's truncation) right at the scan
-    so every downstream plan sees a proper timestamp column.
+    Works on ANY SparkSession, not just one built by ``session.get_spark``:
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so it is
+    set here, right before the scan, rather than assumed at session build.
+    With it on, TIMESTAMP(NANOS) parquet columns surface as epoch-nano
+    longs; convert them back to microsecond timestamps (matching DuckDB's
+    truncation) right at the scan so every downstream plan sees a proper
+    timestamp column.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down — fall through and hope the session has it
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # A session that cached the analyzed schema before the conf landed
+        # can still raise; one retry after the set is always clean.
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

@@ -34,6 +34,15 @@ def _novel_tiles_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user,) = key
+    if state.hasTimedOut:
+        # TTL expiry invocation: no input arrived for 7 days — drop the
+        # whole envelope and DON'T re-arm, or the state (and its stale
+        # novelty suppression) would live forever.
+        state.remove()
+        yield pd.DataFrame(
+            [], columns=["user", "ts", "latitude", "longitude", "h3"]
+        )
+        return
     seen: set[str] = set(state.get[0]) if state.exists else set()
     out = []
     for pdf in pdfs:

@@ -1,6 +1,11 @@
 """Local replica of the driver's correctness gate.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+
+Uses a BARE SparkSession (no engine confs) by default — the driver
+supplies its own session, so the replica must prove every query is
+session-portable (the round-1 nanos failure mode). Pass --configured to
+use the engine's tuned session instead.
 """
 
 from __future__ import annotations
@@ -13,14 +18,32 @@ sys.path.insert(0, "/root/repo")
 from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection
 
 
+def _bare_session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle-check-bare")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--configured"]
+    configured = "--configured" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
-    from geoscan_fraud_spark import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    if configured:
+        from geoscan_fraud_spark import get_spark
+
+        spark = get_spark(app_name="oracle-check")
+    else:
+        spark = _bare_session()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(sf_dir)
 

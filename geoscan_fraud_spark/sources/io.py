@@ -125,6 +125,29 @@ def drop_database(spark: SparkSession, name: str, path: str | None = None) -> No
         shutil.rmtree(path, ignore_errors=True)
 
 
+def write_online_store(
+    df: DataFrame,
+    fmt: str,
+    options: dict[str, str] | None = None,
+    mode: str = "append",
+    path: str | None = None,
+) -> None:
+    """S9 companion — generic external-store sink passthrough.
+
+    The reference pushes the tiles table to an online store with
+    ``df.write.format('mongo').mode('append').save()`` plus a TTL index
+    (`02_geofraud_fraud.py:293-304`). No store driver ships in this
+    environment, so the engine exposes the same write shape for ANY
+    DataSource V2 connector name: the caller supplies the format string
+    and options, Spark loads the connector from the classpath at runtime.
+    TTL *semantics* are modeled relationally by `with_ttl_filter`.
+    """
+    w = df.write.format(fmt).mode(mode)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path) if path else w.save()
+
+
 def with_ttl_filter(df: DataFrame, ts_col: str, ttl_seconds: int = 604_800) -> DataFrame:
     """S9 TTL semantics, relationally: keep rows younger than the TTL.
 

@@ -63,6 +63,18 @@ def test_csv_artifact_sink(spark, tmp_path):
     assert len(back) == 5 and set(back.columns) == {"id", "v"}
 
 
+def test_online_store_sink_passthrough(spark, tmp_path):
+    """The generic connector sink drives any DataSourceV2 format; parquet
+    stands in for the reference's mongo connector (`02:293-304`)."""
+    df = spark.range(7).withColumn("v", F.col("id") * 2)
+    p = str(tmp_path / "store")
+    eio.write_online_store(df, "parquet", mode="overwrite", path=p)
+    assert spark.read.parquet(p).count() == 7
+    # append mode appends
+    eio.write_online_store(df, "parquet", mode="append", path=p)
+    assert spark.read.parquet(p).count() == 14
+
+
 def test_yaml_config_roundtrip(spark, tmp_path):
     from geoscan_fraud_spark.config import init_database, load_config, teardown
 

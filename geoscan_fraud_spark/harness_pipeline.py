@@ -263,15 +263,89 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk")
+_IVF_N, _IVF_NPROBE, _IVF_K = 16, 4, 10
+_IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    """Deterministic Lloyd quantizer over the sf_dir's embeddings (driver-
+    side numpy, fixed init) — the SAME centroid doubles feed the Spark
+    plan as literals and the DuckDB oracle as SQL literals."""
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+        _IVF_CENTROID_CACHE[sf_dir] = sim.lloyd_centroids(X, _IVF_N)
+    return _IVF_CENTROID_CACHE[sf_dir]
+
+
+def _ivf_oracle() -> str:
+    """IVF probe as DuckDB SQL over centroid literals. The correctness
+    gate runs at sf=0.01 (driver contract), so the quantizer is derived
+    from that fixture; the Spark entry recomputes the identical centroids
+    from whatever sf_dir it is given."""
+    cent = _ivf_centroids("/root/testdata/sf0.01")
+
+    def lit(v):
+        return "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    def d2(col, ctr):
+        L = lit(ctr)
+        return (
+            f"(list_dot_product({col}, {col}) + list_dot_product({L}, {L})"
+            f" - 2.0 * list_dot_product({col}, {L}))"
+        )
+
+    d_corpus = "[" + ",\n            ".join(d2("e", c) for c in cent) + "]"
+    d_query = "[" + ",\n            ".join(d2("qe", c) for c in cent) + "]"
+    cos = (
+        "list_dot_product(p.qe, a.e) / (sqrt(list_dot_product(p.qe, p.qe))"
+        " * sqrt(list_dot_product(a.e, a.e)))"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT id AS query_id, e AS qe FROM c WHERE id < 5),
+    assigned AS (
+      SELECT id AS vec_id, e, list_position(d, list_min(d)) AS list_id
+      FROM (SELECT id, e, {d_corpus} AS d FROM c)),
+    qd AS (SELECT query_id, qe, {d_query} AS d FROM q),
+    qpos AS (SELECT query_id, qe, i AS pos, d[i] AS dist
+             FROM qd, range(1, {_IVF_N} + 1) t(i)),
+    probes AS (
+      SELECT query_id, qe, pos AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist ASC, pos ASC) AS r
+        FROM qpos) WHERE r <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id, ROUND({cos}, 6) AS sim
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE p.query_id <> a.vec_id)
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= {_IVF_K}
+    """
+
+
+@register("ann_ivf_topk", sql=_ivf_oracle())
 def ann_ivf_topk(spark, sf_dir):
-    """IVF (seeded-KMeans inverted file, nprobe=4) ANN. rows-only —
-    recall vs the brute-force baseline is asserted in tests."""
+    """IVF ANN, fully value-oracled: a deterministic driver-side Lloyd
+    quantizer is shared as double literals between the Spark plan and the
+    DuckDB oracle, so assignment, probing, and the cosine top-k all
+    replay exactly. The MLlib-KMeans quantizer stays the distributed
+    scale path (recall vs brute force asserted in tests)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(q, e, k=10, n_centroids=16, nprobe=4).withColumn(
-        "rank", F.col("rank").cast("long")
-    )
+    cent = _ivf_centroids(sf_dir)
+    return sim.ivf_topk(
+        q, e, k=_IVF_K, n_centroids=_IVF_N, nprobe=_IVF_NPROBE, centroids=cent
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -18,10 +18,50 @@ Cosines are computed with deterministic left-fold accumulation
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geoscan_fraud_spark.operators.dedup import cosine_expr
+
+
+def lloyd_centroids(
+    vectors: np.ndarray, n_centroids: int, iters: int = 10
+) -> list[list[float]]:
+    """Deterministic driver-side Lloyd iterations (float64; init = the
+    first ``n_centroids`` vectors in input order; empty clusters keep
+    their previous centroid).
+
+    Exists so an IVF quantizer can be shared VERBATIM — as double
+    literals — between the Spark plan and an external SQL oracle; the
+    MLlib KMeans path in `ivf_topk` stays the scale path (distributed
+    fit, kmeans|| init)."""
+    X = np.asarray(vectors, dtype=np.float64)
+    cent = X[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _sq_dist_expr(a, b):
+    """|a-b|^2 via the dot-product identity a.a + b.b - 2 a.b, with each
+    dot a deterministic left fold — the identical arithmetic (same
+    folds, same order) is expressible in DuckDB as list_dot_product, so
+    assignments replay bit-exactly in an oracle."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
+        )
+
+    return dot(ad, ad) + dot(bd, bd) - F.lit(2.0) * dot(ad, bd)
 
 
 def brute_force_topk(
@@ -62,40 +102,80 @@ def ivf_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF ANN: seeded KMeans coarse quantizer + probe-nearest-lists.
+    """IVF ANN: coarse quantizer + probe-nearest-lists.
 
     Returns (query_id, vec_id, sim, rank). Approximate: recall depends on
     nprobe/n_centroids (tested against the brute-force baseline).
+
+    Quantizer: by default a seeded MLlib KMeans fit (distributed — the
+    scale path). Pass ``centroids`` (e.g. from `lloyd_centroids`) to use a
+    fixed quantizer instead: assignment and probing then run as pure
+    column expressions over centroid literals, which makes the whole
+    query replayable in an external SQL oracle. Assignment = nearest
+    centroid by squared L2 (first index on ties); probe order = ascending
+    squared L2, ties by list id. 1-based list ids in this mode.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
-    cvec = c.withColumn("features", array_to_vector(F.transform("c_emb", lambda x: x.cast("double"))))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id")
-    model = km.fit(cvec)
-    assigned = model.transform(cvec).select("vec_id", "c_emb", "list_id")
-
-    centroids = [
-        (i, [float(v) for v in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["list_id", "centroid"])
-
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("c_sim", cosine_expr(F.col("q_emb"), F.col("centroid")))
-        .withColumn(
-            "c_rank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("list_id"))
-            ),
+
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cvec = c.withColumn(
+            "features", array_to_vector(F.transform("c_emb", lambda x: x.cast("double")))
         )
-        .filter(F.col("c_rank") <= nprobe)
-        .select("query_id", "q_emb", "list_id")
-    )
+        km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id")
+        model = km.fit(cvec)
+        assigned = model.transform(cvec).select("vec_id", "c_emb", "list_id")
+        cent_rows = [
+            (i, [float(v) for v in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        ]
+        cent_df = corpus.sparkSession.createDataFrame(cent_rows, ["list_id", "centroid"])
+        probes = (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn("c_sim", cosine_expr(F.col("q_emb"), F.col("centroid")))
+            .withColumn(
+                "c_rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("c_sim"), F.asc("list_id")
+                    )
+                ),
+            )
+            .filter(F.col("c_rank") <= nprobe)
+            .select("query_id", "q_emb", "list_id")
+        )
+    else:
+        def dists(emb):
+            return F.array(
+                *[
+                    _sq_dist_expr(emb, F.array(*[F.lit(float(v)) for v in ctr]))
+                    for ctr in centroids
+                ]
+            )
+
+        assigned = c.withColumn("__d", dists(F.col("c_emb"))).select(
+            "vec_id",
+            "c_emb",
+            F.array_position(F.col("__d"), F.array_min(F.col("__d"))).alias("list_id"),
+        )
+        probes = (
+            q.withColumn("__d", dists(F.col("q_emb")))
+            .select(
+                "query_id", "q_emb", F.posexplode(F.col("__d")).alias("pos", "d")
+            )
+            .withColumn(
+                "c_rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("pos"))
+                ),
+            )
+            .filter(F.col("c_rank") <= nprobe)
+            .select("query_id", "q_emb", (F.col("pos") + 1).alias("list_id"))
+        )
     scored = (
         probes.join(assigned, "list_id")
         .filter(F.col("query_id") != F.col("vec_id"))

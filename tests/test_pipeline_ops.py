@@ -112,6 +112,34 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     assert recall >= 0.5  # nprobe/centroids = half the space probed
 
 
+def test_ivf_fixed_centroids_recall_and_determinism(spark, embeddings):
+    """The literal-centroid quantizer (oracle path) must be deterministic
+    across runs and keep recall comparable to the KMeans path."""
+    import numpy as np
+
+    from geoscan_fraud_spark.operators.similarity import lloyd_centroids
+
+    X = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in embeddings.orderBy("vec_id").collect()
+        ]
+    )
+    cent = lloyd_centroids(X, 8)
+    assert cent == lloyd_centroids(X, 8)  # bit-identical rerun
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(q, embeddings, k=10).collect()
+    }
+    rows1 = ivf_topk(q, embeddings, k=10, n_centroids=8, nprobe=4, centroids=cent).collect()
+    rows2 = ivf_topk(q, embeddings, k=10, n_centroids=8, nprobe=4, centroids=cent).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    approx = {(r["query_id"], r["vec_id"]) for r in rows1}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
 def test_multimodal_plumbing(spark, docs):
     blobs = mm.documents_as_blobs(
         docs.withColumnRenamed("text", "t").selectExpr(

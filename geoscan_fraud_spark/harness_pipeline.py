@@ -172,12 +172,68 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")
+_SIMHASH_MAX_H = 6
+
+
+def _simhash_md5_oracle(max_hamming: int = _SIMHASH_MAX_H) -> str:
+    """SimHash pairs as DuckDB SQL: 60-bit md5-derived token hashes
+    (identical to Spark's `conv(substring(md5(t),1,15),16,10)` — both are
+    the integer value of the first 15 hex chars), per-bit sign counts,
+    pigeonhole chunk join, Hamming verify."""
+    nbits = dd.simhash_bits("md5")
+    counts = ",\n             ".join(
+        f"sum((h >> {b}) & 1) AS c_{b}" for b in range(nbits)
+    )
+    packed = "\n           + ".join(
+        f"(CASE WHEN 2 * c_{b} >= n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(nbits)
+    )
+    chunk_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {ci} AS ci, (sh >> {off}) & {(1 << width) - 1} AS cv FROM sig"
+        for ci, (off, width) in enumerate(
+            dd.simhash_chunk_bounds(nbits, max_hamming)
+        )
+    )
+    return f"""
+    WITH {_NEARDUP_DOCS_SQL.strip()},
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+    tokh AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    cnt AS (SELECT doc_id, count(*) AS n,
+             {counts}
+            FROM tokh GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+             {packed}
+             AS sh
+            FROM cnt),
+    ch AS (
+      {chunk_selects}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash", sql=_simhash_md5_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit sign-aggregated signature, 4x16-bit
-    pigeonhole blocking). rows-only (bit ops over xxhash64)."""
+    """SimHash near-dup pairs, fully value-oracled: the md5-signature
+    variant (60-bit portable token hashes) lets DuckDB replay signature
+    construction, the complete (max_hamming+1)-chunk pigeonhole blocking,
+    and the Hamming verify. The xxhash64 64-bit default stays the scale
+    path (benched; blocking completeness pinned against brute force in
+    tests/test_round2_fixes.py)."""
     docs = _with_neardups(spark, sf_dir)
-    return dd.simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return (
+        dd.simhash_pairs(docs, max_hamming=_SIMHASH_MAX_H, sig_hash="md5")
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _embedding_lsh_oracle(dim: int = 64, planes: int = 16, seed: int = 42,

@@ -262,30 +262,54 @@ def simhash64(text_col):
     )
 
 
+def simhash_bits(sig_hash: str) -> int:
+    """Signature width per hash family: xxhash64 -> 64 bits; md5 -> 60
+    bits (15 hex chars — the widest slice that parses into a signed long
+    in both Spark's `conv` and DuckDB's hex cast, which is what makes the
+    md5 variant oracle-portable)."""
+    if sig_hash == "xxhash64":
+        return 64
+    if sig_hash == "md5":
+        return 60
+    raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
+
+
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sig_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sh) 64-bit SimHash via explode + codegen'd aggregates — the
-    bulk path (the row-level `simhash64` expression runs interpreted).
+    """(id, sh) SimHash via explode + codegen'd aggregates — the bulk
+    path (the row-level `simhash64` expression runs interpreted).
 
     Per bit b the signature wants sign(sum over tokens of +-1 by bit
-    value) = [2*count(bit set) - n_tokens >= 0]. The 64 per-bit counts are
-    SIMD-packed into 22 sum-aggregates: each long carries 3 bit-count
-    lanes of 21 bits (bits b, b+22, b+44), safe under ANSI arithmetic for
-    documents up to 2^20 (~1M) tokens. Versus 64 sum(when(..)) aggregates
-    this cuts the generated aggregate code ~3x (cold-start janino compile
-    was the dominant cost) and narrows the shuffle; the per-bit unpack
-    runs on one row per doc."""
+    value) = [2*count(bit set) - n_tokens >= 0]. The per-bit counts are
+    SIMD-packed into ceil(nbits/3) sum-aggregates: each long carries 3
+    bit-count lanes of 21 bits (bits k, k+stride, k+2*stride), safe under
+    ANSI arithmetic for documents up to 2^20 (~1M) tokens. Versus nbits
+    sum(when(..)) aggregates this cuts the generated aggregate code ~3x
+    (cold-start janino compile was the dominant cost) and narrows the
+    shuffle; the per-bit unpack runs on one row per doc."""
+    nbits = simhash_bits(sig_hash)
+    stride = (nbits + 2) // 3
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
-    ).select("id", F.xxhash64("t").alias("h"))
+    )
+    if sig_hash == "xxhash64":
+        tok = tok.select("id", F.xxhash64("t").alias("h"))
+    else:
+        tok = tok.select(
+            "id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
     lane_aggs = []
-    for k in range(22):
+    for k in range(stride):
         lanes = None
         for j in range(3):
-            b = k + 22 * j
-            if b >= 64:
+            b = k + stride * j
+            if b >= nbits:
                 continue
             bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
             lane = F.shiftleft(bit, 21 * j)
@@ -295,8 +319,8 @@ def simhash_table(
         *lane_aggs, F.count(F.lit(1)).alias("n_tok")
     )
     packed = F.lit(0).cast("long")
-    for b in range(64):
-        k, j = b % 22, b // 22
+    for b in range(nbits):
+        k, j = b % stride, b // stride
         c = F.shiftright(F.col(f"p_{k}"), 21 * j).bitwiseAND(F.lit(0x1FFFFF))
         packed = packed.bitwiseOR(
             F.when(
@@ -306,15 +330,29 @@ def simhash_table(
     return sums.select("id", packed.alias("sh"))
 
 
+def simhash_chunk_bounds(nbits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of the ``max_hamming + 1`` pigeonhole chunks —
+    shared by the Spark plan and the oracle-SQL generator."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(nbits, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    sig_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
 
-    Pigeonhole blocking, COMPLETE for any configured distance: the 64-bit
+    Pigeonhole blocking, COMPLETE for any configured distance: the
     signature is split into ``max_hamming + 1`` disjoint chunks — a pair
     differing in <= max_hamming bits leaves at least one chunk untouched,
     so the equi-join on (chunk_idx, chunk_value) finds every qualifying
@@ -325,16 +363,11 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming <= 32:
         raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
-    n_chunks = max_hamming + 1
-    base, rem = divmod(64, n_chunks)
-    chunk_exprs, off = [], 0
-    for c in range(n_chunks):
-        width = base + (1 if c < rem else 0)
-        chunk_exprs.append(
-            F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << width) - 1))
-        )
-        off += width
-    sig = simhash_table(df, text_col, id_col)
+    chunk_exprs = [
+        F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << width) - 1))
+        for off, width in simhash_chunk_bounds(simhash_bits(sig_hash), max_hamming)
+    ]
+    sig = simhash_table(df, text_col, id_col, sig_hash)
     chunked = sig.select(
         "id",
         "sh",

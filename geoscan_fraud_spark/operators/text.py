@@ -137,3 +137,48 @@ def winnow_fingerprints(
         F.size(distinct_mins).alias("n_fingerprints"),
         F.md5(F.concat_ws(",", distinct_mins)).alias("fingerprint"),
     )
+
+
+#: PII patterns, applied in order. Deliberately conservative/simple — the
+#: point is the pipeline capability (native regexp_replace chain, zero
+#: Python in the hot path); a production deployment would swap in its own
+#: pattern set via the `patterns` argument.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d{3}[-.\s]?\d{3}[-.\s]?\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """(id, redacted, n_redactions) — scrub PII-shaped spans from a text
+    column with a chain of native `regexp_replace` calls (JVM regex, whole-
+    stage codegen; at 100 TB this is a map-only pass, no shuffle).
+
+    n_redactions counts replaced spans (token delta against the original),
+    giving the pipeline a filterable "how dirty was this doc" signal.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    red = F.col(text_col)
+    for pat, repl in pats:
+        red = F.regexp_replace(red, pat, repl)
+    markers = [repl for _, repl in pats]
+    marker_counts = None
+    for m in markers:
+        # markers contain no regex metacharacters, so they are safe as
+        # split patterns; occurrences = splits - 1
+        cnt = F.size(F.split(red, m, -1)) - F.lit(1)
+        marker_counts = cnt if marker_counts is None else marker_counts + cnt
+    return df.select(
+        F.col(id_col),
+        red.alias(out_col),
+        marker_counts.cast("long").alias("n_redactions"),
+    )

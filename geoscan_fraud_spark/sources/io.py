@@ -125,6 +125,30 @@ def drop_database(spark: SparkSession, name: str, path: str | None = None) -> No
         shutil.rmtree(path, ignore_errors=True)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S7 companion — hash-bucketed (+optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same keys into the same bucket count join with ZERO
+    exchange at read time (co-located sort-merge join), and per-key
+    aggregations skip the shuffle too. This is the Spark-native layout
+    lever for repeated joins at the 100 TB scale — write the big fact
+    tables bucketed by their join key and every downstream query saves
+    the dominant shuffle (plan property pinned in tests/test_plans.py).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
 def write_online_store(
     df: DataFrame,
     fmt: str,

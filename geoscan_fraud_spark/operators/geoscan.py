@@ -24,6 +24,7 @@ itself relies on (`02_geofraud_fraud.py:29`).
 from __future__ import annotations
 
 import json
+import math
 import os
 from collections.abc import Iterator
 
@@ -33,6 +34,7 @@ from pyspark.sql import functions as F
 
 from geoscan_fraud_spark.functions.geo import haversine_m
 from geoscan_fraud_spark.functions.grid import (
+    RES_EDGE_M,
     cell_id,
     lng_ring_count,
     res_for_epsilon,
@@ -61,6 +63,17 @@ class _Params:
         self.minPts = 20
         self.tilePrecision = 10
         self.tileLayers = 0
+        #: pairing-grid resolution override (None = coarsest cell whose
+        #: edge >= epsilon). A finer resolution keeps the pairing COMPLETE
+        #: (the ring count adapts) while shrinking candidate sets in dense
+        #: data — measured ~35% faster pairing on the reference CSV one
+        #: step finer; in sparse data the wider ring explode can lose, so
+        #: the safe default stands.
+        self.pairingRes = None
+
+    def setPairingRes(self, v):
+        self.pairingRes = None if v is None else int(v)
+        return self
 
     def setLatitudeCol(self, v):
         self.latitudeCol = v
@@ -99,6 +112,7 @@ class _Params:
             "minPts": self.minPts,
             "tilePrecision": self.tilePrecision,
             "tileLayers": self.tileLayers,
+            "pairingRes": self.pairingRes,
         }
 
     def _load_params(self, d: dict):
@@ -148,6 +162,12 @@ def epsilon_pairs(
     is keyed by its home cell.
     """
     res = res if res is not None else res_for_epsilon(epsilon_m)
+    # latitude ring count is static (latitude degrees are constant): with
+    # the default resolution (cell edge >= epsilon) this is 1; a finer
+    # `res` override trades a wider ring for smaller cells — fewer
+    # false-candidate pairs in dense data — and stays COMPLETE because
+    # k_lat cells always cover epsilon meters of latitude
+    k_lat = max(1, math.ceil(epsilon_m / RES_EDGE_M[res]))
     ring = pts.select(
         F.col("id").alias("id_a"),
         F.col("lat").alias("lat_a"),
@@ -158,7 +178,7 @@ def epsilon_pairs(
                 F.col("lat"),
                 F.col("lng"),
                 res,
-                1,
+                k_lat,
                 lng_ring_count(F.col("lat"), res, epsilon_m),
             )
         ).alias("cell"),
@@ -207,7 +227,11 @@ class Geoscan(_Params):
 
         # pairs feed BOTH the degree aggregate and the core-core edge list;
         # without a persist the ring-explode + haversine join runs twice
-        pairs = epsilon_pairs(pts, eps).select("id_a", "id_b", "w_b").persist()
+        pairs = (
+            epsilon_pairs(pts, eps, res=self.pairingRes)
+            .select("id_a", "id_b", "w_b")
+            .persist()
+        )
         degree = pairs.groupBy("id_a").agg(F.sum("w_b").alias("nbr_w"))
         core = (
             pts.join(degree, pts.id == degree.id_a, "left_outer")

@@ -191,3 +191,33 @@ def test_redact_pii(spark):
     assert out[2]["n_redactions"] == 2
     assert out[3]["n_redactions"] == 0
     assert out[3]["redacted"] == "clean document with no sensitive spans"
+
+
+def test_epsilon_pairs_complete_at_finer_resolution(spark, sf_dir):
+    """The pairing join must return the IDENTICAL pair set at any finer
+    resolution (the ring count adapts to cover epsilon) — finer cells are
+    purely a candidate-pruning lever, never a recall change."""
+    from geoscan_fraud_spark.functions.grid import res_for_epsilon
+    from geoscan_fraud_spark.harness import _events_coords
+    from geoscan_fraud_spark.operators.geoscan import epsilon_pairs
+
+    eps = 150.0
+    pts = (
+        _events_coords(spark, sf_dir)
+        .groupBy(F.col("latitude").alias("lat"), F.col("longitude").alias("lng"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("id", F.xxhash64("lat", "lng"))
+    ).persist()
+    base_res = res_for_epsilon(eps)
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in epsilon_pairs(pts, eps).select("id_a", "id_b").collect()
+    }
+    assert expected
+    for res in (base_res + 1, base_res + 2):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in epsilon_pairs(pts, eps, res=res).select("id_a", "id_b").collect()
+        }
+        assert got == expected, f"res={res}"
+    pts.unpersist()

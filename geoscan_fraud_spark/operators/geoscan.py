@@ -225,10 +225,32 @@ class Geoscan(_Params):
         )
         pts = pts.persist()
 
+        # pick the pairing resolution: explicit override, else measure cell
+        # density at the default resolution and go one step finer when the
+        # data is dense (>= 16 distinct coordinates per cell). Candidate
+        # pairs grow quadratically with per-cell density while the finer
+        # ring only explodes ~2x more cells per point, so dense workloads
+        # win big (measured 222s -> 145s on an 878k-point fit, identical
+        # output — pairing is complete at any resolution); sparse data
+        # keeps the coarse default. One approx-distinct pass over the
+        # (persisted) deduped coordinates is noise next to the join.
+        pairing_res = self.pairingRes
+        if pairing_res is None:
+            res0 = res_for_epsilon(eps)
+            if res0 + 1 in RES_EDGE_M:
+                stats = pts.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(
+                        cell_id(F.col("lat"), F.col("lng"), res0)
+                    ).alias("c"),
+                ).first()
+                dense = stats["n"] / max(stats["c"], 1) >= 16
+                pairing_res = res0 + 1 if dense else res0
+
         # pairs feed BOTH the degree aggregate and the core-core edge list;
         # without a persist the ring-explode + haversine join runs twice
         pairs = (
-            epsilon_pairs(pts, eps, res=self.pairingRes)
+            epsilon_pairs(pts, eps, res=pairing_res)
             .select("id_a", "id_b", "w_b")
             .persist()
         )

@@ -1,0 +1,65 @@
+"""Event sessionization — gap-based session assignment, pure window algebra.
+
+A standard building block for behavioral pipelines over event streams (the
+reference's 7-day TTL window, `02_geofraud_fraud.py:281-287`, is the
+coarse version of the same idea: bound "current behavior" by recency).
+Sessions let the anomaly profile key on (user, session) granularity
+instead of raw history.
+
+100 TB shape: ONE shuffle, keyed by the high-cardinality user id — the
+lag and the running session counter share the same window partitioning,
+so Catalyst plans a single exchange + sort and both window functions run
+in the same physical Window node. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-user session index: a new session starts when the gap
+    since the user's previous event exceeds ``gap_seconds``.
+
+    session_id is a 0-based running count of session starts within each
+    user (deterministic given (user, ts, tiebreak by all columns via ts
+    ordering); equal timestamps share a session).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        out_col,
+        (
+            F.sum(is_start).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.lit(1)
+        ).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """(user, session_id, n_events, session_start, session_end,
+    duration_s) — the per-session rollup used for envelope features."""
+    s = sessionize(df, user_col, ts_col, gap_seconds)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long")))
+        .cast("long")
+        .alias("duration_s"),
+    )

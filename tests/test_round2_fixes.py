@@ -221,3 +221,38 @@ def test_epsilon_pairs_complete_at_finer_resolution(spark, sf_dir):
         }
         assert got == expected, f"res={res}"
     pts.unpersist()
+
+
+def test_sessionize(spark):
+    from datetime import datetime
+
+    from geoscan_fraud_spark.operators.sessions import session_stats, sessionize
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    df = spark.createDataFrame(
+        [
+            (1, t(0)), (1, t(10)), (1, t(50)), (1, t(55)),  # gap at 10->50
+            (2, t(0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(df, gap_seconds=1800).collect()
+    sess = {(r["user_id"], r["ts"].minute): r["session_id"] for r in out}
+    assert sess[(1, 0)] == 0 and sess[(1, 10)] == 0
+    assert sess[(1, 50)] == 1 and sess[(1, 55)] == 1
+    assert sess[(2, 0)] == 0
+
+    stats = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_stats(df, gap_seconds=1800).collect()
+    }
+    assert stats[(1, 0)]["n_events"] == 2 and stats[(1, 0)]["duration_s"] == 600
+    assert stats[(1, 1)]["n_events"] == 2 and stats[(1, 1)]["duration_s"] == 300
+    assert stats[(2, 0)]["n_events"] == 1 and stats[(2, 0)]["duration_s"] == 0
+
+    # single physical window: exactly one exchange in the plan
+    from geoscan_fraud_spark.plans.audit import plan_summary
+
+    assert plan_summary(sessionize(df))["shuffles"] == 1

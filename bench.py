@@ -52,38 +52,52 @@ def main():
     ]
     headline = [q for q in headline if q in QUERIES]
 
-    # The registered dedup_minhash entry runs the md5-signature variant so
-    # DuckDB can value-oracle the whole LSH pipeline; md5-over-strings is
-    # NOT the production path. Bench the scale path instead: xxhash64
-    # signatures (JVM-native long min-aggregates), same LSH geometry.
-    # Likewise dedup_simhash: the harness entry demonstrates the complete
-    # 7-chunk blocking at hamming<=6; production near-dup sweeps run the
-    # tighter hamming<=3 (4-chunk) configuration benched here.
+    # dedup_minhash / dedup_simhash are benched AS REGISTERED (md5
+    # signatures, hamming<=6) so the published numbers measure exactly the
+    # correctness-verified path. The production scale variants (xxhash64
+    # JVM-native long min-aggregates; the tighter 4-chunk hamming<=3 sweep)
+    # are additionally reported under their own names so the two are never
+    # conflated.
     from geoscan_fraud_spark.harness_pipeline import _with_neardups
     from geoscan_fraud_spark.operators import dedup as dd
 
-    def bench_minhash_production(spark, sf_dir):
+    def bench_minhash_xxhash64(spark, sf_dir):
         docs = _with_neardups(spark, sf_dir)
         return dd.minhash_dedup(docs, threshold=0.5, n=3, num_hashes=48, bands=12)
 
-    def bench_simhash_production(spark, sf_dir):
+    def bench_simhash_h3(spark, sf_dir):
         docs = _with_neardups(spark, sf_dir)
         return dd.simhash_pairs(docs, max_hamming=3)
 
     QUERIES = dict(QUERIES)
-    QUERIES["dedup_minhash"] = bench_minhash_production
-    QUERIES["dedup_simhash"] = bench_simhash_production
+    QUERIES["dedup_minhash_xxhash64"] = bench_minhash_xxhash64
+    QUERIES["dedup_simhash_h3"] = bench_simhash_h3
+    headline += ["dedup_minhash_xxhash64", "dedup_simhash_h3"]
 
     # warm up the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    # Best-of-N per query: the machine is shared, and a single contaminated
+    # run inflates every timing uniformly (BENCH_r02 recorded ~3x a serial
+    # run). The min of N runs is the least-noise estimate of the plan's
+    # cost; noise_ratio (max/min over per-query totals) is recorded so a
+    # loaded-machine round is visible in the artifact itself.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    per_run_totals: list[float] = []
     timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for r in range(runs):
+        run_total = 0.0
+        for name in headline:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            run_total += dt
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+        per_run_totals.append(round(run_total, 3))
 
     total = round(sum(timings.values()), 3)
+    noise_ratio = round(max(per_run_totals) / min(per_run_totals), 3)
     print(
         json.dumps(
             {
@@ -92,6 +106,9 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs": runs,
+                "noise_ratio": noise_ratio,
+                "per_run_totals": per_run_totals,
             }
         )
     )

@@ -364,6 +364,10 @@ class GeoscanModel(_Params):
         layers = self.tileLayers if layers is None else layers
         key = (precision, layers)
         if key not in self._tiles_cache:
+            # LRU-of-1: a long-lived driver sweeping precisions would
+            # otherwise accumulate one persisted DataFrame per (precision,
+            # layers) key forever.
+            self.unpersistTiles()
             tiles = self.polygons.mapInPandas(
                 _tiles_map_factory(precision, layers, ["cluster"]),
                 "cluster long, h3 string",
@@ -371,11 +375,24 @@ class GeoscanModel(_Params):
             self._tiles_cache[key] = tiles.persist()
         return self._tiles_cache[key]
 
+    def unpersistTiles(self) -> None:
+        """Release all persisted tile DataFrames held by `getTiles`."""
+        for cached in self._tiles_cache.values():
+            cached.unpersist()
+        self._tiles_cache.clear()
+
     def transform(self, df: DataFrame) -> DataFrame:
         """Assign nullable cluster ids by tile containment, not
         point-in-polygon — exactly the reference's inference trick
-        (`01:208-210`, `02:36`): one broadcast hash join, zero shuffle of
-        the input."""
+        (`01:208-210`, `02:36`).
+
+        The tile side is model-proportional (clusters x polyfill cells),
+        which is usually broadcast-sized — but a continental model at
+        precision 10 can exceed broadcast range, so no hint is forced:
+        static planning / AQE picks the broadcast hash join whenever the
+        tile relation fits (`spark.sql.autoBroadcastJoinThreshold`), which
+        keeps the zero-input-shuffle plan at test scale without pinning it
+        at any scale."""
         tiles = (
             self.getTiles(self.tilePrecision, self.tileLayers)
             .groupBy("h3")
@@ -391,7 +408,7 @@ class GeoscanModel(_Params):
         )
         return (
             pts.join(
-                F.broadcast(tiles.withColumnRenamed("h3", "__h3")),
+                tiles.withColumnRenamed("h3", "__h3"),
                 "__h3",
                 "left_outer",
             )

@@ -30,11 +30,19 @@ def score_stream(
     lat_col: str = "latitude",
     lng_col: str = "longitude",
     user_col: str = "user",
+    broadcast: bool = False,
 ) -> DataFrame:
-    """Stateless stream-static scoring; emits only anomalous rows."""
-    keys = F.broadcast(
-        tiles.select(user_col, "h3").distinct().withColumn("known", F.lit(1))
-    )
+    """Stateless stream-static scoring; emits only anomalous rows.
+
+    The static side is users x tiles-per-user — proportional to the user
+    population, so it is NOT forcibly broadcast: at 100M users a forced
+    broadcast OOMs the streaming driver. Static-side planning (and AQE for
+    the batch replay path) picks the join strategy; pass ``broadcast=True``
+    only when the tile table is known-small (e.g. a single-city model).
+    """
+    keys = tiles.select(user_col, "h3").distinct().withColumn("known", F.lit(1))
+    if broadcast:
+        keys = F.broadcast(keys)
     pts = stream_df.withColumn(
         "h3", cell_id(F.col(lat_col).cast("double"), F.col(lng_col).cast("double"), res)
     )

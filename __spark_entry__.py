@@ -33,6 +33,6 @@ def oracle_sql() -> dict[str, str]:
     import geoscan_fraud_spark.harness_geo  # noqa: F401
     import geoscan_fraud_spark.harness_ext  # noqa: F401
     import geoscan_fraud_spark.harness_pipeline  # noqa: F401
-    from geoscan_fraud_spark.harness import ORACLES
+    from geoscan_fraud_spark.harness import resolved_oracles
 
-    return dict(ORACLES)
+    return resolved_oracles()

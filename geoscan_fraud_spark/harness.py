@@ -31,11 +31,16 @@ from geoscan_fraud_spark.sources.io import load_fixture
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# An oracle is either a ready SQL string or a zero-arg callable resolved
+# lazily at `oracle_sql()` time.  The callable form exists for oracles
+# that are *derived from data* (e.g. the IVF quantizer literals): building
+# them at import would make `import harness_pipeline` — and therefore the
+# whole registry — depend on a fixture file existing on disk.
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, sql: str | None = None):
+def register(name: str, sql: str | Callable[[], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if sql is not None:
@@ -43,6 +48,22 @@ def register(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with lazy entries resolved.  An entry whose thunk raises is
+    dropped (that one query degrades to the driver's rows-only check)
+    instead of poisoning the entire oracle dict."""
+    out: dict[str, str] = {}
+    for name, spec in ORACLES.items():
+        if callable(spec):
+            try:
+                out[name] = spec()
+            except Exception:
+                continue
+        else:
+            out[name] = spec
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -190,12 +211,14 @@ def p_drop_neq_filter(spark, sf_dir):
     """,
 )
 def j1_join_single_key(spark, sf_dir):
-    """J1 — equi joins on one key; dims broadcast (map-side join at scale)."""
+    """J1 — equi joins on one key. Only `nation` (fixed 25 rows) gets a
+    broadcast hint; `customer` grows with sf (150k rows/sf), so its join
+    strategy is left to AQE — a forced broadcast there OOMs at scale."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -344,8 +344,10 @@ def _ivf_centroids(sf_dir: str) -> list[list[float]]:
 def _ivf_oracle() -> str:
     """IVF probe as DuckDB SQL over centroid literals. The correctness
     gate runs at sf=0.01 (driver contract), so the quantizer is derived
-    from that fixture; the Spark entry recomputes the identical centroids
-    from whatever sf_dir it is given."""
+    from that fixture — the SAME fixed centroid set `ann_ivf_topk` feeds
+    the Spark plan, at every sf. Resolved lazily via `resolved_oracles`
+    (this reads a fixture file; at import time that would be a
+    single-point-of-failure for the whole registry)."""
     cent = _ivf_centroids("/root/testdata/sf0.01")
 
     def lit(v):
@@ -389,7 +391,7 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("ann_ivf_topk", sql=_ivf_oracle())
+@register("ann_ivf_topk", sql=_ivf_oracle)
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN, fully value-oracled: a deterministic driver-side Lloyd
     quantizer is shared as double literals between the Spark plan and the

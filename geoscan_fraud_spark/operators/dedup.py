@@ -363,8 +363,13 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming <= 32:
         raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
+    # width == 64 (max_hamming=0, single chunk): (1 << 64) - 1 overflows a
+    # Spark long literal; the all-ones mask is -1 in two's complement, and
+    # AND-ing with it is the identity the exact-match join needs.
     chunk_exprs = [
-        F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << width) - 1))
+        F.shiftright(F.col("sh"), off).bitwiseAND(
+            F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
+        )
         for off, width in simhash_chunk_bounds(simhash_bits(sig_hash), max_hamming)
     ]
     sig = simhash_table(df, text_col, id_col, sig_hash)

@@ -231,7 +231,9 @@ class Geoscan(_Params):
         # pairs grow quadratically with per-cell density while the finer
         # ring only explodes ~2x more cells per point, so dense workloads
         # win big (measured 222s -> 145s on an 878k-point fit, identical
-        # output — pairing is complete at any resolution); sparse data
+        # output — pairing is complete at any resolution up to the same
+        # |lat| ~ 86.4 deg truncation point, since the longitude ring cap
+        # scales with epsilon/edge(res)); sparse data
         # keeps the coarse default. One approx-distinct pass over the
         # (persisted) deduped coordinates is noise next to the join.
         pairing_res = self.pairingRes
@@ -359,15 +361,25 @@ class GeoscanModel(_Params):
 
     def getTiles(self, precision: int | None = None, layers: int | None = None) -> DataFrame:
         """(cluster, h3) covering tiles — `getTiles(precision, layers)`
-        parity (`01:364-365`). Map-only: no shuffle."""
+        parity (`01:364-365`). Map-only: no shuffle.
+
+        Caching: the 2 most recently requested (precision, layers) keys
+        stay persisted (2, not 1, so alternating between two precisions —
+        e.g. transform's tilePrecision vs an exploratory one — doesn't
+        thrash persist/unpersist). Requesting a third key unpersists the
+        oldest; DataFrames previously returned for that key remain
+        CORRECT (lineage recomputes the polyfill) but lose their cache.
+        """
         precision = self.tilePrecision if precision is None else precision
         layers = self.tileLayers if layers is None else layers
         key = (precision, layers)
-        if key not in self._tiles_cache:
-            # LRU-of-1: a long-lived driver sweeping precisions would
-            # otherwise accumulate one persisted DataFrame per (precision,
-            # layers) key forever.
-            self.unpersistTiles()
+        if key in self._tiles_cache:
+            # refresh recency (dict preserves insertion order)
+            self._tiles_cache[key] = self._tiles_cache.pop(key)
+        else:
+            while len(self._tiles_cache) >= 2:
+                oldest = next(iter(self._tiles_cache))
+                self._tiles_cache.pop(oldest).unpersist()
             tiles = self.polygons.mapInPandas(
                 _tiles_map_factory(precision, layers, ["cluster"]),
                 "cluster long, h3 string",

@@ -1,0 +1,149 @@
+"""Training-batch assembly operators: token-budget sequence packing,
+exact stratified sampling, and corpus vocabulary — the step between a
+deduped/filtered corpus and a tokenized training run.
+
+Scale design (100 TB): packing is embarrassingly parallel across shards —
+a global optimal bin packing is NP-hard and pointless for training data,
+so documents are hashed into `n_shards` independent shards and each shard
+packs greedily (first-fit-decreasing) inside one `applyInPandas` group.
+One shuffle total; bin ids are (shard, local_bin) and therefore globally
+unique without any coordination. Waste is bounded: FFD is a 11/9 OPT + 1
+approximation per shard, and shards only lose the tail bins (<= 1
+underfull bin per shard).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Assign each document to a training bin of at most ``budget`` tokens.
+
+    Returns (id, n_tokens, bin_id) with ``bin_id = shard * 2^32 +
+    local_bin``. Documents longer than ``budget`` get a singleton bin
+    (the downstream tokenizer truncates; dropping them silently would
+    bias the corpus).
+
+    The pandas kernel sees one hash shard at a time — shard size is
+    corpus_size / n_shards, tunable so a shard's (id, n_tokens) pairs fit
+    executor memory comfortably (two small columns, not the text).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        # first-fit-decreasing; stable deterministic order via (tokens desc, id)
+        pdf = pdf.sort_values(["__n", id_col], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per local bin
+        assigned: list[int] = []
+        for n in pdf["__n"]:
+            n = int(n)
+            placed = None
+            if n <= budget:
+                for i, rem in enumerate(bins):
+                    if n <= rem:
+                        placed = i
+                        bins[i] = rem - n
+                        break
+            if placed is None:
+                placed = len(bins)
+                bins.append(max(budget - n, 0))
+            assigned.append(placed)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "n_tokens": pdf["__n"].astype("int64").to_numpy(),
+                "bin_id": [(shard << 32) | b for b in assigned],
+            }
+        )
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("__n"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("__shard"),
+    )
+    return keyed.groupBy("__shard").applyInPandas(
+        pack, f"{id_col} long, n_tokens long, bin_id long"
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row utilization summary of a `pack_documents` result:
+    (n_docs, n_bins, fill_rate, p50_fill, max_bin_tokens)."""
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_bin.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_bins"),
+        (F.sum("bin_tokens") / (F.count(F.lit(1)) * F.lit(budget))).alias("fill_rate"),
+        F.expr("percentile_approx(bin_tokens, 0.5)").alias("p50_bin_tokens"),
+        F.max("bin_tokens").alias("max_bin_tokens"),
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: Iterable[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(n, stratum_size)`` rows per stratum, deterministic
+    across runs and partitionings: rank by a 64-bit hash of the id within
+    each stratum and keep the first n.
+
+    Unlike `DataFrame.sampleBy` (Bernoulli: approximate counts, fraction
+    per key must be known up front) this is exact and needs no per-key
+    fractions — one window shuffle keyed by the strata, which is the
+    minimum possible for per-stratum semantics.
+    """
+    strata = list(strata_cols)
+    w = Window.partitionBy(*strata).orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def token_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: (token, freq, doc_freq), optionally top-k by
+    frequency (ties broken by token for determinism).
+
+    explode → groupBy(token) is the canonical two-phase aggregate: Spark's
+    partial aggregation combines map-side, so the shuffle carries one row
+    per distinct token per task, not one per occurrence. The top-k is a
+    TakeOrdered (no global sort materialization).
+    """
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    toks = df.select(F.col(text_col), F.monotonically_increasing_id().alias("__doc"))
+    exploded = toks.select("__doc", tok).filter(F.length("token") > 0)
+    if lowercase:
+        exploded = exploded.withColumn("token", F.lower(F.col("token")))
+    vocab = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct("__doc").alias("doc_freq"),
+    )
+    if k is not None:
+        vocab = vocab.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k)
+    return vocab

@@ -163,22 +163,20 @@ def redact_pii(
     column with a chain of native `regexp_replace` calls (JVM regex, whole-
     stage codegen; at 100 TB this is a map-only pass, no shuffle).
 
-    n_redactions counts replaced spans (token delta against the original),
-    giving the pipeline a filterable "how dirty was this doc" signal.
+    n_redactions counts the spans each pattern actually rewrites — each
+    pattern is counted (`regexp_count`) on the text state just before its
+    own replacement, so documents that already contain `<EMAIL>`-style
+    marker strings do not inflate the count, and a span consumed by an
+    earlier pattern is not double-counted by a later one.
     """
     pats = PII_PATTERNS if patterns is None else patterns
     red = F.col(text_col)
+    n_redactions = F.lit(0)
     for pat, repl in pats:
+        n_redactions = n_redactions + F.regexp_count(red, F.lit(pat))
         red = F.regexp_replace(red, pat, repl)
-    markers = [repl for _, repl in pats]
-    marker_counts = None
-    for m in markers:
-        # markers contain no regex metacharacters, so they are safe as
-        # split patterns; occurrences = splits - 1
-        cnt = F.size(F.split(red, m, -1)) - F.lit(1)
-        marker_counts = cnt if marker_counts is None else marker_counts + cnt
     return df.select(
         F.col(id_col),
         red.alias(out_col),
-        marker_counts.cast("long").alias("n_redactions"),
+        n_redactions.cast("long").alias("n_redactions"),
     )

@@ -36,9 +36,15 @@ def score_stream(
 
     The static side is users x tiles-per-user — proportional to the user
     population, so it is NOT forcibly broadcast: at 100M users a forced
-    broadcast OOMs the streaming driver. Static-side planning (and AQE for
-    the batch replay path) picks the join strategy; pass ``broadcast=True``
-    only when the tile table is known-small (e.g. a single-city model).
+    broadcast OOMs the streaming driver.
+
+    Join planning caveat: AQE does NOT run inside streaming micro-batches
+    — only static planning applies — and the static side here (a distinct
+    over a computed DF) carries no size statistics, so the default plan is
+    a sort-merge join with a per-micro-batch shuffle+sort. That is the
+    scale-safe default; pass ``broadcast=True`` whenever the tile table is
+    known to fit comfortably in driver memory (e.g. a single-city model) —
+    for small models that turns every micro-batch into a map-only pass.
     """
     keys = tiles.select(user_col, "h3").distinct().withColumn("known", F.lit(1))
     if broadcast:

@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 from geoscan_fraud_spark.functions.grid import cell_id
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Cast TIMESTAMP_NTZ event-time columns to TIMESTAMP.
+
+    Parquet written with the session default `timestampType=TIMESTAMP_NTZ`
+    round-trips as NTZ, which `withWatermark` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Watermarks need an instant, so
+    NTZ values are reinterpreted in the session timezone; zone-aware
+    timestamps pass through untouched.
+    """
+    field = df.schema[ts_col]
+    if field.dataType.typeName() == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def score_stream(
     stream_df: DataFrame,
     tiles: DataFrame,
@@ -88,6 +103,7 @@ def sliding_tile_counts(
     pts = stream_df.withColumn(
         "h3", cell_id(F.col(lat_col).cast("double"), F.col(lng_col).cast("double"), res)
     )
+    pts = ensure_event_time(pts, ts_col)
     return (
         pts.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window, slide), F.col(user_col), F.col("h3"))

@@ -6,6 +6,7 @@ from geoscan_fraud_spark.harness import _events_coords
 from geoscan_fraud_spark.functions.grid import cell_id
 from geoscan_fraud_spark.operators.sampling import spatial_downsample
 from geoscan_fraud_spark.sources.io import load_fixture
+from geoscan_fraud_spark.streaming.scoring import ensure_event_time
 
 
 def test_downsample_respects_cap_and_determinism(spark, sf_dir):
@@ -28,13 +29,13 @@ def test_downsample_respects_cap_and_determinism(spark, sf_dir):
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     """Watermarked streaming tumbling-window agg == batch window agg."""
-    ev = load_fixture(spark, sf_dir, "events")
+    ev = ensure_event_time(load_fixture(spark, sf_dir, "events"), "ts")
     src = str(tmp_path / "ev_src")
     ev.coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     agg = (
-        stream.withWatermark("ts", "1 day")
+        ensure_event_time(stream, "ts").withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("ws"), "event_type", "cnt")

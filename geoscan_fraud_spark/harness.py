@@ -331,20 +331,11 @@ def a2_collect_sorted(spark, sf_dir):
     )
 
 
-@register(
-    "a3_sum_lit1",
-    sql="""
-    SELECT l_returnflag, l_linestatus, CAST(sum(1) AS BIGINT) AS cnt
-    FROM lineitem GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def a3_sum_lit1(spark, sf_dir):
-    """A3 — the reference's `F.sum(F.lit(1))` counting idiom (`01:393-394`)."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.lit(1)).alias("cnt"))
-    )
+# A3 (the reference's `F.sum(F.lit(1))` counting idiom, `01:393-394`) was a
+# registered entry through r04; the same grouped-count algebra is already
+# driver-evidenced by `u3_tfidf_relational` (its TF term is sum(lit(1)) per
+# (doc, token)) and `a1_groupby_count`, so the slot under the driver's
+# 50-entry cap now funds `vocab_token_frequencies` (VERDICT r04 #4).
 
 
 @register(
@@ -432,20 +423,48 @@ def w1_topk_desc(spark, sf_dir):
     )
 
 
+# W2 (global sort asc + limit) was a registered entry through r04; its
+# algebra is already driver-evidenced by `w1_topk_desc` (same TakeOrdered
+# plan, desc primary + asc tiebreaker), so the slot under the driver's
+# 50-entry cap now funds `sessionize` below (VERDICT r04 #2).
+
+
 @register(
-    "w2_sort_asc_limit",
+    "sessionize",
     sql="""
-    SELECT o_orderkey, o_orderdate FROM orders
-    ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 20
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN sec - lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+    SELECT event_id, user_id,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS BIGINT) AS session_id
+    FROM g
     """,
 )
-def w2_sort_asc_limit(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderdate")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-        .limit(20)
-    )
+def sessionize_entry(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): lag + running sum
+    sharing ONE window partitioning → a single exchange. (user_id, ts) is
+    unique in the fixture, so ordering by ts is deterministic; the
+    second-granularity gap uses floor semantics on both engines (Spark
+    `cast(ts as long)` == DuckDB `floor(epoch(ts))`).
+
+    Streaming/TTL anchor: the reference bounds "current behavior" by a
+    7-day TTL (`02_geofraud_fraud.py:281-287`); sessions are the
+    fine-grained version of that recency bound.
+    """
+    from geoscan_fraud_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800).select("event_id", "user_id", "session_id")
 
 
 @register(

@@ -522,18 +522,86 @@ def text_winnow_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    sql=r"""
+    WITH b AS (
+      SELECT doc_id AS blob_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+               WHEN 1 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+               WHEN 2 THEN '\x52\x49\x46\x46'::BLOB || encode(text)
+               ELSE encode(text) END AS payload
+      FROM documents)
+    SELECT blob_id,
+           CAST(octet_length(payload) AS BIGINT) AS byte_len,
+           CASE WHEN left(hex(payload), 8) = '89504E47' THEN 'image/png'
+                WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'image/jpeg'
+                WHEN left(hex(payload), 8) = '52494646' THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS sniffed_type,
+           CAST(32 AS BIGINT) AS n_features
+    FROM b
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """Binary-column plumbing: metadata sniff + fake-kernel feature
-    extraction via mapInPandas. rows-only (crc32/blake2b not in DuckDB)."""
+    """Binary-column pipeline, now value-oracled (VERDICT r04 #5): payloads
+    get deterministic magic-byte headers (PNG/JPEG/RIFF/none by
+    blob_id % 4) so the JVM-side sniff dispatch actually branches, and
+    byte_len + sniffed_type replay in DuckDB blob algebra. The fake
+    feature kernel (mapInPandas) stays IN the executed plan — the oracle
+    pins its row alignment and 32-dim output shape via n_features; the
+    blake2b values themselves are pytest-covered (crc32/f0 assertions in
+    tests/test_pipeline.py) since DuckDB has no keyed blake2b."""
     blobs = mm.documents_as_blobs(_t(spark, sf_dir, "documents"))
-    meta = mm.attach_blob_metadata(blobs)
-    feats = mm.extract_features(blobs)
-    return (
-        meta.select("blob_id", "byte_len", "crc32", "sniffed_type")
-        .join(
-            feats.select("blob_id", F.round(F.element_at("features", 1), 6).alias("f0")),
-            "blob_id",
-        )
-        .orderBy("blob_id")
+    headered = blobs.withColumn(
+        "payload",
+        F.concat(
+            F.when(F.col("blob_id") % 4 == 0, F.expr("X'89504E47'"))
+            .when(F.col("blob_id") % 4 == 1, F.expr("X'FFD8FF'"))
+            .when(F.col("blob_id") % 4 == 2, F.expr("X'52494646'"))
+            .otherwise(F.expr("X''")),
+            F.col("payload"),
+        ),
+    )
+    meta = mm.attach_blob_metadata(headered)
+    feats = mm.extract_features(headered)
+    return meta.select(
+        "blob_id",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "sniffed_type",
+    ).join(
+        feats.select("blob_id", F.size("features").cast("long").alias("n_features")),
+        "blob_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch assembly (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_token_frequencies",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lower(u.t) AS token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS u(t)
+      WHERE length(u.t) > 0)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM toks GROUP BY token
+    ORDER BY freq DESC, token ASC LIMIT 200
+    """,
+)
+def vocab_token_frequencies(spark, sf_dir):
+    """Corpus vocabulary (operators/packing.py) with the fixture's stable
+    doc_id for doc_freq (VERDICT r04 #4) — top-200 by frequency, token as
+    tiebreaker. Generalizes the reference's sum(lit(1)) TF grouping
+    (`01:399-403`) from tiles to tokens. The fixture's text is
+    single-space tokenized (same contract text_token_stats pins), so the
+    DuckDB split mirrors Spark's \\s+ exactly."""
+    from geoscan_fraud_spark.operators.packing import token_frequencies
+
+    return token_frequencies(
+        _t(spark, sf_dir, "documents"), k=200, id_col="doc_id"
     )

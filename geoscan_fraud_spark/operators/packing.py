@@ -5,11 +5,11 @@ deduped/filtered corpus and a tokenized training run.
 Scale design (100 TB): packing is embarrassingly parallel across shards —
 a global optimal bin packing is NP-hard and pointless for training data,
 so documents are hashed into `n_shards` independent shards and each shard
-packs greedily (first-fit-decreasing) inside one `applyInPandas` group.
-One shuffle total; bin ids are (shard, local_bin) and therefore globally
-unique without any coordination. Waste is bounded: FFD is a 11/9 OPT + 1
-approximation per shard, and shards only lose the tail bins (<= 1
-underfull bin per shard).
+packs greedily (best-fit-decreasing, capacity-indexed) inside one
+`applyInPandas` group. One shuffle total; bin ids are (shard, local_bin)
+and therefore globally unique without any coordination. Waste is bounded:
+BFD, like FFD, is an 11/9 OPT + O(1) approximation per shard, and shards
+only lose the tail bins (<= 1 underfull bin per shard).
 """
 
 from __future__ import annotations
@@ -44,23 +44,31 @@ def pack_documents(
         raise ValueError(f"budget must be positive, got {budget}")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         shard = int(pdf["__shard"].iloc[0])
-        # first-fit-decreasing; stable deterministic order via (tokens desc, id)
+        # best-fit-decreasing; stable deterministic order via (tokens desc, id).
+        # Capacity-indexed: `open_bins` is a sorted list of (remaining,
+        # bin_idx), so finding the tightest fitting bin is a bisect, not a
+        # linear scan — O(docs * log bins) compares instead of the FFD
+        # O(docs * bins) tail (list insort is a C memmove; fine at the
+        # ~10M-docs-per-shard sizes n_shards is tuned for).
         pdf = pdf.sort_values(["__n", id_col], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per local bin
+        open_bins: list[tuple[int, int]] = []  # sorted (remaining, bin_idx)
+        n_bins = 0
         assigned: list[int] = []
         for n in pdf["__n"]:
             n = int(n)
             placed = None
             if n <= budget:
-                for i, rem in enumerate(bins):
-                    if n <= rem:
-                        placed = i
-                        bins[i] = rem - n
-                        break
+                i = bisect.bisect_left(open_bins, (n, -1))
+                if i < len(open_bins):
+                    rem, placed = open_bins.pop(i)
+                    bisect.insort(open_bins, (rem - n, placed))
             if placed is None:
-                placed = len(bins)
-                bins.append(max(budget - n, 0))
+                placed = n_bins
+                n_bins += 1
+                bisect.insort(open_bins, (max(budget - n, 0), placed))
             assigned.append(placed)
         return pd.DataFrame(
             {
@@ -121,14 +129,68 @@ def stratified_sample_exact(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_n: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: draw ``total_n`` documents
+    with per-source target proportions ``weights`` (e.g. {"web": .6,
+    "code": .3, "books": .1}) — the corpus-mixing step of a training-data
+    pipeline.
+
+    Exact and reproducible where `sampleBy` is Bernoulli-approximate:
+    per-source quotas are fixed on the driver (largest-remainder rounding
+    so quotas sum to exactly ``total_n``), then one hash-ranked window per
+    source takes exactly min(quota, source_size) rows — the same single
+    shuffle as `stratified_sample_exact`. Sources absent from ``weights``
+    are excluded. A quota larger than a source is NOT rebalanced onto
+    other sources (silent rebalancing would skew the mixture; inspect the
+    per-source counts if under-delivery matters).
+    """
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    exact = {s: total_n * w / wsum for s, w in weights.items()}
+    quotas = {s: int(x) for s, x in exact.items()}
+    # largest remainder, source name as deterministic tiebreaker
+    for s, _ in sorted(
+        exact.items(), key=lambda kv: (-(kv[1] - int(kv[1])), kv[0])
+    )[: total_n - sum(quotas.values())]:
+        quotas[s] += 1
+
+    quota_col = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(source_col)]
+    w = Window.partitionBy(source_col).orderBy(
+        F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(source_col).isin(list(quotas)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota_col)
+        .drop("__rn")
+    )
+
+
 def token_frequencies(
     df: DataFrame,
     text_col: str = "text",
     k: int | None = None,
     lowercase: bool = True,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Corpus vocabulary: (token, freq, doc_freq), optionally top-k by
     frequency (ties broken by token for determinism).
+
+    ``id_col``: stable document identity for doc_freq. When given,
+    duplicate-text rows sharing an id count once and the result is
+    reproducible across engines/runs; when None a synthetic per-row id
+    stands in (each row counts as its own document).
 
     explode → groupBy(token) is the canonical two-phase aggregate: Spark's
     partial aggregation combines map-side, so the shuffle carries one row
@@ -136,7 +198,10 @@ def token_frequencies(
     TakeOrdered (no global sort materialization).
     """
     tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
-    toks = df.select(F.col(text_col), F.monotonically_increasing_id().alias("__doc"))
+    doc = (
+        F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
+    )
+    toks = df.select(F.col(text_col), doc.alias("__doc"))
     exploded = toks.select("__doc", tok).filter(F.length("token") > 0)
     if lowercase:
         exploded = exploded.withColumn("token", F.lower(F.col("token")))

@@ -33,7 +33,11 @@ def sessionize(
     ordering); equal timestamps share a session).
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # TIMESTAMP_NTZ (e.g. parquet with isAdjustedToUTC=false) has no direct
+    # long cast; route through TIMESTAMP — a no-op for zone-aware inputs,
+    # a session-timezone reinterpretation for NTZ (get_spark pins UTC).
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
     is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         out_col,
@@ -59,7 +63,10 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long")))
+        (
+            F.max(F.col(ts_col).cast("timestamp").cast("long"))
+            - F.min(F.col(ts_col).cast("timestamp").cast("long"))
+        )
         .cast("long")
         .alias("duration_s"),
     )

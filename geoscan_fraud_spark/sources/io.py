@@ -10,6 +10,7 @@ row-group min/max pruning on the leading keys (SURVEY §4).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,8 +78,39 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
 
 
+def _clear_orphan_location(spark: SparkSession, name: str) -> None:
+    """Remove an orphaned warehouse directory for ``name``.
+
+    The default (in-memory) catalog dies with the JVM, but the table's
+    warehouse directory survives a crashed session. A later session's
+    ``DROP TABLE IF EXISTS`` is then a no-op (no catalog entry) and
+    ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS. If — and only if —
+    the catalog has no entry for ``name`` but its default warehouse
+    location exists on disk, delete the directory. A *registered* table's
+    location is never touched (save-mode semantics own those).
+    """
+    if spark.catalog.tableExists(name):
+        return
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    wh_path = wh.path if wh.scheme in ("file", "") else None
+    if not wh_path:
+        return  # remote warehouse (hdfs/s3): nothing to do locally
+    parts = name.split(".")
+    db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+    tbl = parts[-1].lower()
+    loc = (
+        os.path.join(wh_path, tbl)
+        if db == "default"
+        else os.path.join(wh_path, f"{db.lower()}.db", tbl)
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
     """S4 — managed table sink (parquet; Delta not present in this env)."""
+    _clear_orphan_location(df.sparkSession, name)
     df.write.mode(mode).format("parquet").saveAsTable(name)
 
 
@@ -143,6 +175,7 @@ def write_bucketed_table(
     tables bucketed by their join key and every downstream query saves
     the dominant shuffle (plan property pinned in tests/test_plans.py).
     """
+    _clear_orphan_location(df.sparkSession, name)
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -24,17 +24,31 @@ from geoscan_fraud_spark.functions.grid import cell_id
 
 
 def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
-    """Cast TIMESTAMP_NTZ event-time columns to TIMESTAMP.
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP.
 
-    Parquet written with the session default `timestampType=TIMESTAMP_NTZ`
-    round-trips as NTZ, which `withWatermark` rejects
-    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Watermarks need an instant, so
-    NTZ values are reinterpreted in the session timezone; zone-aware
-    timestamps pass through untouched.
+    Parquet whose timestamp metadata says ``isAdjustedToUTC=false`` (e.g.
+    DuckDB-written fixtures) surfaces as TIMESTAMP_NTZ, which
+    `withWatermark` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    Watermarks need an instant, so NTZ wall-clock values are reinterpreted
+    in ``spark.sql.session.timeZone``. `get_spark` pins that to UTC; a
+    caller on a foreign session with a non-UTC zone must pin UTC too, or
+    every instant (and hence every window boundary) silently shifts by
+    the zone offset. Zone-aware timestamps pass through untouched.
+
+    The column is resolved like Spark resolves it: exact match first,
+    then case-insensitively; a miss raises naming the candidates.
     """
-    field = df.schema[ts_col]
+    exact = [f for f in df.schema.fields if f.name == ts_col]
+    loose = [f for f in df.schema.fields if f.name.lower() == ts_col.lower()]
+    matches = exact or loose
+    if not matches:
+        raise ValueError(
+            f"event-time column {ts_col!r} not found; available columns: "
+            f"{[f.name for f in df.schema.fields]}"
+        )
+    field = matches[0]
     if field.dataType.typeName() == "timestamp_ntz":
-        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -46,8 +60,14 @@ def score_stream(
     lng_col: str = "longitude",
     user_col: str = "user",
     broadcast: bool = False,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Stateless stream-static scoring; emits only anomalous rows.
+
+    ``ts_col``: optional event-time column to normalize via
+    `ensure_event_time` (NTZ parquet sources otherwise break any
+    downstream ``withWatermark`` a consumer adds). score_stream itself is
+    stateless and needs no watermark — the guard is for composability.
 
     The static side is users x tiles-per-user — proportional to the user
     population, so it is NOT forcibly broadcast: at 100M users a forced
@@ -67,6 +87,8 @@ def score_stream(
     pts = stream_df.withColumn(
         "h3", cell_id(F.col(lat_col).cast("double"), F.col(lng_col).cast("double"), res)
     )
+    if ts_col is not None:
+        pts = ensure_event_time(pts, ts_col)
     return (
         pts.join(keys, [user_col, "h3"], "left_outer")
         .filter(F.col("known").isNull())

@@ -1,0 +1,123 @@
+"""Tests for train/test decontamination and domain-mixture sampling."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.decontam import (
+    contamination_hits,
+    decontaminate,
+)
+from geoscan_fraud_spark.operators.packing import sample_mixture
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),  # contains bench gram
+        (2, "uno dos tres cuatro cinco seis siete"),  # clean
+        (3, "alpha beta gamma delta different tail"),  # contains bench gram
+        (4, "totally unrelated words here now ok"),  # clean
+        (5, "one two three four nine ten eleven"),  # shares 4-gram w/ bench2
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    rows = [
+        (101, "alpha beta gamma delta held out"),
+        (102, "one two three four answer key"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_hits_counts_shared_grams(spark, corpus, bench_set):
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(corpus, bench_set, n=4).collect()
+    }
+    # docs 1, 3, 5 share exactly one distinct benchmark 4-gram each
+    assert hits == {1: 1, 3: 1, 5: 1}
+
+
+def test_decontaminate_removes_flagged_keeps_clean(spark, corpus, bench_set):
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench_set, n=4).collect()}
+    assert kept == {2, 4}
+    # higher threshold keeps single-gram overlaps
+    kept2 = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench_set, n=4, min_hits=2).collect()
+    }
+    assert kept2 == {1, 2, 3, 4, 5}
+
+
+def test_decontaminate_matches_python_reference_on_fixture(spark, sf_dir):
+    """Value-level oracle vs a direct python reimplementation over the
+    documents fixture: benchmark = every 20th doc."""
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    got = {r["doc_id"] for r in decontaminate(docs, bench, n=6).collect()}
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    def grams(text, n=6):
+        w = text.split()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bench_grams = set()
+    for did, text in rows:
+        if did % 20 == 0:
+            bench_grams |= grams(text)
+    expect = {did for did, text in rows if not (grams(text) & bench_grams)}
+    assert got == expect
+
+
+def test_decontaminate_is_map_only_on_corpus_side(spark, corpus, bench_set):
+    """The corpus probe must be a broadcast semi/anti join — no sort-merge
+    exchange on the big side."""
+    plan = decontaminate(corpus, bench_set, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_mixture_exact_quotas(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sample_mixture(docs, weights, total_n=20)
+    counts = Counter(r["source"] for r in out.select("source").collect())
+    assert counts == {"src0": 10, "src1": 6, "src2": 4}
+    # deterministic across partitionings
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_mixture(docs.repartition(7), weights, 20)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_sample_mixture_largest_remainder_sums_to_total(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    weights = {"src0": 1.0, "src1": 1.0, "src2": 1.0}  # 17/3 doesn't divide
+    out = sample_mixture(docs, weights, total_n=17)
+    assert out.count() == 17
+
+
+def test_sample_mixture_quota_capped_by_source_size(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    # src0 has only 25 docs at sf0.001; ask for far more
+    out = sample_mixture(docs, {"src0": 1.0}, total_n=1000)
+    assert out.count() == 25
+
+
+def test_sample_mixture_rejects_bad_args(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        sample_mixture(docs, {"src0": 0.0}, 10)
+    with pytest.raises(ValueError):
+        sample_mixture(docs, {"src0": 1.0}, -1)

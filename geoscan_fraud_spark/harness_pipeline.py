@@ -66,12 +66,20 @@ docs AS (
 
 
 def _minhash_md5_oracle(n_hashes: int = 48, bands: int = 12, threshold: float = 0.5) -> str:
-    """Full MinHash-LSH dedup as one DuckDB statement: md5 signatures
-    (lexicographic min — engine-portable), band-bucket self-join, exact
+    """Full MinHash-LSH dedup as one DuckDB statement: ONE portable
+    60-bit md5 digest per shingle (hex-slice cast, identical to Spark's
+    `conv(substr(md5(..),1,15),16,10)`), H universal-hash variants over
+    the digest halves (exact int64 arithmetic both engines — constants
+    shared via `dedup.minhash_mix_params`), band-bucket self-join, exact
     Jaccard verify, connected components via recursive CTE, keep min id."""
     r = n_hashes // bands
+    a_mul, b_mul, c_xor = dd.minhash_mix_params(n_hashes)
+    lo_mask = (1 << 30) - 1
     sig_aggs = ",\n             ".join(
-        f"min(md5(h || '#{i}')) AS mh_{i}" for i in range(n_hashes)
+        f"min(({a_mul[i]} * (xor(h, {c_xor[i]}::BIGINT) & {lo_mask})"
+        f" + {b_mul[i]} * (xor(h, {c_xor[i]}::BIGINT) >> 30)"
+        f" + {i}) % {dd.MINHASH_MOD}) AS mh_{i}"
+        for i in range(n_hashes)
     )
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
@@ -88,7 +96,9 @@ def _minhash_md5_oracle(n_hashes: int = 48, bands: int = 12, threshold: float = 
                THEN [array_to_string(tok[i+1:i+3], ' ') FOR i IN range(0, len(tok) - 2)]
                ELSE [array_to_string(tok, ' ')] END) AS grams
       FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM docs)),
-    hs AS (SELECT doc_id, md5(unnest(grams)) AS h FROM sh),
+    hs AS (SELECT doc_id,
+                  ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
+           FROM sh),
     sig AS (
       SELECT doc_id,
              {sig_aggs}

@@ -17,6 +17,8 @@ cross product.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,6 +63,38 @@ def minhash_signature(shingles_col, num_hashes: int = 64):
     )
 
 
+#: Modulus of the portable integer MinHash family: 2^61 - 1 (Mersenne).
+#: a*hlo + b*hhi with 31-bit multipliers and 30-bit halves stays < 2^63,
+#: so the arithmetic is exact int64 in BOTH Spark and DuckDB (no overflow,
+#: no engine-specific wraparound) — the precondition for oracle replay.
+MINHASH_MOD = (1 << 61) - 1
+
+
+def minhash_mix_params(num_hashes: int) -> tuple[list[int], list[int], list[int]]:
+    """Deterministic constants (a_i, b_i, c_i) for the portable md5
+    signature family — SHARED between the Spark plan and the DuckDB
+    oracle-SQL generator (harness_pipeline), like the IVF centroid
+    literals: 31-bit odd multipliers a_i/b_i and a 60-bit XOR premix c_i,
+    each from an independent md5 digest of the index (constant generation
+    happens in Python; only the literals reach the plans).
+
+    The XOR premix is load-bearing: without it, `(a*hlo + b*hhi) % M` is
+    monotone in the digest halves — a shingle whose digest happens to
+    have small halves wins the min under EVERY (a, b), so the 48 hash
+    functions share argmins, bands stop being independent, and measured
+    LSH pair recall drops from 0.90 to 0.71 on the harness workload.
+    XORing the digest with an independent c_i per index re-randomizes the
+    ordering, restoring recall (0.898 measured vs 0.904 for per-shingle
+    md5 rehashing)."""
+    a_mul, b_mul, c_xor = [], [], []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-mix-{i}".encode()).digest()
+        a_mul.append((int.from_bytes(d[:4], "big") & 0x7FFFFFFF) | 1)
+        b_mul.append((int.from_bytes(d[4:8], "big") & 0x7FFFFFFF) | 1)
+        c_xor.append(int.from_bytes(d[8:16], "big") & ((1 << 60) - 1))
+    return a_mul, b_mul, c_xor
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -77,15 +111,18 @@ def minhash_signature_table(
     regardless of document length. This is the 100 TB path.
 
     ``sig_hash``: 'xxhash64' (default — JVM-native longs, the scale path)
-    or 'md5' (hex-string signatures via ``md5(md5(shingle) || '#' || i)``,
-    min taken lexicographically — byte-identical in any engine with md5,
-    which is what lets DuckDB oracle the full LSH pipeline)."""
+    or 'md5' (ONE portable 60-bit digest per shingle — `conv(substr(
+    md5(shingle),1,15),16,10)`, the same trick the simhash tables use —
+    then H variants from a universal integer hash family over the digest
+    halves, all int64 arithmetic chosen to never overflow so Spark and
+    DuckDB compute bit-identical longs; this is what lets DuckDB oracle
+    the full LSH pipeline without paying H string-md5s per shingle)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
     # hash the shingle string ONCE, then derive the H signature hashes by
-    # seed-rehashing the first digest — not by re-hashing the string H times
+    # seed-mixing the first digest — not by re-hashing the string H times
     if sig_hash == "xxhash64":
         sh = sh.select("id", F.xxhash64("shingle").alias("h"))
         aggs = [
@@ -93,11 +130,23 @@ def minhash_signature_table(
             for i in range(num_hashes)
         ]
     elif sig_hash == "md5":
-        sh = sh.select("id", F.md5("shingle").alias("h"))
-        aggs = [
-            F.min(F.md5(F.concat(F.col("h"), F.lit(f"#{i}")))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+        sh = sh.select(
+            "id",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        a_mul, b_mul, c_xor = minhash_mix_params(num_hashes)
+
+        def mh(i):
+            hx = F.col("h").bitwiseXOR(F.lit(c_xor[i]))
+            hlo = hx.bitwiseAND(F.lit((1 << 30) - 1))
+            hhi = F.shiftright(hx, 30)
+            return (
+                F.lit(a_mul[i]) * hlo + F.lit(b_mul[i]) * hhi + F.lit(i)
+            ) % F.lit(MINHASH_MOD)
+
+        aggs = [F.min(mh(i)).alias(f"mh_{i}") for i in range(num_hashes)]
     else:
         raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
     return sh.groupBy("id").agg(*aggs)

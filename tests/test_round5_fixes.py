@@ -123,3 +123,31 @@ def test_ref_csv_unclustered_golden_1727(spark):
     from geoscan_fraud_spark.harness_geo import ref_csv_unclustered
 
     assert ref_csv_unclustered(spark, "unused").count() == 1727
+
+
+def test_minhash_md5_family_lsh_recall(spark, sf_dir):
+    """The portable md5 signature family must match the xxhash64 family's
+    LSH recall. This pins the statistical quality of the integer
+    universal-hash mixing (dedup.minhash_mix_params): a structured
+    constant choice (e.g. multipliers affine in the index, or no XOR
+    premix) leaves per-index collision rates intact but correlates the
+    hash functions, and band recall silently collapses (~0.90 -> ~0.71
+    measured) — a regression value-parity oracles cannot catch."""
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.operators.dedup import (
+        jaccard_verified_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.filter(words, lambda w, i: (i % 13) != 5)).alias("text"),
+    )
+    both = docs.unionByName(mutated)
+    cand = minhash_candidate_pairs(both, num_hashes=48, bands=12, sig_hash="md5")
+    pairs = jaccard_verified_pairs(both, cand, threshold=0.5)
+    hits = pairs.filter(F.col("id_b") == F.col("id_a") + 10_000).count()
+    assert hits >= docs.count() * 0.85

@@ -74,6 +74,42 @@ def main():
     QUERIES["dedup_simhash_h3"] = bench_simhash_h3
     headline += ["dedup_minhash_xxhash64", "dedup_simhash_h3"]
 
+    # Round-5 batch-assembly/decontamination ops, timed but reported under
+    # `queries_extra` so `value`/`best_serial_run` stay comparable with
+    # earlier rounds' headline set.
+    def bench_decontaminate(spark, sf_dir):
+        from geoscan_fraud_spark.operators.decontam import decontaminate
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        bench_docs = docs.filter(F.col("doc_id") % 20 == 0)
+        return decontaminate(docs, bench_docs, n=6)
+
+    def bench_pack_documents(spark, sf_dir):
+        from geoscan_fraud_spark.operators.packing import pack_documents
+        from geoscan_fraud_spark.operators.text import token_stats
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        d = load_fixture(spark, sf_dir, "documents")
+        return pack_documents(
+            token_stats(d).select("doc_id", "n_tokens"), budget=256, n_shards=64
+        )
+
+    def bench_sample_mixture(spark, sf_dir):
+        from geoscan_fraud_spark.operators.packing import sample_mixture
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        d = load_fixture(spark, sf_dir, "documents")
+        weights = {f"src{i}": 1.0 for i in range(20)}
+        return sample_mixture(d, weights, total_n=2000)
+
+    extras = {
+        "decontaminate": bench_decontaminate,
+        "pack_documents": bench_pack_documents,
+        "sample_mixture": bench_sample_mixture,
+    }
+
     # warm up the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
@@ -85,6 +121,7 @@ def main():
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     per_run_totals: list[float] = []
     timings: dict[str, float] = {}
+    extra_timings: dict[str, float] = {}
     for r in range(runs):
         run_total = 0.0
         for name in headline:
@@ -95,6 +132,12 @@ def main():
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
         per_run_totals.append(round(run_total, 3))
+        for name, fn in extras.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in extra_timings or dt < extra_timings[name]:
+                extra_timings[name] = dt
 
     # `value` is the sum of per-query minima (a composite no single run
     # achieved); `best_serial_run` is the fastest complete serial pass —
@@ -117,6 +160,7 @@ def main():
                 "noise_ratio": noise_ratio,
                 "per_run_totals": per_run_totals,
                 "best_serial_run": min(per_run_totals),
+                "queries_extra": extra_timings,
             }
         )
     )

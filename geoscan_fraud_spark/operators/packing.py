@@ -177,6 +177,43 @@ def sample_mixture(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's id hashes to a
+    point in [0, 1) and lands in the split whose cumulative-weight
+    interval contains it. Map-only (no shuffle, no state), reproducible
+    across runs, partitionings, and backfills — a document keeps its
+    split forever, which is the property a random `df.sample` split
+    loses the moment the corpus is re-partitioned or appended to.
+
+    ``salt`` versions the assignment: changing it re-rolls every document
+    (e.g. for a fresh holdout) without touching the data.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    # 53-bit mantissa-exact uniform in [0, 1)
+    u = (
+        F.shiftrightunsigned(F.xxhash64(F.col(id_col), F.lit(salt)), 11)
+        / F.lit(float(1 << 53))
+    )
+    expr, acc = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        clause = F.when(u < acc, name)
+        expr = clause if expr is None else expr.when(u < acc, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
 def token_frequencies(
     df: DataFrame,
     text_col: str = "text",

@@ -121,3 +121,54 @@ def test_sample_mixture_rejects_bad_args(spark, sf_dir):
         sample_mixture(docs, {"src0": 0.0}, 10)
     with pytest.raises(ValueError):
         sample_mixture(docs, {"src0": 1.0}, -1)
+
+
+def test_assign_splits_deterministic_disjoint_exhaustive(spark, sf_dir):
+    from geoscan_fraud_spark.operators.packing import assign_splits
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, w)
+    rows = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert len(rows) == docs.count()  # every row labeled exactly once
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # determinism across partitionings
+    rows2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs.repartition(9), w)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert rows == rows2
+    # roughly proportional (500 docs at sf0.001; generous tolerance)
+    counts = Counter(rows.values())
+    assert counts["train"] > 0.7 * len(rows)
+    assert counts["val"] + counts["test"] > 0.05 * len(rows)
+    # a different salt re-rolls at least some assignments
+    rows3 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs, w, salt="split-v2")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert rows != rows3
+
+
+def test_assign_splits_is_map_only(spark, sf_dir):
+    from geoscan_fraud_spark.operators.packing import assign_splits
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    plan = (
+        assign_splits(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_assign_splits_rejects_bad_weights(spark, sf_dir):
+    import pytest as _pytest
+
+    from geoscan_fraud_spark.operators.packing import assign_splits
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        assign_splits(docs, {"train": 0.0})

@@ -50,6 +50,44 @@ def sessionize(
     )
 
 
+def session_stats_native(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """`session_stats` on Spark's built-in `session_window` — the same
+    rollup ((user, session_start, session_end, n_events, duration_s))
+    without the analytic-window pass: one hash aggregation whose sessions
+    merge at the aggregate level, so there is no per-user sort and the
+    SAME code runs under Structured Streaming (session_window is a
+    streaming-supported group key; the lag/running-sum form is not).
+
+    Boundary nuance vs `sessionize`: session_window merges events closer
+    than `gap` ([start, start+gap) intervals), while `sessionize` starts a
+    new session only when the gap EXCEEDS `gap_seconds` — a gap of
+    exactly `gap_seconds` lands in one session there and splits here.
+    With real-valued event times exact equality has measure zero; the
+    parity test pins agreement on the fixture.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        df.groupBy(
+            F.col(user_col),
+            F.session_window(ts, f"{gap_seconds} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.max(ts.cast("long")) - F.min(ts.cast("long")))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .drop("w")
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

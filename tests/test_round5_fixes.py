@@ -151,3 +151,27 @@ def test_minhash_md5_family_lsh_recall(spark, sf_dir):
     pairs = jaccard_verified_pairs(both, cand, threshold=0.5)
     hits = pairs.filter(F.col("id_b") == F.col("id_a") + 10_000).count()
     assert hits >= docs.count() * 0.85
+
+
+def test_session_stats_native_matches_window_algebra(spark, sf_dir):
+    """Spark's built-in session_window aggregation and the lag+running-sum
+    sessionize path must produce identical per-session rollups on the
+    fixture (no gap is exactly == gap_seconds there, so the boundary
+    nuance documented on session_stats_native cannot bite)."""
+    from geoscan_fraud_spark.operators.sessions import (
+        session_stats,
+        session_stats_native,
+    )
+
+    ev = load_fixture(spark, sf_dir, "events")
+    a = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["duration_s"])
+        for r in session_stats(ev, gap_seconds=1800).collect()
+    }
+    b = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["duration_s"])
+        for r in session_stats_native(ev, gap_seconds=1800).collect()
+    }
+    assert a == b

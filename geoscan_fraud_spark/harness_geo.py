@@ -17,12 +17,8 @@ from geoscan_fraud_spark.harness import _events_coords, register
 from geoscan_fraud_spark.operators.bloom import score_with_blooms, train_blooms
 from geoscan_fraud_spark.operators.geoscan import Geoscan
 from geoscan_fraud_spark.operators.personalized import GeoscanPersonalized
-from geoscan_fraud_spark.operators.sampling import spatial_downsample
 from geoscan_fraud_spark.operators.scoring import extract_anomalies
 from geoscan_fraud_spark.operators.tiles import tile_tfidf
-
-EPS_M = 60.0
-MIN_PTS = 8
 
 
 def _dense_points(spark, sf_dir):
@@ -60,12 +56,53 @@ def ref_csv_unclustered(spark, sf_dir):
     )
 
 
-@register("geoscan_distributed_fit")
+def _pinned_fit_points(spark):
+    """Pinned sf-independent fixture for the distributed-fit oracle: five
+    grid clusters with DISTINCT sizes (8/15/24/40/60 points, 11 m
+    spacing) ~2 km apart plus five isolated noise singletons ~5 km off.
+    epsilon=50 / minPts=5 keeps every membership decision far from the
+    threshold; the fit is verified partition-invariant."""
+    rows = []
+    eid = 0
+    for ci, size in enumerate([8, 15, 24, 40, 60]):
+        lat0, lng0 = 40.70 + ci * 0.02, -74.00 + ci * 0.015
+        for i in range(size):
+            rows.append((eid, lat0 + (i % 5) * 1e-4, lng0 + (i // 5) * 1e-4))
+            eid += 1
+    for k in range(5):
+        rows.append((eid, 40.65 - k * 0.02, -74.10 - k * 0.02))
+        eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, latitude double, longitude double"
+    )
+
+
+@register(
+    "geoscan_distributed_fit",
+    sql="""
+    SELECT * FROM (VALUES
+      (1, 60), (2, 40), (3, 24), (4, 15), (5, 8)
+    ) AS t(cluster_rank, n_points)
+    """,
+)
 def geoscan_distributed_fit(spark, sf_dir):
-    """M2 — distributed fit; output = per-cluster sizes (deterministic)."""
-    pts = spatial_downsample(_dense_points(spark, sf_dir), res=11, max_per_cell=5)
-    model = Geoscan().setEpsilon(EPS_M).setMinPts(MIN_PTS).fit(pts)
-    return model.polygons.select("cluster", "n_points").orderBy("cluster")
+    """M2 — distributed fit, value-oracled against a baked golden (same
+    pinned-mini-fixture pattern as `geoscan_personalized_tiles`): the
+    whole grid-pair/degree-filter/CC/hull path must recover exactly the
+    five planted cluster sizes and exclude all noise singletons. Cluster
+    labels are normalized to a size-descending rank (sizes are distinct
+    by construction), so the golden pins cluster STRUCTURE, not the CC
+    kernel's label choice. The sf-scaled distributed fit additionally
+    runs in `geoscan_score_pipeline` and `ref_csv_unclustered` (1,727
+    golden, `01:227`)."""
+    from pyspark.sql import Window
+
+    pts = _pinned_fit_points(spark)
+    model = Geoscan().setEpsilon(50.0).setMinPts(5).fit(pts)
+    w = Window.orderBy(F.col("n_points").desc())
+    return model.polygons.select(
+        F.row_number().over(w).alias("cluster_rank"), "n_points"
+    )
 
 
 def _pinned_personalized_points(spark):

@@ -69,9 +69,14 @@ def main():
         docs = _with_neardups(spark, sf_dir)
         return dd.simhash_pairs(docs, max_hamming=3)
 
+    from geoscan_fraud_spark.harness_geo import score_pipeline_dense
+
     QUERIES = dict(QUERIES)
     QUERIES["dedup_minhash_xxhash64"] = bench_minhash_xxhash64
     QUERIES["dedup_simhash_h3"] = bench_simhash_h3
+    # the registry entry now runs a pinned mini-fixture (oracle-able);
+    # the bench keeps timing the sf-scaled composite for comparability
+    QUERIES["geoscan_score_pipeline"] = score_pipeline_dense
     headline += ["dedup_minhash_xxhash64", "dedup_simhash_h3"]
 
     # Round-5 batch-assembly/decontamination ops, timed but reported under

@@ -236,24 +236,25 @@ def geoscan_personalized_tiles(spark, sf_dir):
     )
 
 
-@register("geoscan_score_pipeline")
-def geoscan_score_pipeline(spark, sf_dir):
+def score_pipeline(pts, epsilon=80.0, min_pts=5, res=11):
     """M10 + flagship + bloom: fit -> tiles -> tf-idf -> anti-join + bloom
-    scoring; output = per-user anomaly counts from both paths."""
+    scoring; output = per-user anomaly counts from both paths. Shared by
+    the oracled registry entry (pinned fixture) and the bench variant
+    (sf-scaled `_dense_points`)."""
     # pts feeds fit, tf-idf (twice), the anti-join, and bloom scoring
-    pts = _dense_points(spark, sf_dir).persist()
+    pts = pts.persist()
     model = (
         GeoscanPersonalized()
-        .setEpsilon(80.0)
-        .setMinPts(5)
+        .setEpsilon(epsilon)
+        .setMinPts(min_pts)
         .setGroupedCol("user")
         .fit(pts)
     )
-    tiles = model.getTiles(11, 1).persist()
-    scored_tiles = tile_tfidf(tiles, pts, res=11)
-    anomalies = extract_anomalies(pts, tiles, res=11)
+    tiles = model.getTiles(res, 1).persist()
+    scored_tiles = tile_tfidf(tiles, pts, res=res)
+    anomalies = extract_anomalies(pts, tiles, res=res)
     blooms = train_blooms(tiles, fpr=0.01)
-    bloom_scored = score_with_blooms(pts, blooms, precision=11)
+    bloom_scored = score_with_blooms(pts, blooms, precision=res)
     anti = anomalies.groupBy("user").agg(F.count(F.lit(1)).alias("anti_anomalies"))
     blm = (
         bloom_scored.filter(F.col("anomaly") == 1)
@@ -266,3 +267,28 @@ def geoscan_score_pipeline(spark, sf_dir):
         .withColumn("tfidf_rows", F.lit(n_tfidf))
         .orderBy("user")
     )
+
+
+def score_pipeline_dense(spark, sf_dir):
+    """The sf-scaled composite (fit + tf-idf + anti-join + bloom over
+    `_dense_points`) — the bench's `geoscan_score_pipeline` line, kept
+    sf-dependent so its timing stays comparable across rounds."""
+    return score_pipeline(_dense_points(spark, sf_dir), 80.0, 5, res=11)
+
+
+_SCORE_PIPELINE_GOLDEN = """
+    SELECT * FROM (VALUES
+      ('u0', 1, 1, 14), ('u1', 1, 1, 14), ('u2', 1, 1, 14)
+    ) AS t("user", anti_anomalies, bloom_anomalies, tfidf_rows)
+    """
+
+
+@register("geoscan_score_pipeline", sql=_SCORE_PIPELINE_GOLDEN)
+def geoscan_score_pipeline(spark, sf_dir):
+    """The same composite on the pinned 3-user fixture, value-oracled
+    against a baked golden (pinned-mini-fixture pattern): per user, the
+    planted noise point must be flagged by BOTH the anti-join and the
+    bloom path (bloom false positives at fpr=0.01 are deterministic
+    given the hash family, and none occur on this fixture), and the
+    tf-idf relation must keep one row per (user, cluster, tile)."""
+    return score_pipeline(_pinned_personalized_points(spark), 50.0, 5, res=10)

@@ -8,7 +8,7 @@ column expressions; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: small per-language marker-word profiles (n-gram heuristic degenerates to
@@ -179,4 +179,40 @@ def redact_pii(
         F.col(id_col),
         red.alias(out_col),
         n_redactions.cast("long").alias("n_redactions"),
+    )
+
+
+def annotate_filter_reasons(df: DataFrame, rules) -> DataFrame:
+    """Quality filtering with an audit trail: adds `reject_reason` — the
+    name of the FIRST failing rule (dict order = precedence), or NULL for
+    documents that pass every rule.
+
+    ``rules`` maps reason name -> boolean Column that is True when the
+    document PASSES. Pure column algebra: map-only, no shuffle, and the
+    reason survives into the report so a pipeline can say not just how
+    much it dropped but WHY — the audit a production corpus filter needs
+    (silent filters skew corpora invisibly).
+    """
+    reason = None
+    for name, passes in rules.items():
+        clause = F.when(~passes, F.lit(name))
+        reason = clause if reason is None else reason.when(~passes, F.lit(name))
+    if reason is None:
+        return df.withColumn("reject_reason", F.lit(None).cast("string"))
+    return df.withColumn("reject_reason", reason.otherwise(F.lit(None)))
+
+
+def filter_report(annotated: DataFrame) -> DataFrame:
+    """(reject_reason, n_docs, pct) over an `annotate_filter_reasons`
+    result — NULL reason row = the kept set. Single partial-aggregated
+    groupBy; `pct` derives from a window over the tiny grouped result,
+    not a second pass over the data."""
+    counts = annotated.groupBy("reject_reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "reject_reason",
+        "n_docs",
+        F.round(F.col("n_docs") * 100.0 / F.sum("n_docs").over(total), 2).alias("pct"),
     )

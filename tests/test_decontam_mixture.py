@@ -172,3 +172,49 @@ def test_assign_splits_rejects_bad_weights(spark, sf_dir):
     docs = load_fixture(spark, sf_dir, "documents")
     with _pytest.raises(ValueError):
         assign_splits(docs, {"train": 0.0})
+
+
+def test_annotate_filter_reasons_first_failing_rule_wins(spark):
+    from geoscan_fraud_spark.operators.text import (
+        annotate_filter_reasons,
+        filter_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "good long document text here ok fine yes"),
+            (2, "short"),
+            (3, "dup dup dup dup dup dup dup dup"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.filter(tok, lambda t: F.length(t) > 0))
+    rules = {
+        "too_short": n >= 3,
+        "too_repetitive": F.size(F.array_distinct(tok)) / F.greatest(n, F.lit(1)) > 0.5,
+    }
+    out = annotate_filter_reasons(df, rules)
+    got = {r["doc_id"]: r["reject_reason"] for r in out.collect()}
+    # doc 4 fails BOTH rules -> first rule in dict order wins
+    assert got == {1: None, 2: "too_short", 3: "too_repetitive", 4: "too_short"}
+
+    rep = {r["reject_reason"]: (r["n_docs"], r["pct"]) for r in filter_report(out).collect()}
+    assert rep[None] == (1, 25.0)
+    assert rep["too_short"] == (2, 50.0)
+    assert rep["too_repetitive"] == (1, 25.0)
+
+
+def test_annotate_filter_reasons_is_map_only(spark, sf_dir):
+    from geoscan_fraud_spark.operators.text import annotate_filter_reasons
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    rules = {"short": F.length("text") > 10}
+    plan = (
+        annotate_filter_reasons(docs, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -498,3 +498,50 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact line dedup (the C4 recipe): every distinct line
+    survives only at its first occurrence — ordered by (doc id, position)
+    — and is dropped from every later document; documents reassemble with
+    their remaining lines in original order.
+
+    100 TB shape: two shuffles, both irreducible for these semantics —
+    one window keyed by the line itself to pick first occurrences (high
+    cardinality, well-spread; partial nothing — the line IS the key), one
+    groupBy(doc) to reassemble. Lines travel once each; reassembly sorts
+    each doc's surviving (position, line) pairs inside the aggregated
+    array, not in a global sort.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__line"),
+    )
+    w = Window.partitionBy("__line").orderBy(F.col(id_col).asc(), F.col("__idx").asc())
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col)
+    )
+    if keep_empty_docs:
+        # docs whose every line was claimed elsewhere re-enter with ''
+        all_ids = df.select(id_col)
+        rebuilt = all_ids.join(rebuilt, id_col, "left_outer").fillna(
+            {text_col: ""}
+        )
+    return rebuilt

@@ -218,3 +218,62 @@ def test_annotate_filter_reasons_is_map_only(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_dedup_lines_c4_semantics(spark):
+    from geoscan_fraud_spark.operators.dedup import dedup_lines
+
+    docs = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),        # beta claimed by doc 1
+        (3, "gamma\nalpha"),       # both claimed by doc 1
+        (4, "epsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert got == {1: "alpha\nbeta\ngamma", 2: "delta", 4: "epsilon"}
+    # doc 3 lost every line -> absent by default, '' when kept
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, keep_empty_docs=True).collect()
+    }
+    assert got2[3] == ""
+    assert len(got2) == 4
+
+
+def test_dedup_lines_matches_python_reference(spark, sf_dir):
+    """Cross-check on fixture docs re-chunked into pseudo-lines of 5
+    words, against a direct python implementation."""
+    from geoscan_fraud_spark.operators.dedup import dedup_lines
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    chunked = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(F.split(F.col("text"), " ")) - 1) / 5).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), i * 5 + 1, 5)
+                ),
+            ),
+        ).alias("text"),
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(chunked).collect()}
+
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in chunked.collect()
+    )
+    seen, expect = set(), {}
+    for did, text in rows:
+        out = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                out.append(line)
+        if out:
+            expect[did] = "\n".join(out)
+    assert got == expect

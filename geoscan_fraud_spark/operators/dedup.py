@@ -545,3 +545,33 @@ def dedup_lines(
             {text_col: ""}
         )
     return rebuilt
+
+
+def exact_dedup_agg(
+    df: DataFrame, cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Scale variant of `exact_dedup`: keep the min-id row per duplicate
+    group via `groupBy(digest).agg(min_by(row, id))` instead of a window.
+
+    Why it matters at 100 TB: a window over the dedup key has NO partial
+    aggregation — every full row crosses the shuffle. min_by IS a proper
+    aggregate, so duplicate rows collapse map-side and the shuffle
+    carries one candidate row per (digest, map task); on a duplicate-
+    heavy corpus that is the difference between shuffling the corpus and
+    shuffling its distinct set. The digest is md5 over the dedup columns
+    (null-sentineled, unit-separated), so the shuffle KEY is 32 bytes
+    regardless of document size; an md5 collision (~2^-64 per pair) could
+    merge two distinct rows — the standard at-scale tradeoff, which is
+    why the exact window form (`exact_dedup`) stays the registered
+    oracle path.
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+    ]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(digest.alias("__digest"))
+        .agg(F.min_by(row, F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )

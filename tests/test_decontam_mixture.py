@@ -277,3 +277,23 @@ def test_dedup_lines_matches_python_reference(spark, sf_dir):
         if out:
             expect[did] = "\n".join(out)
     assert got == expect
+
+
+def test_exact_dedup_agg_matches_window_form(spark, sf_dir):
+    from geoscan_fraud_spark.operators.dedup import exact_dedup, exact_dedup_agg
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    both = docs.unionByName(copies)
+    a = sorted(r["doc_id"] for r in exact_dedup(both, ["text"]).collect())
+    b = sorted(r["doc_id"] for r in exact_dedup_agg(both, ["text"]).collect())
+    assert a == b
+    # partial (map-side) aggregation must be present in the plan — the
+    # property the window form lacks
+    plan = (
+        exact_dedup_agg(both, ["text"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min_by" in plan or "HashAggregate" in plan

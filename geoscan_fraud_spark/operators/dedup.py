@@ -513,21 +513,27 @@ def dedup_lines(
     their remaining lines in original order.
 
     100 TB shape: two shuffles, both irreducible for these semantics —
-    one window keyed by the line itself to pick first occurrences (high
-    cardinality, well-spread; partial nothing — the line IS the key), one
-    groupBy(doc) to reassemble. Lines travel once each; reassembly sorts
-    each doc's surviving (position, line) pairs inside the aggregated
-    array, not in a global sort.
+    one groupBy keyed by the line to pick first occurrences, one
+    groupBy(doc) to reassemble. First-occurrence selection is
+    `min(struct(id, idx))` — a real aggregate (struct ordering is
+    lexicographic), so repeated lines collapse map-side and the shuffle
+    carries one (line, best-position) pair per map task, where a window
+    over the line would ship every occurrence. Reassembly sorts each
+    doc's surviving (position, line) pairs inside the aggregated array,
+    not in a global sort.
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__line"),
     )
-    w = Window.partitionBy("__line").orderBy(F.col(id_col).asc(), F.col("__idx").asc())
     kept = (
-        lines.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        lines.groupBy("__line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__idx"))).alias("__first"))
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.__idx").alias("__idx"),
+            "__line",
+        )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

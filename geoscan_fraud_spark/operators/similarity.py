@@ -187,3 +187,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization: (id, scale, qvec array<tinyint>) with
+    ``value ~= scale * q`` and scale = max(|v|)/127 per vector.
+
+    The storage/IO lever for a 100 TB embedding corpus: a float64 array
+    column shrinks 8x (float32 parquet 4x), which at this scale is the
+    difference between an ANN pass that is scan-bound and one that is
+    not. Pure column algebra (aggregate + transform), map-only; the
+    recall cost is bounded by the quantization error (~0.4% of the max
+    coordinate), verified against exact cosine in tests.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    return df.select(
+        F.col(id_col), (amax / F.lit(127.0)).alias("scale"), v.alias("__v")
+    ).select(
+        id_col,
+        "scale",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x / F.greatest(F.col("scale"), F.lit(1e-30))).cast(
+                "byte"
+            ),
+        ).alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of `quantize_embeddings`: (id, embedding array<double>)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col("qvec"), lambda q: q.cast("double") * F.col("scale")
+        ).alias("embedding"),
+    )

@@ -165,3 +165,51 @@ def test_multimodal_plumbing(spark, docs):
         mm.extract_features(blobs, mode="real")
     with pytest.raises(NotImplementedError, match="codec"):
         mm.frame_sample(blobs, mode="real")
+
+
+def test_quantize_embeddings_roundtrip_and_cosine_recall(spark, embeddings):
+    """int8 quantization must reconstruct vectors within the per-vector
+    quantization step and keep brute-force cosine top-k nearly intact."""
+    from geoscan_fraud_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(embeddings)
+    # qvec really is int8 and scale positive
+    row = q.first()
+    assert all(-127 <= x <= 127 for x in row["qvec"])
+    deq = dequantize_embeddings(q)
+    joined = (
+        embeddings.select("vec_id", F.col("embedding").alias("orig"))
+        .join(deq, "vec_id")
+    )
+    err = joined.select(
+        F.aggregate(
+            F.zip_with(
+                "orig", "embedding", lambda a, b: F.abs(a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+        F.aggregate(
+            "orig", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ).alias("amax"),
+    )
+    bad = err.filter(F.col("max_err") > F.col("amax") / 127.0 * 0.51).count()
+    assert bad == 0  # error bounded by half a quantization step
+
+    # top-k on dequantized vectors ~ top-k on originals
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(queries, embeddings, k=10).collect()
+    }
+    dq_queries = deq.filter(F.col("vec_id") < 3)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(dq_queries, deq, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9

@@ -131,3 +131,29 @@ def sliding_tile_counts(
         .groupBy(F.window(F.col(ts_col), window, slide), F.col(user_col), F.col("h3"))
         .agg(F.count(F.lit(1)).alias("visits"))
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each key.
+
+    With ``ts_col`` the state is watermark-bounded
+    (`dropDuplicatesWithinWatermark`): a duplicate arriving within the
+    watermark of its first occurrence is dropped, and expired keys leave
+    state — the configuration that survives an unbounded stream. Without
+    ``ts_col`` the state grows with the distinct-key count
+    (plain `dropDuplicates`) — acceptable only for bounded key domains.
+    This is the streaming face of the batch `exact_dedup`: ingestion
+    pipelines dedup exactly at the door, then near-dup (MinHash/SimHash)
+    in batch.
+    """
+    if ts_col is None:
+        return stream_df.dropDuplicates(key_cols)
+    out = ensure_event_time(stream_df, ts_col)
+    return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

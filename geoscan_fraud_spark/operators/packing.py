@@ -249,3 +249,48 @@ def token_frequencies(
     if k is not None:
         vocab = vocab.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(k)
     return vocab
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into word chunks of at most ``max_tokens`` with
+    ``overlap`` words carried between consecutive chunks — the
+    context-window chunking step between a cleaned corpus and tokenized
+    sequences. Output: (id, chunk_idx, chunk_text, n_tokens).
+
+    Native sequence/slice/posexplode only — map-side, no shuffle, no
+    Python: chunk starts are `i * (max_tokens - overlap)`, the final
+    chunk is the only one shorter than ``max_tokens``, and a document
+    shorter than one window yields exactly one chunk.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} for {max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride), at least 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__c"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
+        F.size(F.col("__c")).alias("n_tokens"),
+    )

@@ -119,3 +119,46 @@ def test_token_frequencies_matches_pandas(spark):
     # top-k is deterministic: freq desc, token asc
     top = [r["token"] for r in token_frequencies(df, k=3).collect()]
     assert top == ["cat", "the", "and"]
+
+
+def test_chunk_documents_matches_python_reference(spark, sf_dir):
+    from geoscan_fraud_spark.operators.packing import chunk_documents
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    MAX, OV = 17, 5
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, MAX, OV).collect()
+    }
+
+    expect = {}
+    for did, text in ((r["doc_id"], r["text"]) for r in docs.collect()):
+        w = text.split()
+        stride = MAX - OV
+        n_chunks = max(1, -(-(len(w) - OV) // stride))
+        for i in range(n_chunks):
+            c = w[i * stride : i * stride + MAX]
+            expect[(did, i)] = (" ".join(c), len(c))
+    assert got == expect
+    # every chunk bounded; overlap honored between consecutive chunks
+    assert all(n <= MAX for _, n in got.values())
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from geoscan_fraud_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    rows = chunk_documents(df, 128, 16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "tiny doc"
+    assert rows[0]["n_tokens"] == 2
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    from geoscan_fraud_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 10, 10)

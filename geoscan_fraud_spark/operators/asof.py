@@ -1,0 +1,90 @@
+"""As-of (point-in-time) join — attach to each left row the single most
+recent right row per key, an operator the DataFrame API lacks natively
+(SURVEY §2.10 family; the reference's TTL'd "current behavior" lookups,
+`02_geofraud_fraud.py:281-287`, are the degenerate whole-window case).
+
+100 TB shape: the naive formulation — range join + per-left-row top-1 —
+explodes into a near-cross-product per key before pruning. The
+union-window form here never builds that product: tag both sides, union,
+and run `last(value, ignorenulls=True)` over one (key, time)-sorted
+window. ONE shuffle keyed by the join keys, output linear in
+|left| + |right|, and both window functions share the single sort. This
+is the standard scalable as-of plan (what dedicated time-series engines
+compile to).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right.ts <= left.ts`` (``direction='backward'``; ties inclusive) or
+    the smallest ``right.ts >= left.ts`` (``'forward'``) sharing ``on``.
+    Left rows with no match keep NULLs (left-outer semantics, like
+    ``pandas.merge_asof``).
+
+    Right's non-key, non-ts columns are attached with ``suffix``; the
+    matched right timestamp arrives as ``ts<suffix>``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = list(on)
+    rvals = [c for c in right.columns if c not in keys and c != ts_col]
+    rcols = [f"{c}{suffix}" for c in rvals] + [f"{ts_col}{suffix}"]
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col),
+        F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns if c not in keys and c != ts_col],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col),
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rvals],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        *[F.col(c).alias(f"__l_{c}")
+          for c in left.columns if c not in keys and c != ts_col],
+    )
+    both = r.unionByName(l)
+
+    if direction == "backward":
+        # right rows sort BEFORE left at equal ts -> ties are inclusive
+        order = [F.col(ts_col).asc(), F.col("__src").asc()]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+    else:
+        order = [F.col(ts_col).desc(), F.col("__src").asc()]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
+
+    filled = both.select(
+        *keys,
+        ts_col,
+        "__src",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        *[F.col(f"__l_{c}")
+          for c in left.columns if c not in keys and c != ts_col],
+    )
+    out = filled.filter(F.col("__src") == 1).drop("__src")
+    renames = {f"__l_{c}": c for c in left.columns if c not in keys and c != ts_col}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        *keys, ts_col,
+        *[c for c in left.columns if c not in keys and c != ts_col],
+        *rcols,
+    )

@@ -1,0 +1,65 @@
+"""As-of join vs the pandas.merge_asof oracle."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.asof import asof_join
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+@pytest.fixture(scope="module")
+def sides(spark, sf_dir):
+    # left = every 3rd event; right = every 7th event as the "state" feed
+    ev = load_fixture(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "ts", F.col("value").alias("lv")
+    )
+    right = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "ts", F.col("value").alias("state")
+    )
+    return left, right
+
+
+def _pd(df):
+    p = df.toPandas()
+    p["ts"] = pd.to_datetime(p["ts"])
+    return p
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas_merge_asof(spark, sides, direction):
+    left, right = sides
+    got = asof_join(left, right, on=["user_id"], ts_col="ts", direction=direction)
+    gp = _pd(got).sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+
+    lp = _pd(left).sort_values("ts")
+    rp = _pd(right).sort_values("ts")
+    exp = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction=direction, suffixes=("", "_r")
+    ).sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+
+    assert len(gp) == len(exp)
+    assert gp["state_r"].fillna(-1).tolist() == exp["state"].fillna(-1).tolist()
+    # matched right timestamp respects the direction inequality
+    m = gp.dropna(subset=["ts_r"])
+    if direction == "backward":
+        assert (m["ts_r"] <= m["ts"]).all()
+    else:
+        assert (m["ts_r"] >= m["ts"]).all()
+
+
+def test_asof_join_single_shuffle(spark, sides):
+    left, right = sides
+    plan = (
+        asof_join(left, right, on=["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # one exchange for the (key)-partitioned window; the union sides
+    # read map-side (no join operator at all in the plan)
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -88,3 +88,71 @@ def asof_join(
         *[c for c in left.columns if c not in keys and c != ts_col],
         *rcols,
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    on: list[str] | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Match each point row to every interval row with
+    ``start <= point < end`` (optionally also matching ``on`` keys) —
+    the range join Spark's planner would otherwise execute as a
+    broadcast-nested-loop / cartesian product.
+
+    Bucket-then-verify (the geo engine's cell join, J4, on a number
+    line): intervals explode to the fixed-width buckets they cover,
+    points map to their single bucket, the match is a plain equi-join on
+    (keys, bucket) followed by the exact range filter, and duplicates
+    from multi-bucket intervals are removed by `distinct` on the pair.
+    Pick ``bucket_width`` near the median interval length: output work is
+    then O(matches), not O(|points| x |intervals|). Long intervals only
+    widen their own explode (len/width buckets); short ones cost one row.
+
+    ``how='left'`` keeps unmatched points with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = list(on or [])
+    if bucket_width is None:
+        q = intervals.select(
+            F.expr(f"percentile_approx({end_col} - {start_col}, 0.5)")
+        ).first()[0]
+        bucket_width = float(q) if q and q > 0 else 1.0
+    w = float(bucket_width)
+
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / w).cast("long"),
+                F.floor(F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
+    matched = (
+        pt.join(iv, keys + ["__bucket"], "inner")
+        .filter(
+            (F.col(start_col) <= F.col(point_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+        .distinct()
+    )
+    if how == "inner":
+        return matched
+    missing = pt.drop("__bucket").join(
+        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+    )
+    for c in matched.columns:
+        if c not in points.columns:
+            missing = missing.withColumn(
+                c, F.lit(None).cast(dict(matched.dtypes)[c])
+            )
+    return matched.unionByName(missing)

@@ -63,3 +63,56 @@ def test_asof_join_single_shuffle(spark, sides):
     # read map-side (no join operator at all in the plan)
     assert "Join" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_interval_join_matches_python_reference(spark, sf_dir):
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    ev = load_fixture(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", F.col("value").alias("v")
+    )
+    intervals = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        (F.col("value") - 3.0).alias("start"),
+        (F.col("value") + 2.0).alias("end"),
+    )
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(points, intervals, "v").collect()
+    }
+    pts = [(r["event_id"], r["v"]) for r in points.collect()]
+    ivs = [(r["iv_id"], r["start"], r["end"]) for r in intervals.collect()]
+    expect = {
+        (pid, iid)
+        for pid, v in pts
+        for iid, s, e in ivs
+        if s <= v < e
+    }
+    assert got == expect
+    assert len(got) > 0  # workload actually overlaps
+
+    # left join keeps unmatched points exactly once
+    left = interval_join(points, intervals, "v", how="left")
+    n_matchless = len({p for p, _ in got})  # points with >=1 match
+    assert left.count() == len(got) + (points.count() - n_matchless)
+
+
+def test_interval_join_no_cartesian_in_plan(spark, sf_dir):
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    ev = load_fixture(spark, sf_dir, "events")
+    points = ev.select("event_id", F.col("value").alias("v"))
+    intervals = ev.select(
+        F.col("event_id").alias("iv_id"),
+        (F.col("value") - 1).alias("start"),
+        (F.col("value") + 1).alias("end"),
+    )
+    plan = (
+        interval_join(points, intervals, "v", bucket_width=2.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

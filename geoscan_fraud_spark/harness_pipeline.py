@@ -560,8 +560,9 @@ def multimodal_features(spark, sf_dir):
     byte_len + sniffed_type replay in DuckDB blob algebra. The fake
     feature kernel (mapInPandas) stays IN the executed plan — the oracle
     pins its row alignment and 32-dim output shape via n_features; the
-    blake2b values themselves are pytest-covered (crc32/f0 assertions in
-    tests/test_pipeline.py) since DuckDB has no keyed blake2b."""
+    crc32 and blake2b feature VALUES are pinned against independent
+    python in tests/test_pipeline_ops.py::
+    test_multimodal_crc32_and_feature_values since DuckDB has neither."""
     blobs = mm.documents_as_blobs(_t(spark, sf_dir, "documents"))
     headered = blobs.withColumn(
         "payload",

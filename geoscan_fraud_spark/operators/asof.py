@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -40,53 +41,59 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = list(on)
     rvals = [c for c in right.columns if c not in keys and c != ts_col]
-    rcols = [f"{c}{suffix}" for c in rvals] + [f"{ts_col}{suffix}"]
+    lvals = [c for c in left.columns if c not in keys and c != ts_col]
 
+    # The matched right row travels as ONE struct so its fields can never
+    # tear: filling each right column with its own last(ignorenulls=True)
+    # would substitute an OLDER row's value wherever the matched row holds
+    # a legitimate NULL.
+    pack_type = T.StructType(
+        [T.StructField("__ts", right.schema[ts_col].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rvals]
+    )
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(ts_col),
         F.lit(0).alias("__src"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
-          for c in left.columns if c not in keys and c != ts_col],
+        F.struct(
+            F.col(ts_col).alias("__ts"), *[F.col(c) for c in rvals]
+        ).alias("__rpack"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lvals],
     )
     l = left.select(
         *[F.col(k) for k in keys],
         F.col(ts_col),
         F.lit(1).alias("__src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in rvals],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
-        *[F.col(c).alias(f"__l_{c}")
-          for c in left.columns if c not in keys and c != ts_col],
+        F.lit(None).cast(pack_type).alias("__rpack"),
+        *[F.col(c).alias(f"__l_{c}") for c in lvals],
     )
     both = r.unionByName(l)
 
-    if direction == "backward":
-        # right rows sort BEFORE left at equal ts -> ties are inclusive
-        order = [F.col(ts_col).asc(), F.col("__src").asc()]
-        frame = (Window.unboundedPreceding, Window.currentRow)
-    else:
-        order = [F.col(ts_col).desc(), F.col("__src").asc()]
-        frame = (Window.unboundedPreceding, Window.currentRow)
-    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(*frame)
+    # Total order: (ts, side, right-value tuple). Right rows sort before
+    # left at equal ts (ties inclusive); right rows tied on ts resolve
+    # deterministically to the greatest value tuple — pandas' "last
+    # occurrence" is input-order-dependent, which a distributed engine
+    # cannot reproduce.
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__src").asc(), F.col("__rpack").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     filled = both.select(
         *keys,
         ts_col,
         "__src",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
-        *[F.col(f"__l_{c}")
-          for c in left.columns if c not in keys and c != ts_col],
+        F.last("__rpack", ignorenulls=True).over(w).alias("__rpack"),
+        *[F.col(f"__l_{c}") for c in lvals],
     )
-    out = filled.filter(F.col("__src") == 1).drop("__src")
-    renames = {f"__l_{c}": c for c in left.columns if c not in keys and c != ts_col}
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
-    return out.select(
-        *keys, ts_col,
-        *[c for c in left.columns if c not in keys and c != ts_col],
-        *rcols,
+    return filled.filter(F.col("__src") == 1).select(
+        *keys,
+        ts_col,
+        *[F.col(f"__l_{c}").alias(c) for c in lvals],
+        *[F.col(f"__rpack.{c}").alias(f"{c}{suffix}") for c in rvals],
+        F.col("__rpack.__ts").alias(f"{ts_col}{suffix}"),
     )
 
 
@@ -108,11 +115,16 @@ def interval_join(
     Bucket-then-verify (the geo engine's cell join, J4, on a number
     line): intervals explode to the fixed-width buckets they cover,
     points map to their single bucket, the match is a plain equi-join on
-    (keys, bucket) followed by the exact range filter, and duplicates
-    from multi-bucket intervals are removed by `distinct` on the pair.
-    Pick ``bucket_width`` near the median interval length: output work is
-    then O(matches), not O(|points| x |intervals|). Long intervals only
-    widen their own explode (len/width buckets); short ones cost one row.
+    (keys, bucket) followed by the exact range filter. Both sides carry a
+    per-row id for the duration of the join, so (a) duplicates from an
+    interval spanning several buckets are removed per ROW pair — value-
+    identical input rows still produce one match each (multiset
+    semantics) — and (b) the ``how='left'`` accounting of unmatched
+    points is id-based, immune to the null-unsafe-equality trap of
+    anti-joining on value columns. Pick ``bucket_width`` near the median
+    interval length: output work is then O(matches), not
+    O(|points| x |intervals|). Long intervals only widen their own
+    explode (len/width buckets); short ones cost one row.
 
     ``how='left'`` keeps unmatched points with NULL interval columns.
     """
@@ -126,7 +138,7 @@ def interval_join(
         bucket_width = float(q) if q and q > 0 else 1.0
     w = float(bucket_width)
 
-    iv = intervals.withColumn(
+    iv = intervals.withColumn("__iid", F.monotonically_increasing_id()).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -135,7 +147,9 @@ def interval_join(
             )
         ),
     )
-    pt = points.withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
+    pt = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
+        "__bucket", F.floor(F.col(point_col) / w).cast("long")
+    )
     matched = (
         pt.join(iv, keys + ["__bucket"], "inner")
         .filter(
@@ -143,16 +157,14 @@ def interval_join(
             & (F.col(point_col) < F.col(end_col))
         )
         .drop("__bucket")
-        .distinct()
+        .dropDuplicates(["__pid", "__iid"])
     )
     if how == "inner":
-        return matched
+        return matched.drop("__pid", "__iid")
     missing = pt.drop("__bucket").join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        matched.select("__pid"), "__pid", "left_anti"
     )
     for c in matched.columns:
-        if c not in points.columns:
-            missing = missing.withColumn(
-                c, F.lit(None).cast(dict(matched.dtypes)[c])
-            )
-    return matched.unionByName(missing)
+        if c not in pt.columns:
+            missing = missing.withColumn(c, F.lit(None).cast(dict(matched.dtypes)[c]))
+    return matched.unionByName(missing.select(matched.columns)).drop("__pid", "__iid")

@@ -522,9 +522,14 @@ def dedup_lines(
     doc's surviving (position, line) pairs inside the aggregated array,
     not in a global sort.
     """
+    # sep is a LITERAL separator on both the split and the rejoin side:
+    # Java's \Q...\E quoting keeps e.g. '.' or '|' from being read as a
+    # regex (which would split between every character).
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("__idx", "__line"),
     )
     kept = (
         lines.groupBy("__line")
@@ -564,17 +569,19 @@ def exact_dedup_agg(
     aggregate, so duplicate rows collapse map-side and the shuffle
     carries one candidate row per (digest, map task); on a duplicate-
     heavy corpus that is the difference between shuffling the corpus and
-    shuffling its distinct set. The digest is md5 over the dedup columns
-    (null-sentineled, unit-separated), so the shuffle KEY is 32 bytes
-    regardless of document size; an md5 collision (~2^-64 per pair) could
-    merge two distinct rows — the standard at-scale tradeoff, which is
-    why the exact window form (`exact_dedup`) stays the registered
-    oracle path.
+    shuffling its distinct set. Each column is md5'd SEPARATELY before
+    the digests (fixed-width hex, so separators cannot be forged by
+    column values containing the separator, and a NULL marker cannot
+    collide with any real value) are concatenated and hashed again; the
+    shuffle KEY is 32 bytes regardless of document size. An actual md5
+    collision (~2^-64 per pair) could still merge two distinct rows —
+    the standard at-scale tradeoff, which is why the exact window form
+    (`exact_dedup`) stays the registered oracle path.
     """
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<null>")) for c in cols
     ]
-    digest = F.md5(F.concat_ws("\x1f", *parts))
+    digest = F.md5(F.concat_ws("|", *parts))
     row = F.struct(*[F.col(c) for c in df.columns])
     return (
         df.groupBy(digest.alias("__digest"))

@@ -152,6 +152,8 @@ def sample_mixture(
     """
     if total_n < 0:
         raise ValueError(f"total_n must be >= 0, got {total_n}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
     wsum = sum(weights.values())
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -275,15 +277,21 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap} for {max_tokens}"
         )
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
     n = F.size(toks)
-    # ceil((n - overlap) / stride), at least 1
+    # ceil((n - overlap) / stride), at least 1; an empty/whitespace-only
+    # document yields ZERO chunks (F.split of '' is [''], which would
+    # otherwise become a phantom 1-token chunk)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    chunks = F.when(n == 0, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * stride + 1, max_tokens),
+        )
     )
     return df.select(
         F.col(id_col),

@@ -116,3 +116,62 @@ def test_interval_join_no_cartesian_in_plan(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_null_right_value_not_torn(spark):
+    """A legitimate NULL in the matched right row must arrive as NULL —
+    not be back-filled from an older right row (whole-row atomicity)."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 3))], "user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 1), 5.0),
+            ("k", dt.datetime(2024, 1, 1, 2), None),
+        ],
+        "user_id string, ts timestamp, state double",
+    )
+    row = asof_join(left, right, on=["user_id"]).first()
+    assert row["ts_r"] == dt.datetime(2024, 1, 1, 2)
+    assert row["state_r"] is None
+
+
+def test_asof_join_right_ts_ties_deterministic(spark):
+    """Right rows tied on ts resolve to the greatest value tuple,
+    identically across partitionings."""
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 2))], "user_id string, ts timestamp"
+    )
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 1), "A"),
+        ("k", dt.datetime(2024, 1, 1, 1), "B"),
+    ]
+    for parts in (1, 4):
+        right = spark.createDataFrame(
+            rows, "user_id string, ts timestamp, state string"
+        ).repartition(parts)
+        got = asof_join(left, right, on=["user_id"]).first()["state_r"]
+        assert got == "B"
+
+
+def test_interval_join_multiset_and_null_columns(spark):
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    # two value-identical points and a NULL-bearing point, one interval
+    points = spark.createDataFrame(
+        [(5.0, "x"), (5.0, "x"), (5.5, None)], "v double, tag string"
+    )
+    intervals = spark.createDataFrame(
+        [(4.0, 6.0, "iv1")], "start double, end double, name string"
+    )
+    inner = interval_join(points, intervals, "v", bucket_width=1.0)
+    # duplicate input points each match once (multiset semantics)
+    assert inner.count() == 3
+    left = interval_join(points, intervals, "v", bucket_width=1.0, how="left")
+    # all matched -> no spurious NULL-interval duplicates for the NULL-tag row
+    assert left.count() == 3
+    assert left.filter(F.col("name").isNull()).count() == 0

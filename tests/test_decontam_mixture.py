@@ -297,3 +297,41 @@ def test_exact_dedup_agg_matches_window_form(spark, sf_dir):
         .toString()
     )
     assert "partial_min_by" in plan or "HashAggregate" in plan
+
+
+def test_exact_dedup_agg_digest_not_forgeable(spark):
+    """Separator/sentinel bytes inside column VALUES must not make
+    distinct rows collide, and a NULL must differ from any real string."""
+    from geoscan_fraud_spark.operators.dedup import exact_dedup_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "x\x1fy", "z"),
+            (2, "x", "y\x1fz"),  # concat-forged twin of row 1
+            (3, None, "q"),
+            (4, "\x00null", "q"),  # sentinel-forged twin of row 3
+        ],
+        "doc_id long, a string, b string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup_agg(df, ["a", "b"]).collect())
+    assert kept == [1, 2, 3, 4]  # nothing merged
+
+
+def test_sample_mixture_rejects_negative_weight(spark, sf_dir):
+    from geoscan_fraud_spark.operators.packing import sample_mixture
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="non-negative"):
+        sample_mixture(docs, {"src0": 1.5, "src1": -0.5}, 10)
+
+
+def test_dedup_lines_literal_separator_with_regex_metachar(spark):
+    from geoscan_fraud_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha.beta"), (2, "beta.gamma")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df, sep=".").collect()}
+    # '.' must split into ['alpha','beta'] / ['beta','gamma'], NOT between
+    # every character; 'beta' is claimed by doc 1
+    assert got == {1: "alpha.beta", 2: "gamma"}

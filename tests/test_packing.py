@@ -162,3 +162,14 @@ def test_chunk_documents_rejects_bad_args(spark):
         chunk_documents(df, 0)
     with pytest.raises(ValueError):
         chunk_documents(df, 10, 10)
+
+
+def test_chunk_documents_empty_doc_yields_no_chunks(spark):
+    from geoscan_fraud_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real doc")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, 128).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["n_tokens"] == 2

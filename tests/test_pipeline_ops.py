@@ -213,3 +213,46 @@ def test_quantize_embeddings_roundtrip_and_cosine_recall(spark, embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9
+
+
+def test_multimodal_crc32_and_feature_values(spark):
+    """Pin the metadata crc32 and the fake-kernel feature VALUES against
+    independent python (zlib / blake2b) — the value coverage the
+    multimodal_features oracle cannot provide (DuckDB lacks both)."""
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    from geoscan_fraud_spark.operators.multimodal import (
+        attach_blob_metadata,
+        documents_as_blobs,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello blob", "s"), (2, "another payload", "s")],
+        "doc_id long, text string, source string",
+    )
+    blobs = documents_as_blobs(docs)
+    meta = {r["blob_id"]: r["crc32"] for r in attach_blob_metadata(blobs).collect()}
+    feats = {r["blob_id"]: r["features"] for r in extract_features(blobs).collect()}
+
+    for did, text in [(1, "hello blob"), (2, "another payload")]:
+        payload = text.encode("utf-8")
+        assert meta[did] == zlib.crc32(payload)
+        raw = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        payload, digest_size=8, salt=i.to_bytes(8, "little")
+                    ).digest(),
+                    "little",
+                )
+                / 2**64
+                - 0.5
+                for i in range(32)
+            ]
+        )
+        expect = raw / (np.linalg.norm(raw) or 1.0)
+        assert np.allclose(feats[did], expect)

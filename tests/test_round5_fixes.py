@@ -39,7 +39,7 @@ def _seed_orphan(spark, table: str) -> str:
 def test_suite_uses_private_warehouse(spark):
     """The suite must never depend on ./spark-warehouse state."""
     wh = _warehouse_path(spark)
-    assert "spark-warehouse" in os.path.basename(wh.rstrip("/")) or wh
+    assert "spark-warehouse" in os.path.basename(wh.rstrip("/"))
     assert wh != os.path.join(os.getcwd(), "spark-warehouse")
 
 

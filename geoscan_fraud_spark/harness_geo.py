@@ -56,6 +56,16 @@ def ref_csv_unclustered(spark, sf_dir):
     )
 
 
+def _grid_points(lat0, lng0, size, cols):
+    """``size`` points on a ``cols``-wide grid of ~11 m spacing anchored
+    at (lat0, lng0) — the building block of both pinned oracle fixtures
+    (identical float expressions keep the baked goldens replayable)."""
+    return [
+        (lat0 + (i % cols) * 1e-4, lng0 + (i // cols) * 1e-4)
+        for i in range(size)
+    ]
+
+
 def _pinned_fit_points(spark):
     """Pinned sf-independent fixture for the distributed-fit oracle: five
     grid clusters with DISTINCT sizes (8/15/24/40/60 points, 11 m
@@ -63,17 +73,13 @@ def _pinned_fit_points(spark):
     epsilon=50 / minPts=5 keeps every membership decision far from the
     threshold; the fit is verified partition-invariant."""
     rows = []
-    eid = 0
     for ci, size in enumerate([8, 15, 24, 40, 60]):
-        lat0, lng0 = 40.70 + ci * 0.02, -74.00 + ci * 0.015
-        for i in range(size):
-            rows.append((eid, lat0 + (i % 5) * 1e-4, lng0 + (i // 5) * 1e-4))
-            eid += 1
-    for k in range(5):
-        rows.append((eid, 40.65 - k * 0.02, -74.10 - k * 0.02))
-        eid += 1
+        pts = _grid_points(40.70 + ci * 0.02, -74.00 + ci * 0.015, size, 5)
+        rows.extend(pts)
+    rows.extend((40.65 - k * 0.02, -74.10 - k * 0.02) for k in range(5))
     return spark.createDataFrame(
-        rows, "event_id long, latitude double, longitude double"
+        [(i, lat, lng) for i, (lat, lng) in enumerate(rows)],
+        "event_id long, latitude double, longitude double",
     )
 
 
@@ -116,10 +122,10 @@ def _pinned_personalized_points(spark):
     rows = []
     for u in range(3):
         for c in range(2):
-            lat0 = 40.70 + u * 0.05 + c * 0.012
-            lng0 = -74.00 + u * 0.03 - c * 0.012
-            for i in range(12):
-                rows.append((f"u{u}", lat0 + (i % 4) * 1e-4, lng0 + (i // 4) * 1e-4))
+            pts = _grid_points(
+                40.70 + u * 0.05 + c * 0.012, -74.00 + u * 0.03 - c * 0.012, 12, 4
+            )
+            rows.extend((f"u{u}", lat, lng) for lat, lng in pts)
         rows.append((f"u{u}", 40.70 + u * 0.05 + 0.03, -74.00 + u * 0.03 + 0.03))
     return spark.createDataFrame(
         rows, "user string, latitude double, longitude double"

@@ -127,6 +127,9 @@ def interval_join(
     explode (len/width buckets); short ones cost one row.
 
     ``how='left'`` keeps unmatched points with NULL interval columns.
+    Leaving ``bucket_width`` unset runs one small eager aggregate over
+    ``intervals`` (median length) before building the plan — pass an
+    explicit width in latency-sensitive call sites.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from geoscan_fraud_spark.operators.text import tokens as _tokens
+
 
 def pack_documents(
     df: DataFrame,
@@ -236,7 +238,7 @@ def token_frequencies(
     per distinct token per task, not one per occurrence. The top-k is a
     TakeOrdered (no global sort materialization).
     """
-    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    tok = F.explode(_tokens(F.col(text_col))).alias("token")
     doc = (
         F.col(id_col) if id_col is not None else F.monotonically_increasing_id()
     )
@@ -277,9 +279,8 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap} for {max_tokens}"
         )
     stride = max_tokens - overlap
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
-    )
+    # single-sourced tokenization contract (operators/text.tokens)
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     n = F.size(toks)
     # ceil((n - overlap) / stride), at least 1; an empty/whitespace-only
     # document yields ZERO chunks (F.split of '' is [''], which would

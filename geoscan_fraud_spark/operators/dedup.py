@@ -162,6 +162,30 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataF
     )
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows in buckets larger than ``max_bucket`` (hot-bucket guard).
+
+    A duplicate-heavy corpus puts k near-identical docs into one LSH
+    bucket and the self-join emits k^2/2 candidate pairs BEFORE any
+    filter — AQE skew splitting rebalances partitions but cannot remove
+    the quadratic pair count. Capping bucket size bounds the join output
+    at max_bucket^2/2 per bucket, at a documented recall cost: a pair
+    whose every shared bucket is oversized is missed (with b independent
+    bands that requires ALL its buckets hot, so genuine near-dup pairs of
+    low-multiplicity docs are rarely affected; exact duplicates should be
+    pre-collapsed upstream — see ``minhash_dedup`` — which is what keeps
+    normal buckets small in the first place).
+
+    One window count over the bucket keys — the same partitioning the
+    following self-join shuffles on, so the exchange is shared."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -170,10 +194,14 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     sig_hash: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates: (id_a, id_b) sharing >=1 signature band.
 
     bands x rows = num_hashes; collision prob ~ 1-(1-j^r)^b for Jaccard j.
+    ``max_bucket`` (optional) drops band buckets holding more than that
+    many docs before the self-join — the hot-bucket guard (`_cap_buckets`)
+    that keeps a duplicate-heavy corpus from going quadratic.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -202,6 +230,8 @@ def minhash_candidate_pairs(
     banded = sig.select(
         "id", F.posexplode(band_hashes).alias("band", "bh")
     )
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
     return (
@@ -255,17 +285,46 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
+    precollapse_exact: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup dedup: keep one representative (min id) per duplicate
     cluster; the cluster is the connected component over verified pairs
-    (A near B near C collapses to one doc even if A!~C)."""
+    (A near B near C collapses to one doc even if A!~C).
+
+    ``precollapse_exact`` (default on) collapses value-identical texts to
+    their min-id representative BEFORE the LSH self-join — the hot-bucket
+    guard for the normal 100 TB case (boilerplate pages, mirrored docs):
+    k exact copies share every band bucket and would emit k^2/2 candidate
+    pairs; collapsed, the pair count is O(distinct^2). The result is
+    provably unchanged: exact copies have identical shingle sets, hence
+    identical signatures and band hashes, so they join the same component
+    as their representative and CC keeps the component-min id — which is
+    the representative the collapse kept. (Grouping key is md5(text), the
+    same ~2^-64-collision tradeoff `exact_dedup_agg` documents; the
+    shuffle key is 32 bytes, not the document.) ``max_bucket`` additionally
+    caps residual hot buckets (distinct-but-near-identical floods) with
+    the `_cap_buckets` recall tradeoff."""
+    if precollapse_exact:
+        reps = df.join(
+            df.groupBy(F.md5(F.col(text_col).cast("string")).alias("__d"))
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
+        kept = minhash_dedup(
+            reps, text_col, id_col, n, num_hashes, bands, threshold,
+            sig_hash, precollapse_exact=False, max_bucket=max_bucket,
+        )
+        return df.join(kept.select(id_col), id_col, "left_semi")
     # materialize the candidate list ONCE behind a lineage cut: it feeds the
     # id-restriction union (twice), the verify join, and (via pairs) both
     # halves of the CC edge list — recomputing the LSH self-join for each
     # would be catastrophic at scale, and a lazy persist measured slower
     # locally (branches serialize on cache locks under AQE)
     cand = minhash_candidate_pairs(
-        df, text_col, id_col, n, num_hashes, bands, sig_hash
+        df, text_col, id_col, n, num_hashes, bands, sig_hash, max_bucket
     ).localCheckpoint(eager=True)
     pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b")
@@ -398,6 +457,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     sig_hash: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
 
@@ -408,7 +468,11 @@ def simhash_pairs(
     pair without a cross join. (A fixed 4-chunk split is only complete for
     distance <= 3.) Larger distances mean narrower chunks and therefore
     denser blocking buckets — the join stays bucketed, just with more
-    candidates to verify.
+    candidates to verify. ``max_bucket`` (optional) drops chunk buckets
+    larger than that many docs before the self-join (`_cap_buckets`) —
+    the hot-bucket guard for duplicate-heavy corpora; exact duplicates
+    are best pre-collapsed upstream (`exact_dedup_agg`) since identical
+    texts share every chunk.
     """
     if not 0 <= max_hamming <= 32:
         raise ValueError(f"max_hamming must be in [0, 32], got {max_hamming}")
@@ -427,6 +491,8 @@ def simhash_pairs(
         "sh",
         F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"),
     )
+    if max_bucket is not None:
+        chunked = _cap_buckets(chunked, ["chunk_idx", "chunk"], max_bucket)
     a = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -469,13 +535,17 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: int = 16,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
     Sign-bit LSH: 16 seeded hyperplanes -> 16-bit bucket key; near-identical
     vectors land in the same bucket with high probability; cosine verified
     natively. (Recall is probabilistic — by design; the brute-force path in
-    operators/similarity.py is the exact baseline.)
+    operators/similarity.py is the exact baseline.) ``max_bucket``
+    (optional) drops buckets larger than that many vectors before the
+    self-join (`_cap_buckets`) — the hot-bucket guard for corpora with
+    mass-duplicated embeddings.
     """
     hp = _hyperplanes(dim, planes, seed)
     emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
@@ -489,6 +559,8 @@ def embedding_neardup_pairs(
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
         key = bit if key is None else key + bit
     keyed = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), key.alias("bucket"))
+    if max_bucket is not None:
+        keyed = _cap_buckets(keyed, ["bucket"], max_bucket)
     a = keyed.select("bucket", F.col("id").alias("id_a"), F.col("e").alias("e_a"))
     b = keyed.select("bucket", F.col("id").alias("id_b"), F.col("e").alias("e_b"))
     return (

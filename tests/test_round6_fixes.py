@@ -1,0 +1,128 @@
+"""Round-6 regression tests.
+
+VERDICT r05 #1: the LSH band/chunk self-joins had no hot-bucket guard — a
+duplicate-heavy corpus (the normal case at 100 TB) puts k near-identical
+docs into one bucket and the self-join emits k^2/2 candidate pairs before
+any filter. Two composable guards are pinned here:
+
+* `minhash_dedup(precollapse_exact=True)` (the new default) collapses
+  value-identical texts to their min-id representative before the LSH
+  self-join — provably result-preserving;
+* `max_bucket=` on `minhash_candidate_pairs` / `simhash_pairs` /
+  `embedding_neardup_pairs` drops oversized buckets (documented recall
+  tradeoff) for distinct-but-near-identical floods.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators import dedup as dd
+
+
+def _doc_rows(n_distinct: int = 24, words_per_doc: int = 40, seed: int = 7):
+    rnd = random.Random(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    return [
+        (i, " ".join(rnd.choice(vocab) for _ in range(words_per_doc)))
+        for i in range(n_distinct)
+    ]
+
+
+def _corpus_with_flood(spark, n_copies: int = 300):
+    """Distinct docs + near-dup mutations + one doc duplicated n_copies x.
+
+    Near-dups: for each of the first 8 docs, a copy with one word dropped
+    (shingle Jaccard well above 0.5) under id+1000. The flood: n_copies
+    exact copies of doc 0 under ids >= 10000.
+    """
+    rows = _doc_rows()
+    neardup = [
+        (i + 1000, " ".join(t.split()[:-3]))
+        for i, t in rows[:8]
+    ]
+    flood = [(10000 + j, rows[0][1]) for j in range(n_copies)]
+    return spark.createDataFrame(rows + neardup + flood, ["doc_id", "text"])
+
+
+def test_minhash_precollapse_is_result_preserving(spark):
+    docs = _corpus_with_flood(spark, n_copies=60)
+    kwargs = dict(threshold=0.5, n=3, num_hashes=48, bands=12)
+    kept_pre = {
+        r.doc_id
+        for r in dd.minhash_dedup(docs, precollapse_exact=True, **kwargs)
+        .select("doc_id").collect()
+    }
+    kept_raw = {
+        r.doc_id
+        for r in dd.minhash_dedup(docs, precollapse_exact=False, **kwargs)
+        .select("doc_id").collect()
+    }
+    assert kept_pre == kept_raw
+    # every flood copy collapsed onto doc 0; near-dup mutations collapsed
+    # onto their source doc
+    assert all(i >= 10000 for i in set(range(10000, 10060)) - kept_pre)
+    assert not any(i >= 10000 for i in kept_pre)
+    assert not any(1000 <= i < 2000 for i in kept_pre)
+    assert 0 in kept_pre
+
+
+def test_max_bucket_caps_candidate_pairs_on_flood(spark):
+    """With a 300x-duplicated doc, uncapped candidates are O(copies^2);
+    max_bucket drops the flood buckets and the count falls to
+    O(distinct^2) while low-multiplicity near-dup pairs survive."""
+    docs = _corpus_with_flood(spark, n_copies=300)
+    kwargs = dict(threshold=None, n=3, num_hashes=48, bands=12)
+    kwargs.pop("threshold")
+    uncapped = dd.minhash_candidate_pairs(docs, **kwargs).count()
+    assert uncapped > 300 * 299 / 2  # the quadratic flood dominates
+
+    capped_df = dd.minhash_candidate_pairs(docs, max_bucket=10, **kwargs)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    n_distinct = 24 + 8  # originals + near-dup mutations
+    assert len(capped_pairs) <= n_distinct * (n_distinct - 1) / 2
+    # recall: every near-dup (i, i+1000) pair among LOW-multiplicity docs
+    # still surfaces — their buckets hold ~2 docs and are untouched by
+    # the cap. Doc 0 is the flooded doc: ITS near-dup pair lives only in
+    # hot buckets and is the documented recall cost of the cap (the
+    # pre-collapse guard, not the cap, is the right tool for exact
+    # floods — pinned by test_minhash_precollapse_is_result_preserving).
+    for i in range(1, 8):
+        assert (i, i + 1000) in capped_pairs
+
+
+def test_simhash_max_bucket_guard(spark):
+    docs = _corpus_with_flood(spark, n_copies=200)
+    uncapped = dd.simhash_pairs(docs, max_hamming=3).count()
+    assert uncapped > 200 * 199 / 2
+    capped = dd.simhash_pairs(docs, max_hamming=3, max_bucket=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    n_distinct = 24 + 8
+    assert len(pairs) <= n_distinct * (n_distinct - 1) / 2
+    # one-word-shorter mutations are within hamming 3 of their source for
+    # at least some docs; assert the capped run keeps every pair the
+    # uncapped run found among low-multiplicity ids
+    low = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_pairs(docs.filter("doc_id < 10000"), max_hamming=3).collect()
+    }
+    assert low <= pairs | {(a, b) for (a, b) in low if a == 0 or b == 0}
+
+
+def test_embedding_max_bucket_guard(spark):
+    rnd = random.Random(11)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(1000 + j, base[0]) for j in range(150)]  # flood
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = dd.embedding_neardup_pairs(
+        df, dim=16, threshold=0.99, planes=8
+    ).count()
+    assert uncapped > 150 * 149 / 2
+    capped = dd.embedding_neardup_pairs(
+        df, dim=16, threshold=0.99, planes=8, max_bucket=10
+    ).count()
+    assert capped < 400

@@ -364,7 +364,11 @@ def a5_groupby_max(spark, sf_dir):
     )
 
 
-@register("a6_global_count", sql="SELECT count(*) AS n FROM lineitem")
+# A6 (global count) was a registered entry through r05; the same global
+# aggregate algebra is driver-evidenced by `j5_scalar_in_expr` (its share
+# denominator is the global customer count) and every groupBy+count entry,
+# so the slot under the driver's 50-entry cap now funds `asof_join`
+# (VERDICT r05 #2).
 def a6_global_count(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy().agg(F.count(F.lit(1)).alias("n"))
@@ -467,10 +471,12 @@ def sessionize_entry(spark, sf_dir):
     return sessionize(ev, gap_seconds=1800).select("event_id", "user_id", "session_id")
 
 
-@register(
-    "w4_systematic_sample",
-    sql="SELECT event_id, user_id, value FROM events WHERE event_id % 10 = 0",
-)
+# W4 (systematic sample) was a registered entry through r05; its algebra
+# (modulo filter + projection) is driver-evidenced by the p_* filter
+# entries and by the derived-table predicates inside `interval_join` /
+# `generation_latest_snapshot`, so the slot under the driver's 50-entry
+# cap now funds `interval_join` (VERDICT r05 #2). Seeded-Bernoulli
+# df.sample stays pytest-pinned (tests/test_ext.py).
 def w4_systematic_sample(spark, sf_dir):
     """W4 — deterministic systematic sample (seeded Bernoulli `df.sample`
     is exposed by the engine but is not cross-engine reproducible, so the
@@ -500,14 +506,11 @@ def ttl_window_filter(spark, sf_dir):
     )
 
 
-@register(
-    "setop_unionbyname",
-    sql="""
-    SELECT c_name AS name, 'customer' AS kind FROM customer
-    UNION ALL
-    SELECT s_name AS name, 'supplier' AS kind FROM supplier
-    """,
-)
+# §2.6 unionByName was a registered entry through r05; the same
+# column-matching union algebra is driver-evidenced by
+# `generation_latest_snapshot` (unionByName of two generation snapshots)
+# and inside the dedup entries' id-restriction unions, so the slot under
+# the driver's 50-entry cap now funds `chunk_documents` (VERDICT r05 #2).
 def setop_unionbyname(spark, sf_dir):
     """§2.6 — unionByName (multi-generation table append pattern)."""
     c = _t(spark, sf_dir, "customer").select(

@@ -207,6 +207,83 @@ def u2_sample_explode(spark, sf_dir):
     )
 
 
+@register(
+    "asof_join",
+    sql="""
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_id % 2 = 1),
+         r AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_id % 2 = 0)
+    SELECT l.user_id, l.event_id, l.ts, l.value,
+           r.event_id AS ref_event, r.value AS ref_value, r.ts AS ref_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_entry(spark, sf_dir):
+    """Scalable as-of join (operators/asof.py): odd events look up the
+    most recent even event per user — oracled against DuckDB's native
+    ASOF LEFT JOIN. Tie semantics line up because (user_id, ts) is unique
+    in the fixture and both engines treat right.ts == left.ts as a match.
+    The union-window plan shuffles ONCE on the join key; the naive
+    range-join formulation DuckDB optimizes internally is exactly what
+    the operator avoids materializing at 100 TB."""
+    from geoscan_fraud_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(l, r, on=["user_id"], ts_col="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("event_id_r").alias("ref_event"),
+        F.col("value_r").alias("ref_value"),
+        F.col("ts_r").alias("ref_ts"),
+    )
+
+
+@register(
+    "interval_join",
+    sql="""
+    SELECT p.event_id, p.value, s.s_suppkey, s.lo, s.hi
+    FROM (SELECT event_id, value FROM events WHERE event_id % 20 = 0) p
+    JOIN (SELECT s_suppkey,
+                 s_acctbal - FLOOR(s_acctbal / 400.0) * 400.0 AS lo,
+                 s_acctbal - FLOOR(s_acctbal / 400.0) * 400.0 + 37.5 AS hi
+          FROM supplier) s
+      ON s.lo <= p.value AND p.value < s.hi
+    """,
+)
+def interval_join_entry(spark, sf_dir):
+    """Bucketed interval/range join (operators/asof.py): event values vs
+    supplier balance windows folded into the value range (mod 400 — pure
+    IEEE floor arithmetic, portable, and non-empty at every sf). The
+    oracle states the plain range predicate; the engine executes it as
+    the bucket-then-verify equi-join (the J4 cell join on a number line)
+    instead of the cartesian product a range predicate plans to."""
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    p = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "value")
+    )
+    acct = F.col("s_acctbal")
+    lo = acct - F.floor(acct / 400.0) * 400.0
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", lo.alias("lo"), (lo + 37.5).alias("hi")
+    )
+    return interval_join(
+        p, s, point_col="value", start_col="lo", end_col="hi", bucket_width=37.5
+    )
+
+
 def u2_spatial_downsample(spark, sf_dir):
     """U2 parity — the reference's skew sampler (`01:170-198`) as a seeded
     window-rank; deterministic cell counts. NOT registered (50-row driver

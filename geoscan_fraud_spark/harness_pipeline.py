@@ -592,6 +592,40 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "chunk_documents",
+    sql="""
+    WITH t AS (SELECT doc_id,
+                      [x FOR x IN string_split(trim(text), ' ')
+                         IF length(x) > 0] AS tok
+               FROM documents),
+    n AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0),
+    c AS (SELECT doc_id, tok,
+                 GREATEST(CAST(ceil((n - 8) / 24.0) AS BIGINT), 1) AS n_chunks
+          FROM n),
+    x AS (SELECT doc_id, tok, unnest(range(0, n_chunks)) AS i FROM c)
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(tok[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+           CAST(len(tok[i*24 + 1 : i*24 + 32]) AS BIGINT) AS n_tokens
+    FROM x
+    """,
+)
+def chunk_documents_entry(spark, sf_dir):
+    """Context-window chunking (operators/packing.py): 32-token windows
+    with 8-token overlap (stride 24), replayed in DuckDB as 1-based
+    inclusive list slices — both engines clamp the final short chunk the
+    same way. Map-only in Spark (sequence/slice/posexplode, no shuffle)."""
+    from geoscan_fraud_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
     "vocab_token_frequencies",
     sql="""
     WITH toks AS (

@@ -10,8 +10,16 @@ DataFrame min-label propagation with pointer jumping:
 
 The pointer-jump join doubles label reach each round, giving O(log n)
 convergence even on chain-shaped components (plain propagation alone is
-O(diameter)). Each round is localCheckpoint()-ed to cut lineage — without
-this the plan grows exponentially and the driver OOMs long before 100 TB.
+O(diameter)). Each round is checkpointed to cut lineage — without this
+the plan grows exponentially and the driver OOMs long before 100 TB.
+
+Checkpoint durability (VERDICT r05 #3): `localCheckpoint` blocks live on
+executors and die with them — fine locally and for short fits, but an
+executor loss mid-iteration aborts a long 100 TB job. When the session
+has a reliable checkpoint directory configured
+(`sc.setCheckpointDir(...)` — HDFS/object store on a cluster), the
+rounds use reliable `checkpoint()` instead, which survives executor
+failure at the cost of a write to the checkpoint store per round.
 """
 
 from __future__ import annotations
@@ -20,27 +28,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cutter(df: DataFrame, checkpoint: str):
+    """Lineage cut per ``checkpoint`` mode: 'local' (executor-memory
+    blocks), 'reliable' (requires sc.setCheckpointDir), or 'auto'
+    (reliable iff a checkpoint dir is configured)."""
+    if checkpoint not in ("auto", "local", "reliable"):
+        raise ValueError(
+            f"checkpoint must be 'auto', 'local' or 'reliable', got {checkpoint!r}"
+        )
+    sc = df.sparkSession.sparkContext
+    has_dir = sc.getCheckpointDir() is not None
+    if checkpoint == "reliable" and not has_dir:
+        raise ValueError(
+            "checkpoint='reliable' requires spark.sparkContext.setCheckpointDir(...)"
+        )
+    use_reliable = checkpoint == "reliable" or (checkpoint == "auto" and has_dir)
+    if use_reliable:
+        return lambda d: d.checkpoint(eager=True)
+    return lambda d: d.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """(src, dst) long-id edges -> (id, component) where component is the
     minimum vertex id in the connected component.
     """
+    cut = _cutter(edges, checkpoint)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # no distinct: duplicate edges are absorbed by the min-aggregates each
     # round, and a full-dedup shuffle of a 10^8-edge list costs more than
     # the duplicates ever will
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = cut(sym)
 
-    labels = (
+    labels = cut(
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -65,7 +94,7 @@ def connected_components(
         lab2 = stepped.select(
             F.col("id").alias("jid"), F.col("label").alias("jlabel")
         )
-        jumped = (
+        jumped = cut(
             stepped.join(lab2, stepped.label == lab2.jid, "left_outer")
             .select(
                 "id",
@@ -74,7 +103,6 @@ def connected_components(
                 ).alias("label"),
                 F.col("old_label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = jumped.filter(F.col("label") != F.col("old_label")).count()
         labels = jumped.select("id", "label")

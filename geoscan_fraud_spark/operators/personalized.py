@@ -36,27 +36,65 @@ from geoscan_fraud_spark.functions.hull import (
     polygon_geometry,
 )
 from geoscan_fraud_spark.operators.geoscan import _Params, _tiles_map_factory
+from geoscan_fraud_spark.operators.sampling import spatial_downsample
+
+#: Grid resolution for the per-group skew cap — the reference's own
+#: choice: res-11 ~30 m cells (`01:170-198`, "dropped our skew by 80%"),
+#: fine relative to any epsilon >= ~60 m so capping cannot merge or
+#: split clusters, only thin their interiors.
+_DOWNSAMPLE_RES = 11
 
 
 class GeoscanPersonalized(_Params):
-    """Per-group estimator (`GeoscanPersonalized()`, `01:275-281`)."""
+    """Per-group estimator (`GeoscanPersonalized()`, `01:275-281`).
+
+    ``maxPointsPerCell`` (optional): cap points per (group, ~30 m cell)
+    with the seeded spatial sampler before fitting — the skew guard for
+    the 100 TB case where one mega-group would otherwise land a single
+    unbounded pandas group in `applyInPandas` (SURVEY §7.3 risk; the
+    reference's own mitigation, `01:170-198`). DBSCAN's density test is
+    per-neighborhood, so thinning cells to ``maxPointsPerCell >= minPts``
+    preserves cluster structure while bounding every group's row count by
+    cap x cells-visited.
+    """
 
     def __init__(self):
         super().__init__()
         self.groupedCol = "user"
         self.epsilon = 100.0
         self.minPts = 3
+        self.maxPointsPerCell = None
 
     def setGroupedCol(self, v):
         self.groupedCol = v
         return self
 
+    def setMaxPointsPerCell(self, v):
+        self.maxPointsPerCell = None if v is None else int(v)
+        return self
+
     def params_dict(self) -> dict:
-        return {**super().params_dict(), "groupedCol": self.groupedCol}
+        return {
+            **super().params_dict(),
+            "groupedCol": self.groupedCol,
+            "maxPointsPerCell": self.maxPointsPerCell,
+        }
 
     def fit(self, df: DataFrame) -> "GeoscanPersonalizedModel":
         lat, lng, grp = self.latitudeCol, self.longitudeCol, self.groupedCol
         eps, minp = self.epsilon, self.minPts
+        if self.maxPointsPerCell is not None:
+            # cap BEFORE the groupBy so the shuffle already carries the
+            # thinned rows; the window key (group, cell) is high-
+            # cardinality, so the cap itself cannot hot-spot
+            df = spatial_downsample(
+                df.select(grp, lat, lng),
+                lat_col=lat,
+                lng_col=lng,
+                res=_DOWNSAMPLE_RES,
+                max_per_cell=self.maxPointsPerCell,
+                extra_keys=[grp],
+            )
         grp_field = df.schema[grp]
         out_schema = T.StructType(
             [

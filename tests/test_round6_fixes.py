@@ -112,6 +112,93 @@ def test_simhash_max_bucket_guard(spark):
     assert low <= pairs | {(a, b) for (a, b) in low if a == 0 or b == 0}
 
 
+def test_connected_components_checkpoint_modes(spark, tmp_path):
+    """VERDICT r05 #3: reliable checkpoint survives executor loss at 100 TB;
+    both modes must converge identically on a chain graph (the worst case
+    pointer jumping exists for)."""
+    from geoscan_fraud_spark.operators.components import connected_components
+
+    chain = [(i, i + 1) for i in range(40)] + [(100, 101)]
+    edges = spark.createDataFrame(chain, ["src", "dst"])
+    expect = {i: 0 for i in range(41)} | {100: 100, 101: 100}
+
+    local = {
+        r.id: r.component
+        for r in connected_components(edges, checkpoint="local").collect()
+    }
+    assert local == expect
+
+    # 'reliable' without a checkpoint dir is a clear error, not a silent
+    # localCheckpoint fallback
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(edges, checkpoint="reliable").collect()
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {
+            r.id: r.component
+            for r in connected_components(edges, checkpoint="reliable").collect()
+        }
+        assert reliable == expect
+        auto = {
+            r.id: r.component
+            for r in connected_components(edges).collect()
+        }
+        assert auto == expect
+    finally:
+        # session fixture is shared: restore the no-checkpoint-dir default
+        # (the Scala setter `checkpointDir_=` mangles to `checkpointDir_$eq`)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
+def test_personalized_max_points_per_cell_caps_mega_group(spark):
+    """VERDICT r05 #4: one mega-user must not land an unbounded pandas
+    group. 100k points, ONE user, two tight blobs: with the cap the fit
+    sees a bounded per-group row count, still finds both clusters, and
+    the tile model still assigns the original points."""
+    import numpy as np
+
+    from geoscan_fraud_spark.operators.personalized import GeoscanPersonalized
+
+    rnd = np.random.RandomState(0)
+    n = 50_000
+    blob_a = np.column_stack(
+        [rnd.normal(40.70, 0.0002, n), rnd.normal(-74.00, 0.0002, n)]
+    )
+    blob_b = np.column_stack(
+        [rnd.normal(40.80, 0.0002, n), rnd.normal(-73.90, 0.0002, n)]
+    )
+    pts = np.vstack([blob_a, blob_b])
+    df = spark.createDataFrame(
+        [("u1", float(la), float(lo)) for la, lo in pts],
+        ["user", "latitude", "longitude"],
+    )
+
+    est = (
+        GeoscanPersonalized()
+        .setEpsilon(100)
+        .setMinPts(3)
+        .setMaxPointsPerCell(10)
+        .setTileLayers(1)
+    )
+    model = est.fit(df)
+    models = model.models.collect()
+    # both blobs recovered, and the fitted point counts reflect the cap
+    # (≈ cap x cells-visited, orders of magnitude below the raw 100k)
+    assert len(models) == 2
+    assert sum(m.n_points for m in models) < 10_000
+    assert est.params_dict()["maxPointsPerCell"] == 10
+
+    # recall on the ORIGINAL (uncapped) points: the tile join still
+    # assigns the overwhelming majority to a cluster
+    scored = model.transform(df)
+    frac = scored.filter(F.col("cluster").isNotNull()).count() / scored.count()
+    assert frac >= 0.9
+
+
 def test_embedding_max_bucket_guard(spark):
     rnd = random.Random(11)
     base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(20)]

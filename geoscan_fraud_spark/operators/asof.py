@@ -19,6 +19,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Internal column names the join plans reserve for themselves.
+_ASOF_RESERVED = ("__src", "__rpack")
+_INTERVAL_RESERVED = ("__pid", "__iid", "__bucket")
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can ORDER BY a column of this type (maps cannot;
+    arrays/structs are orderable iff their element/field types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
 
 def asof_join(
     left: DataFrame,
@@ -36,12 +52,34 @@ def asof_join(
 
     Right's non-key, non-ts columns are attached with ``suffix``; the
     matched right timestamp arrives as ``ts<suffix>``.
+
+    Determinism: right rows tied on (key, ts) resolve to the greatest
+    tuple of their ORDERABLE value columns (pandas' "last occurrence" is
+    input-order-dependent, which a distributed engine cannot reproduce).
+    If the tied rows differ only in non-orderable columns (maps), the
+    pick is partition-order-dependent — give such data a real tiebreaker
+    column. Input column names may not collide with the reserved
+    internals (``__src``/``__rpack``) or with the suffixed output names;
+    both raise rather than silently shadowing.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = list(on)
     rvals = [c for c in right.columns if c not in keys and c != ts_col]
     lvals = [c for c in left.columns if c not in keys and c != ts_col]
+
+    clash = [c for c in _ASOF_RESERVED if c in left.columns or c in right.columns]
+    if clash:
+        raise ValueError(f"column names {clash} are reserved by asof_join")
+    out_left = set(keys) | {ts_col} | set(lvals)
+    clash = sorted(
+        {f"{c}{suffix}" for c in rvals + [ts_col]} & out_left
+    )
+    if clash:
+        raise ValueError(
+            f"suffixed right columns {clash} collide with left output columns; "
+            f"rename or pass a different suffix"
+        )
 
     # The matched right row travels as ONE struct so its fields can never
     # tear: filling each right column with its own last(ignorenulls=True)
@@ -69,15 +107,20 @@ def asof_join(
     )
     both = r.unionByName(l)
 
-    # Total order: (ts, side, right-value tuple). Right rows sort before
-    # left at equal ts (ties inclusive); right rows tied on ts resolve
-    # deterministically to the greatest value tuple — pandas' "last
-    # occurrence" is input-order-dependent, which a distributed engine
-    # cannot reproduce.
+    # Total order: (ts, side, orderable right value fields). Right rows
+    # sort before left at equal ts (ties inclusive); right rows tied on
+    # (key, ts) resolve by their orderable value fields — getField, not
+    # whole-struct ordering, so a MapType value column doesn't fail
+    # analysis when no tiebreak is even needed.
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    tiebreak = [
+        F.col("__rpack").getField(c).asc()
+        for c in rvals
+        if _orderable(right.schema[c].dataType)
+    ]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("__src").asc(), F.col("__rpack").asc())
+        .orderBy(ts_order, F.col("__src").asc(), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
@@ -92,8 +135,11 @@ def asof_join(
         *keys,
         ts_col,
         *[F.col(f"__l_{c}").alias(c) for c in lvals],
-        *[F.col(f"__rpack.{c}").alias(f"{c}{suffix}") for c in rvals],
-        F.col("__rpack.__ts").alias(f"{ts_col}{suffix}"),
+        *[
+            F.col("__rpack").getField(c).alias(f"{c}{suffix}")
+            for c in rvals
+        ],
+        F.col("__rpack").getField("__ts").alias(f"{ts_col}{suffix}"),
     )
 
 
@@ -115,33 +161,57 @@ def interval_join(
     Bucket-then-verify (the geo engine's cell join, J4, on a number
     line): intervals explode to the fixed-width buckets they cover,
     points map to their single bucket, the match is a plain equi-join on
-    (keys, bucket) followed by the exact range filter. Both sides carry a
-    per-row id for the duration of the join, so (a) duplicates from an
-    interval spanning several buckets are removed per ROW pair — value-
-    identical input rows still produce one match each (multiset
-    semantics) — and (b) the ``how='left'`` accounting of unmatched
-    points is id-based, immune to the null-unsafe-equality trap of
-    anti-joining on value columns. Pick ``bucket_width`` near the median
-    interval length: output work is then O(matches), not
+    (keys, bucket) followed by the exact range filter. Because each point
+    has exactly ONE bucket and an interval's exploded buckets are
+    distinct, every (point row, interval row) pair joins at most once —
+    multiset semantics with NO pair-dedup shuffle; value-identical input
+    rows each produce their own match. Pick ``bucket_width`` near the
+    median interval length: output work is then O(matches), not
     O(|points| x |intervals|). Long intervals only widen their own
     explode (len/width buckets); short ones cost one row.
 
     ``how='left'`` keeps unmatched points with NULL interval columns.
+    The unmatched-point accounting is by a per-row id assigned with
+    `monotonically_increasing_id`; the tagged point set and the matched
+    set are localCheckpoint-ed so the id assignment cannot differ between
+    the union branch and the anti-join branch (re-evaluation after a
+    shuffle, AQE re-plan, or task retry would otherwise re-assign ids
+    and silently drop or duplicate points). That makes ``how='left'`` an
+    eager two-materialization path — ``'inner'`` stays fully lazy.
+
     Leaving ``bucket_width`` unset runs one small eager aggregate over
     ``intervals`` (median length) before building the plan — pass an
-    explicit width in latency-sensitive call sites.
+    explicit width in latency-sensitive call sites (see COVERAGE.md
+    note). Points and intervals must not share non-key column names
+    (the join output would be ambiguous); reserved internals
+    (``__pid``/``__iid``/``__bucket``) are rejected likewise.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     keys = list(on or [])
+    clash = [
+        c
+        for c in _INTERVAL_RESERVED
+        if c in points.columns or c in intervals.columns
+    ]
+    if clash:
+        raise ValueError(f"column names {clash} are reserved by interval_join")
+    shared = sorted(
+        (set(points.columns) & set(intervals.columns)) - set(keys)
+    )
+    if shared:
+        raise ValueError(
+            f"points and intervals share non-key columns {shared}; "
+            f"rename one side (asof_join-style suffixing is the caller's choice)"
+        )
     if bucket_width is None:
         q = intervals.select(
-            F.expr(f"percentile_approx({end_col} - {start_col}, 0.5)")
+            F.percentile_approx(F.col(end_col) - F.col(start_col), 0.5)
         ).first()[0]
         bucket_width = float(q) if q and q > 0 else 1.0
     w = float(bucket_width)
 
-    iv = intervals.withColumn("__iid", F.monotonically_increasing_id()).withColumn(
+    iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -150,24 +220,37 @@ def interval_join(
             )
         ),
     )
-    pt = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
-        "__bucket", F.floor(F.col(point_col) / w).cast("long")
-    )
+    if how == "inner":
+        pt = points.withColumn(
+            "__bucket", F.floor(F.col(point_col) / w).cast("long")
+        )
+        return (
+            pt.join(iv, keys + ["__bucket"], "inner")
+            .filter(
+                (F.col(start_col) <= F.col(point_col))
+                & (F.col(point_col) < F.col(end_col))
+            )
+            .drop("__bucket")
+        )
+    # left: id-based accounting of unmatched points, behind lineage cuts
+    # so the ids are assigned exactly once (see docstring)
+    pt = points.withColumn(
+        "__pid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     matched = (
-        pt.join(iv, keys + ["__bucket"], "inner")
+        pt.withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
+        .join(iv, keys + ["__bucket"], "inner")
         .filter(
             (F.col(start_col) <= F.col(point_col))
             & (F.col(point_col) < F.col(end_col))
         )
         .drop("__bucket")
-        .dropDuplicates(["__pid", "__iid"])
+        .localCheckpoint(eager=True)
     )
-    if how == "inner":
-        return matched.drop("__pid", "__iid")
-    missing = pt.drop("__bucket").join(
-        matched.select("__pid"), "__pid", "left_anti"
-    )
-    for c in matched.columns:
+    missing = pt.join(matched.select("__pid"), "__pid", "left_anti")
+    for c in intervals.columns:
         if c not in pt.columns:
-            missing = missing.withColumn(c, F.lit(None).cast(dict(matched.dtypes)[c]))
-    return matched.unionByName(missing.select(matched.columns)).drop("__pid", "__iid")
+            missing = missing.withColumn(
+                c, F.lit(None).cast(intervals.schema[c].dataType)
+            )
+    return matched.unionByName(missing.select(matched.columns)).drop("__pid")

@@ -88,6 +88,14 @@ def _clear_orphan_location(spark: SparkSession, name: str) -> None:
     the catalog has no entry for ``name`` but its default warehouse
     location exists on disk, delete the directory. A *registered* table's
     location is never touched (save-mode semantics own those).
+
+    NOT called by default (ADVICE r05): "no entry in *this session's*
+    in-memory catalog" is also exactly the state of a live table owned by
+    a CONCURRENT Spark session (or another engine) sharing the warehouse
+    directory — an unconditional sweep would destroy its data. Callers
+    that own their warehouse exclusively (tests run against a per-session
+    temp warehouse; single-writer batch jobs) opt in via
+    ``write_table(..., clear_orphan=True)``.
     """
     if spark.catalog.tableExists(name):
         return
@@ -108,9 +116,17 @@ def _clear_orphan_location(spark: SparkSession, name: str) -> None:
     shutil.rmtree(loc, ignore_errors=True)
 
 
-def write_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
-    """S4 — managed table sink (parquet; Delta not present in this env)."""
-    _clear_orphan_location(df.sparkSession, name)
+def write_table(
+    df: DataFrame, name: str, mode: str = "overwrite", clear_orphan: bool = False
+) -> None:
+    """S4 — managed table sink (parquet; Delta not present in this env).
+
+    ``clear_orphan=True`` removes a crashed session's leftover warehouse
+    directory for ``name`` first — opt-in ONLY, because with in-memory
+    catalogs the same on-disk state can belong to a concurrent session
+    (see `_clear_orphan_location`)."""
+    if clear_orphan:
+        _clear_orphan_location(df.sparkSession, name)
     df.write.mode(mode).format("parquet").saveAsTable(name)
 
 
@@ -164,6 +180,7 @@ def write_bucketed_table(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    clear_orphan: bool = False,
 ) -> None:
     """S7 companion — hash-bucketed (+optionally sorted) managed table.
 
@@ -174,8 +191,10 @@ def write_bucketed_table(
     lever for repeated joins at the 100 TB scale — write the big fact
     tables bucketed by their join key and every downstream query saves
     the dominant shuffle (plan property pinned in tests/test_plans.py).
+    ``clear_orphan`` as in `write_table` — opt-in orphan sweep.
     """
-    _clear_orphan_location(df.sparkSession, name)
+    if clear_orphan:
+        _clear_orphan_location(df.sparkSession, name)
     w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

@@ -4,8 +4,11 @@
 `spark-warehouse/bt_*` directories (no catalog entry after a crashed
 session) made `saveAsTable` raise LOCATION_ALREADY_EXISTS. Two fixes, both
 pinned here: the suite runs against a per-session temp warehouse
-(conftest), and `write_table`/`write_bucketed_table` clear an orphaned
-location (and ONLY an orphaned one) before writing.
+(conftest), and `write_table`/`write_bucketed_table` can clear an orphaned
+location (and ONLY an orphaned one) before writing — since r06 behind the
+explicit `clear_orphan=True` opt-in (ADVICE r05: with in-memory catalogs,
+"no catalog entry" is also the state of a CONCURRENT session's live table,
+so sweeping must never be the default; see test_round6_fixes).
 """
 
 from __future__ import annotations
@@ -47,7 +50,9 @@ def test_bucketed_write_survives_orphan_location(spark, sf_dir):
     _seed_orphan(spark, "bt_orphan")
     ev = load_fixture(spark, sf_dir, "events").select("event_id", "user_id", "value")
     try:
-        write_bucketed_table(ev, "bt_orphan", ["user_id"], num_buckets=4)
+        write_bucketed_table(
+            ev, "bt_orphan", ["user_id"], num_buckets=4, clear_orphan=True
+        )
         assert spark.table("bt_orphan").count() == ev.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_orphan")
@@ -57,7 +62,7 @@ def test_write_table_survives_orphan_location(spark, sf_dir):
     _seed_orphan(spark, "t_orphan")
     na = load_fixture(spark, sf_dir, "nation")
     try:
-        write_table(na, "t_orphan")
+        write_table(na, "t_orphan", clear_orphan=True)
         assert spark.table("t_orphan").count() == na.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orphan")

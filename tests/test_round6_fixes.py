@@ -199,6 +199,104 @@ def test_personalized_max_points_per_cell_caps_mega_group(spark):
     assert frac >= 0.9
 
 
+def test_write_table_default_never_sweeps_foreign_directory(spark, sf_dir):
+    """ADVICE r05: a directory with no entry in THIS session's in-memory
+    catalog may be a concurrent session's live table. The default write
+    must fail loudly and leave it untouched; only clear_orphan=True
+    sweeps it."""
+    import os
+    from urllib.parse import urlparse
+
+    from geoscan_fraud_spark.sources.io import load_fixture, write_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, "t_foreign")
+    os.makedirs(loc, exist_ok=True)
+    marker = os.path.join(loc, "part-00000-other-session.parquet")
+    with open(marker, "w") as fh:
+        fh.write("live bytes owned by a concurrent session")
+    na = load_fixture(spark, sf_dir, "nation")
+    try:
+        with pytest.raises(Exception, match="(?i)location.*exists|already exists"):
+            write_table(na, "t_foreign")
+        assert os.path.exists(marker), "default write_table deleted foreign data"
+        write_table(na, "t_foreign", clear_orphan=True)
+        assert spark.table("t_foreign").count() == na.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_foreign")
+
+
+def test_interval_join_rejects_ambiguous_and_reserved_columns(spark):
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    p = spark.createDataFrame([(1, 5.0, "x")], ["pid", "v", "tag"])
+    iv = spark.createDataFrame([(1, 0.0, 10.0, "y")], ["iid_c", "lo", "hi", "tag"])
+    with pytest.raises(ValueError, match="share non-key columns.*tag"):
+        interval_join(p, iv, "v", "lo", "hi")
+    p2 = p.withColumnRenamed("tag", "__pid")
+    iv2 = iv.drop("tag")
+    with pytest.raises(ValueError, match="reserved"):
+        interval_join(p2, iv2, "v", "lo", "hi")
+
+
+def test_interval_join_left_multiset_and_id_stability(spark):
+    """The how='left' accounting must survive re-evaluation: ids are
+    assigned behind a lineage cut, value-identical point rows each keep
+    their own match row, and unmatched points arrive exactly once with
+    NULL interval columns — even when the input arrives post-shuffle."""
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    rows = [(1, 5.0), (2, 5.0), (3, 25.0), (4, 99.0)]  # 99.0 unmatched
+    p = (
+        spark.createDataFrame(rows * 3, ["pid", "v"])
+        .repartition(7, "v")  # adversarial: upstream shuffle before ids
+        .filter(F.col("pid") <= 4)
+        .distinct()
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 20.0, 30.0), (300, 0.0, 30.0)],
+        ["iv_id", "lo", "hi"],
+    )
+    out = interval_join(p, iv, "v", "lo", "hi", bucket_width=10.0, how="left")
+    got = [(r.pid, r.iv_id) for r in out.collect()]
+    assert sorted(got) == [
+        (1, 100), (1, 300), (2, 100), (2, 300), (3, 200), (3, 300), (4, None),
+    ]
+    # inner path: no pair-dedup needed — each (point, interval) pair joins
+    # in exactly one bucket even when the interval spans several
+    inner = interval_join(p, iv, "v", "lo", "hi", bucket_width=5.0)
+    assert inner.count() == 6
+
+
+def test_asof_join_validates_and_orders_map_values(spark):
+    from geoscan_fraud_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 10, 1.0)], ["k", "ts", "value"])
+    r = spark.createDataFrame([(1, 9, 2.0)], ["k", "ts", "value"])
+    # suffixed collision: right 'value' -> 'value_r' is fine, but a left
+    # column literally named value_r must be rejected
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l.withColumn("value_r", F.lit(0.0)), r, on=["k"])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l.withColumn("__rpack", F.lit(0)), r, on=["k"])
+    # a MapType value column must not break analysis (no whole-struct sort)
+    rm = r.withColumn("props", F.create_map(F.lit("a"), F.lit(1)))
+    out = asof_join(l, rm, on=["k"]).collect()
+    assert len(out) == 1 and out[0]["value_r"] == 2.0 and out[0]["props_r"]["a"] == 1
+
+
+def test_interval_join_percentile_handles_odd_column_names(spark):
+    """ADVICE r05 low: default bucket_width must not break on column
+    names needing backticks (built via typed F.percentile_approx, not
+    string-interpolated SQL)."""
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    p = spark.createDataFrame([(1, 5.0)], ["pid", "the point"])
+    iv = spark.createDataFrame([(7, 0.0, 10.0)], ["iv id", "lo col", "hi col"])
+    out = interval_join(p, iv, "the point", "lo col", "hi col")
+    assert [(r["pid"], r["iv id"]) for r in out.collect()] == [(1, 7)]
+
+
 def test_embedding_max_bucket_guard(spark):
     rnd = random.Random(11)
     base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(20)]

@@ -109,10 +109,32 @@ def main():
         weights = {f"src{i}": 1.0 for i in range(20)}
         return sample_mixture(d, weights, total_n=2000)
 
+    def bench_ivf_quantized(spark, sf_dir):
+        """int8-quantized IVF probe + exact re-rank (the memory-bound ANN
+        shape) over the fixed sf0.01 quantizer — directly comparable with
+        the registered float `ann_ivf_topk`."""
+        from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
+        from geoscan_fraud_spark.operators.similarity import ivf_topk_quantized
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        e = load_fixture(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 50)
+        cent = _ivf_centroids("/root/testdata/sf0.01")
+        return ivf_topk_quantized(
+            q, e, k=10, n_centroids=16, nprobe=4, centroids=cent
+        )
+
     extras = {
         "decontaminate": bench_decontaminate,
         "pack_documents": bench_pack_documents,
         "sample_mixture": bench_sample_mixture,
+        # round-5/6 operators (VERDICT r05 #5): the three are registered
+        # driver entries, timed here on the same sf as the headline set
+        "asof_join": QUERIES["asof_join"],
+        "interval_join": QUERIES["interval_join"],
+        "chunk_documents": QUERIES["chunk_documents"],
+        "ann_ivf_quantized": bench_ivf_quantized,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

@@ -93,33 +93,21 @@ def brute_force_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    emb_col: str = "embedding",
-    id_col: str = "vec_id",
-    seed: int = 42,
-    centroids: list[list[float]] | None = None,
-) -> DataFrame:
-    """IVF ANN: coarse quantizer + probe-nearest-lists.
+def _ivf_assign_probe(
+    c: DataFrame,
+    q: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    seed: int,
+    centroids: list[list[float]] | None,
+):
+    """Shared IVF front half: assign corpus vectors to inverted lists and
+    pick each query's ``nprobe`` probe lists.
 
-    Returns (query_id, vec_id, sim, rank). Approximate: recall depends on
-    nprobe/n_centroids (tested against the brute-force baseline).
-
-    Quantizer: by default a seeded MLlib KMeans fit (distributed — the
-    scale path). Pass ``centroids`` (e.g. from `lloyd_centroids`) to use a
-    fixed quantizer instead: assignment and probing then run as pure
-    column expressions over centroid literals, which makes the whole
-    query replayable in an external SQL oracle. Assignment = nearest
-    centroid by squared L2 (first index on ties); probe order = ascending
-    squared L2, ties by list id. 1-based list ids in this mode.
-    """
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-
+    Returns (assigned, probes): assigned = (vec_id, c_emb, list_id),
+    probes = (query_id, q_emb, list_id). Quantizer: seeded MLlib KMeans
+    by default (distributed — the scale path); fixed ``centroids``
+    literals otherwise (oracle-replayable; 1-based list ids)."""
     if centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -133,7 +121,7 @@ def ivf_topk(
         cent_rows = [
             (i, [float(v) for v in ctr]) for i, ctr in enumerate(model.clusterCenters())
         ]
-        cent_df = corpus.sparkSession.createDataFrame(cent_rows, ["list_id", "centroid"])
+        cent_df = c.sparkSession.createDataFrame(cent_rows, ["list_id", "centroid"])
         probes = (
             q.crossJoin(F.broadcast(cent_df))
             .withColumn("c_sim", cosine_expr(F.col("q_emb"), F.col("centroid")))
@@ -176,6 +164,36 @@ def ivf_topk(
             .filter(F.col("c_rank") <= nprobe)
             .select("query_id", "q_emb", (F.col("pos") + 1).alias("list_id"))
         )
+    return assigned, probes
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse quantizer + probe-nearest-lists.
+
+    Returns (query_id, vec_id, sim, rank). Approximate: recall depends on
+    nprobe/n_centroids (tested against the brute-force baseline).
+
+    Quantizer: by default a seeded MLlib KMeans fit (distributed — the
+    scale path). Pass ``centroids`` (e.g. from `lloyd_centroids`) to use a
+    fixed quantizer instead: assignment and probing then run as pure
+    column expressions over centroid literals, which makes the whole
+    query replayable in an external SQL oracle. Assignment = nearest
+    centroid by squared L2 (first index on ties); probe order = ascending
+    squared L2, ties by list id. 1-based list ids in this mode.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    assigned, probes = _ivf_assign_probe(c, q, n_centroids, nprobe, seed, centroids)
     scored = (
         probes.join(assigned, "list_id")
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -189,10 +207,73 @@ def ivf_topk(
     )
 
 
+def ivf_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN over an int8-quantized corpus with exact re-rank — the
+    standard memory-bound ANN shape at 100 TB (VERDICT r05 #8).
+
+    The probe scan reads the 8x-smaller ``(scale, qvec)`` representation
+    (for a scan-bound corpus that is the difference between an IO-bound
+    pass and not); symmetric quantization means the positive per-vector
+    scale cancels out of the cosine, so the approximate score is simply
+    ``cosine(query, qvec)`` — the only error is int8 rounding. The top
+    ``rerank * k`` candidates per query are then re-scored against the
+    full-precision vectors (a join whose left side is tiny — AQE
+    broadcasts it) and the exact top-k returned. Output matches
+    `ivf_topk`'s contract: (query_id, vec_id, sim, rank) with ``sim`` the
+    EXACT rounded cosine, so downstream consumers see identical schema
+    and semantics whichever path produced them.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    assigned, probes = _ivf_assign_probe(c, q, n_centroids, nprobe, seed, centroids)
+    q8 = quantize_embeddings(
+        assigned, vec_col="c_emb", id_col="vec_id", keep_cols=["list_id"]
+    )
+    cand = (
+        probes.join(q8, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "sim_q",
+            cosine_expr(F.col("q_emb"), F.transform("qvec", lambda x: x.cast("double"))),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("vec_id"))
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= rerank * k)
+        .select("query_id", "q_emb", "vec_id")
+    )
+    # re-rank against the RAW corpus relation, not `assigned`: the exact
+    # pass needs only (vec_id -> c_emb), and joining `assigned` here would
+    # re-evaluate the centroid-assignment folds over the whole corpus a
+    # second time
+    rescored = shortlist.join(c, "vec_id").withColumn(
+        "sim", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Symmetric int8 quantization: (id, scale, qvec array<tinyint>) with
     ``value ~= scale * q`` and scale = max(|v|)/127 per vector.
@@ -202,14 +283,17 @@ def quantize_embeddings(
     difference between an ANN pass that is scan-bound and one that is
     not. Pure column algebra (aggregate + transform), map-only; the
     recall cost is bounded by the quantization error (~0.4% of the max
-    coordinate), verified against exact cosine in tests.
+    coordinate), verified against exact cosine in tests. ``keep_cols``
+    carries extra columns through unchanged (e.g. an IVF list id).
     """
+    keep = list(keep_cols or [])
     v = F.col(vec_col)
     amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
     return df.select(
-        F.col(id_col), (amax / F.lit(127.0)).alias("scale"), v.alias("__v")
+        F.col(id_col), *keep, (amax / F.lit(127.0)).alias("scale"), v.alias("__v")
     ).select(
         id_col,
+        *keep,
         "scale",
         F.transform(
             F.col("__v"),

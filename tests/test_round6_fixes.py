@@ -297,6 +297,34 @@ def test_interval_join_percentile_handles_odd_column_names(spark):
     assert [(r["pid"], r["iv id"]) for r in out.collect()] == [(1, 7)]
 
 
+def test_ivf_quantized_recall(spark, sf_dir):
+    """VERDICT r05 #8: int8-quantized IVF with exact re-rank. (a) vs the
+    float IVF at identical probing, the quantized scan + rerank loses
+    almost nothing (isolates int8 rounding); (b) probing every list, the
+    quantized path keeps >= 0.9 recall vs float brute force (the
+    verdict's bar, with probing error excluded)."""
+    from geoscan_fraud_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_quantized,
+    )
+    from geoscan_fraud_spark.sources.io import load_fixture
+
+    emb = load_fixture(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    f_ivf = pairs(ivf_topk(q, emb, k=10, n_centroids=8, nprobe=4))
+    q_ivf = pairs(ivf_topk_quantized(q, emb, k=10, n_centroids=8, nprobe=4))
+    assert len(f_ivf & q_ivf) / len(f_ivf) >= 0.9
+
+    exact = pairs(brute_force_topk(q, emb, k=10))
+    q_full = pairs(ivf_topk_quantized(q, emb, k=10, n_centroids=8, nprobe=8))
+    assert len(exact & q_full) / len(exact) >= 0.9
+
+
 def test_embedding_max_bucket_guard(spark):
     rnd = random.Random(11)
     base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(20)]

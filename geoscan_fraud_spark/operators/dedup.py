@@ -306,6 +306,11 @@ def minhash_dedup(
     caps residual hot buckets (distinct-but-near-identical floods) with
     the `_cap_buckets` recall tradeoff."""
     if precollapse_exact:
+        # NULL texts all land in one md5(NULL) group — consistent with the
+        # uncollapsed pipeline, where `word_shingles` gives a NULL text the
+        # same [''] shingle set as an empty text (concat_ws folds the null
+        # array to ''), so the LSH+CC path merges them regardless
+        # (equivalence pinned in test_round6_fixes).
         reps = df.join(
             df.groupBy(F.md5(F.col(text_col).cast("string")).alias("__d"))
             .agg(F.min(F.col(id_col)).alias(id_col))

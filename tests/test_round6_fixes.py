@@ -70,6 +70,31 @@ def test_minhash_precollapse_is_result_preserving(spark):
     assert 0 in kept_pre
 
 
+def test_minhash_precollapse_null_and_empty_text_equivalence(spark):
+    """NULL and empty texts both shingle to [''] in the raw pipeline
+    (concat_ws folds a null word array to ''), so they merge with each
+    other there; the pre-collapse path must land on the same kept set."""
+    rows = _doc_rows(6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows] + [(900, None), (901, None), (902, "")],
+        "doc_id long, text string",
+    )
+    kwargs = dict(threshold=0.5, num_hashes=48, bands=12)
+    kept_pre = {
+        r.doc_id
+        for r in dd.minhash_dedup(df, precollapse_exact=True, **kwargs)
+        .select("doc_id").collect()
+    }
+    kept_raw = {
+        r.doc_id
+        for r in dd.minhash_dedup(df, precollapse_exact=False, **kwargs)
+        .select("doc_id").collect()
+    }
+    assert kept_pre == kept_raw
+    # the degenerate docs collapse to the min id among {900, 901, 902}
+    assert kept_pre & {900, 901, 902} == {900}
+
+
 def test_max_bucket_caps_candidate_pairs_on_flood(spark):
     """With a 300x-duplicated doc, uncapped candidates are O(copies^2);
     max_bucket drops the flood buckets and the count falls to

@@ -306,18 +306,16 @@ def minhash_dedup(
     caps residual hot buckets (distinct-but-near-identical floods) with
     the `_cap_buckets` recall tradeoff."""
     if precollapse_exact:
+        # ONE extra shuffle: exact_dedup_agg's min_by aggregate collapses
+        # duplicate texts map-side and hands back full representative ROWS
+        # (no join back to df needed); the closing semi-join replaces the
+        # uncollapsed path's anti-join, so it isn't additional cost.
         # NULL texts all land in one md5(NULL) group — consistent with the
         # uncollapsed pipeline, where `word_shingles` gives a NULL text the
         # same [''] shingle set as an empty text (concat_ws folds the null
         # array to ''), so the LSH+CC path merges them regardless
         # (equivalence pinned in test_round6_fixes).
-        reps = df.join(
-            df.groupBy(F.md5(F.col(text_col).cast("string")).alias("__d"))
-            .agg(F.min(F.col(id_col)).alias(id_col))
-            .select(id_col),
-            id_col,
-            "left_semi",
-        )
+        reps = exact_dedup_agg(df, [text_col], id_col)
         kept = minhash_dedup(
             reps, text_col, id_col, n, num_hashes, bands, threshold,
             sig_hash, precollapse_exact=False, max_bucket=max_bucket,

@@ -1,0 +1,192 @@
+"""Incremental dedup against a persisted MinHash signature store.
+
+Batch dedup (`operators/dedup.py`) assumes the whole corpus is in hand.
+A 100 TB training-data pipeline doesn't work that way: the corpus is an
+append-only sequence of crawl/ingest batches, and re-running LSH over
+100 TB for every incoming 100 GB batch is a non-starter. The standard
+shape (what the reference's TTL'd online store, `02_geofraud_fraud.py:
+268-287`, is for model scores) is a compact *signature index* — one
+`(id, array<bigint>)` row per retained document, ~8·H bytes each, ~3-4
+orders of magnitude smaller than the corpus — persisted between runs;
+each new batch is deduped (a) against the index and (b) within itself,
+and the survivors' signatures are appended to the index.
+
+Everything here is signature-only: similarity between a new doc and an
+indexed doc is the MinHash *estimate* of Jaccard (fraction of equal
+signature components — the unbiased textbook estimator; stderr
+~ sqrt(j(1-j)/H), ±0.07 at H=48), because the indexed documents' text
+is by design cold — the whole point of the index is never touching it
+again. Batch-internal pairs use the same estimator for consistency (the
+full-text-verify path is the batch operator `minhash_dedup`).
+
+100 TB shape: the index never shuffles wholesale — the band join is
+keyed by (band, band-hash), high-cardinality and naturally balanced,
+and the candidate restriction joins touch only signature rows whose ids
+appear in a candidate pair. The hot-bucket guard (`_cap_buckets`) is
+available on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.components import connected_components
+from geoscan_fraud_spark.operators.dedup import (
+    _cap_buckets,
+    minhash_signature_table,
+)
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    sig_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig array<bigint>) signature rows — the persistable corpus
+    index. One row per document, 8·num_hashes bytes of signature; write
+    with `sources.io.write_table` and read back for the next batch.
+
+    The array packing (vs H named columns) keeps the persisted schema
+    independent of H-at-write-time readers and makes the estimator a
+    single `zip_with` fold."""
+    sig = minhash_signature_table(df, text_col, id_col, n, num_hashes, sig_hash)
+    return sig.select(
+        "id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def _banded_sig(
+    sig_df: DataFrame, num_hashes: int, bands: int, sig_hash: str
+) -> DataFrame:
+    """(id, band, bh) band-bucket rows from array signatures — same band
+    hashing as `minhash_candidate_pairs` (md5 over '|'-joined decimal
+    components for the oracle-portable family, xxhash64 otherwise), so an
+    index written by one path buckets identically to a batch banded by
+    the other run of the same configuration."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    r = num_hashes // bands
+    if sig_hash == "md5":
+        band_hashes = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at("sig", b * r + j + 1) for j in range(r)],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+    elif sig_hash == "xxhash64":
+        band_hashes = F.array(
+            *[
+                F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
+                for b in range(bands)
+            ]
+        )
+    else:
+        raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
+    return sig_df.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def estimated_jaccard(sig_a, sig_b):
+    """MinHash Jaccard estimate: fraction of equal signature components.
+    Native fold over the zipped arrays — a double in [0, 1]."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return F.aggregate(eq, F.lit(0), lambda s, x: s + x) / F.size(sig_a)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    sig_hash: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch against a signature index AND within
+    itself; return the kept rows of ``new_df`` (append their
+    `minhash_index` rows to the store afterwards).
+
+    Drop rules (component-level, consistent with `minhash_dedup`'s
+    connected-components collapse):
+      1. a new doc whose estimated Jaccard vs ANY indexed doc clears
+         ``threshold`` is dropped (its cluster is already represented);
+      2. batch-internal near-dup components keep their min-id member —
+         unless the component contains an index-matched doc, in which
+         case the WHOLE component is dropped (transitively represented).
+
+    The estimator needs identical (n, num_hashes, sig_hash) between the
+    index build and this call; banding (``bands``) may differ run-to-run
+    — it only changes candidate recall, not the estimate."""
+    new_sig = minhash_index(
+        new_df, text_col, id_col, n, num_hashes, sig_hash
+    ).localCheckpoint(eager=True)
+    idx = index.select(F.col("id").alias("oid"), F.col("sig").alias("osig"))
+
+    nb = _banded_sig(new_sig, num_hashes, bands, sig_hash)
+    ib = _banded_sig(
+        idx.select(F.col("oid").alias("id"), F.col("osig").alias("sig")),
+        num_hashes,
+        bands,
+        sig_hash,
+    ).select("band", "bh", F.col("id").alias("oid"))
+    if max_bucket is not None:
+        nb = _cap_buckets(nb, ["band", "bh"], max_bucket)
+        ib = _cap_buckets(ib, ["band", "bh"], max_bucket)
+
+    # stage 1 — batch vs index: band-bucket candidates, then estimate
+    cand_ix = (
+        nb.join(ib, ["band", "bh"]).select("id", "oid").distinct()
+    )
+    matched = (
+        cand_ix.join(new_sig, "id")
+        .join(idx, "oid")
+        .filter(estimated_jaccard(F.col("sig"), F.col("osig")) >= threshold)
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the component flag AND the final drop
+    )
+
+    # stage 2 — batch-internal: band self-join, estimate, components
+    a = nb.select("band", "bh", F.col("id").alias("id_a"))
+    b = nb.select("band", "bh", F.col("id").alias("id_b"))
+    cand_in = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = new_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = new_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand_in.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+
+    # components containing an index-matched member are fully represented
+    comp_matched = (
+        cc.join(matched, "id", "left_semi").select("component").distinct()
+    )
+    drop_cc = cc.join(comp_matched, "component", "left_semi").select("id")
+    drop_rep = cc.filter(F.col("id") != F.col("component")).select("id")
+    drop = matched.union(drop_cc).union(drop_rep).distinct()
+
+    return new_df.join(
+        drop.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )

@@ -1,4 +1,5 @@
-"""Seeded spatial downsampling — the reference's skew mitigation.
+"""Seeded sampling — spatial downsampling (the reference's skew
+mitigation) and weighted reservoir sampling for corpus curation.
 
 Reference `01_geofraud_clustering.py:170-198`: cap points per fine cell
 (<=10 per res-11 ~30 m cell) before fitting; "dropped our skew by 80%"
@@ -45,4 +46,55 @@ def spatial_downsample(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_cell)
         .drop("__rn")
+    )
+
+
+#: Scale of the md5-hex-slice uniform: 15 hex chars = 60 bits.
+_U_SCALE = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows, each row's
+    inclusion probability proportional to ``weight_col`` (Efraimidis-
+    Spirakis A-ES: per-row key u^(1/w) with u ~ Uniform(0,1], keep the
+    k largest keys — the one-pass reservoir scheme).
+
+    Deterministic and engine-portable: u derives from a 60-bit md5 slice
+    of (id, seed) — the same hex-slice-to-bigint trick the dedup oracles
+    use — so a DuckDB replay computes bit-identical uniforms. (The pow()
+    itself is IEEE-double in both engines; a rank flip would need two
+    keys within 1 ulp, negligible for real weights.) Ties break by id.
+
+    100 TB shape: the top-k is `orderBy(key desc).limit(k)` — Spark
+    plans TakeOrderedAndProject: per-partition k-heaps, then a driver
+    merge of per-partition tops. No global sort, no full shuffle; the
+    driver holds O(partitions · k) keys. For k beyond driver memory use
+    stratified/mixture sampling (`operators/packing.py`) instead.
+
+    Rows with weight <= 0 or NULL are excluded (zero mass)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(_U_SCALE)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
     )

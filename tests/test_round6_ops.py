@@ -1,0 +1,253 @@
+"""Round-6 operators: incremental dedup against a signature index,
+skew-salted join, weighted sampling, HLL corpus profiling."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.incremental import (
+    dedup_against_index,
+    estimated_jaccard,
+    minhash_index,
+)
+from geoscan_fraud_spark.operators.profiling import merge_profiles, profile_corpus
+from geoscan_fraud_spark.operators.sampling import weighted_sample
+from geoscan_fraud_spark.operators.skew import salted_join
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _mutate(docs, id_shift, drop_mod=13, drop_idx=5):
+    words = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        (F.col("doc_id") + id_shift).alias("doc_id"),
+        F.concat_ws(
+            " ", F.filter(words, lambda w, i: (i % drop_mod) != drop_idx)
+        ).alias("text"),
+    )
+
+
+def test_exact_copies_match_index_with_estimate_one(spark, docs):
+    idx = minhash_index(docs, num_hashes=48)
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    kept = dedup_against_index(
+        copies, idx, num_hashes=48, bands=12, threshold=0.99
+    )
+    # identical text -> identical signature -> estimate 1.0 -> all dropped
+    assert kept.count() == 0
+
+
+def test_fresh_docs_survive_index(spark, docs):
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(half, num_hashes=48)
+    kept = dedup_against_index(
+        other, idx, num_hashes=48, bands=12, threshold=0.5
+    )
+    # the fixture corpus PLANTS real near-dups (e.g. doc 33 vs 436 differ
+    # by one trailing word), so a handful of odd-half docs legitimately
+    # match the even-half index or each other; the bulk must survive
+    assert kept.count() >= int(other.count() * 0.9)
+
+
+def test_incremental_matches_mutated_neardups(spark, docs):
+    idx = minhash_index(docs, num_hashes=48)
+    mutated = _mutate(docs, 1_000_000)
+    kept = dedup_against_index(
+        mutated, idx, num_hashes=48, bands=12, threshold=0.5
+    )
+    # 1-in-13 word drop keeps true Jaccard ~0.6; the estimate (stderr
+    # ~0.07 at H=48) clears 0.5 for the large majority
+    assert kept.count() <= int(mutated.count() * 0.2)
+
+
+def test_batch_internal_component_rule(spark):
+    # a: indexed. batch: b ~ a (near-dup of index), c ~ b (chained, not
+    # directly near a), d unrelated -> component {b, c} contains an
+    # index-matched member, both drop; d survives.
+    base = " ".join(f"w{i}" for i in range(60))
+    words = base.split()
+    b_text = " ".join(w for i, w in enumerate(words) if i % 13 != 5)
+    c_text = " ".join(w for i, w in enumerate(words) if i % 13 != 5 and i % 17 != 3)
+    d_text = " ".join(f"z{i}" for i in range(60))
+    a = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, b_text), (11, c_text), (12, d_text)], "doc_id long, text string"
+    )
+    idx = minhash_index(a, num_hashes=48)
+    kept = dedup_against_index(batch, idx, num_hashes=48, bands=12, threshold=0.4)
+    assert sorted(r.doc_id for r in kept.collect()) == [12]
+
+
+def test_estimated_jaccard_bounds(spark, docs):
+    sig = minhash_index(docs.limit(20), num_hashes=48)
+    a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        a.crossJoin(b)
+        .withColumn("est", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .collect()
+    )
+    for r in est:
+        assert 0.0 <= r.est <= 1.0
+        if r.id_a == r.id_b:
+            assert r.est == 1.0
+
+
+def test_index_roundtrip_through_parquet(spark, docs, tmp_path):
+    idx = minhash_index(docs.limit(50), num_hashes=48)
+    path = str(tmp_path / "sig_index")
+    idx.write.parquet(path)
+    idx_back = spark.read.parquet(path)
+    copies = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    kept = dedup_against_index(
+        copies, idx_back, num_hashes=48, bands=12, threshold=0.99
+    )
+    assert kept.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_inner(spark, sf_dir):
+    o = load_fixture(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_fixture(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    salted = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], salt=8
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    left = spark.range(0, 100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, tag string")
+    out = salted_join(left, right, ["k"], how="left", salt=4)
+    rows = out.collect()
+    assert len(rows) == 100
+    unmatched = [r for r in rows if r.tag is None]
+    assert len(unmatched) == len([r for r in rows if r.k == 2])
+
+
+def test_salted_join_scatters_hot_key(spark):
+    # one hot key with varied payloads must spread across several salts
+    from geoscan_fraud_spark.operators.skew import _SALT_COL  # noqa: F401
+
+    left = spark.range(0, 1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("v")
+    )
+    s = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("k"), F.col("v"), F.lit(42)), F.lit(16)).cast("int"),
+    )
+    n_salts = s.select("__salt").distinct().count()
+    assert n_salts >= 12  # 1000 draws over 16 buckets: all ~certainly hit
+
+
+def test_salted_join_rejects_bad_args(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], salt=0)
+    bad = df.withColumn("__salt", F.lit(1))
+    with pytest.raises(ValueError):
+        salted_join(bad, df, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_size_and_determinism(spark, sf_dir):
+    d = load_fixture(spark, sf_dir, "documents")
+    s1 = weighted_sample(d, "n_chars", 50, seed=7)
+    s2 = weighted_sample(d, "n_chars", 50, seed=7)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert len(ids1) == 50
+    assert ids1 == ids2
+    s3 = weighted_sample(d, "n_chars", 50, seed=8)
+    assert sorted(r.doc_id for r in s3.collect()) != ids1
+
+
+def test_weighted_sample_bias(spark):
+    # two strata, weights 10:1 -> heavy stratum should dominate the sample
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy_share = []
+    for seed in range(5):
+        s = weighted_sample(df, "w", 100, seed=seed)
+        heavy = s.filter(F.col("doc_id") < 500).count()
+        heavy_share.append(heavy / 100.0)
+    avg = sum(heavy_share) / len(heavy_share)
+    # E[heavy share] ~ 0.89 under A-ES with 10:1 weights at 10% sampling
+    assert avg > 0.75
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "doc_id long, w double"
+    )
+    s = weighted_sample(df, "w", 10)
+    assert [r.doc_id for r in s.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# HLL profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_estimate_near_exact(spark, docs):
+    prof = profile_corpus(docs, None).collect()[0]
+    exact = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert prof.n_docs == docs.count()
+    assert abs(prof.distinct_tokens - exact) / exact < 0.05
+    exact_tokens = docs.select(
+        F.sum(F.size(F.split("text", r"\s+")))
+    ).collect()[0][0]
+    assert prof.n_tokens == exact_tokens
+
+
+def test_profile_merge_matches_global(spark, sf_dir):
+    d = load_fixture(spark, sf_dir, "documents")
+    per_source = profile_corpus(d, ["source"])
+    merged = merge_profiles(per_source, None).collect()[0]
+    direct = profile_corpus(d, None).collect()[0]
+    assert merged.n_docs == direct.n_docs
+    assert merged.n_tokens == direct.n_tokens
+    # HLL union of disjoint-batch sketches == sketch of the union
+    assert (
+        abs(merged.distinct_tokens - direct.distinct_tokens)
+        <= 0.01 * direct.distinct_tokens
+    )
+
+
+def test_profile_groups(spark, sf_dir):
+    d = load_fixture(spark, sf_dir, "documents")
+    prof = profile_corpus(d, ["source"])
+    sources = {r.source for r in d.select("source").distinct().collect()}
+    assert {r.source for r in prof.collect()} == sources
+    assert prof.filter(F.col("n_docs") <= 0).count() == 0

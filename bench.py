@@ -125,6 +125,14 @@ def main():
             q, e, k=10, n_centroids=16, nprobe=4, centroids=cent
         )
 
+    def bench_profile_corpus(spark, sf_dir):
+        from geoscan_fraud_spark.operators.profiling import profile_corpus
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        return profile_corpus(
+            load_fixture(spark, sf_dir, "documents"), ["source"]
+        )
+
     extras = {
         "decontaminate": bench_decontaminate,
         "pack_documents": bench_pack_documents,
@@ -135,6 +143,11 @@ def main():
         "interval_join": QUERIES["interval_join"],
         "chunk_documents": QUERIES["chunk_documents"],
         "ann_ivf_quantized": bench_ivf_quantized,
+        # round-6 operators: three registered entries + the HLL profile
+        "dedup_incremental": QUERIES["dedup_incremental"],
+        "weighted_sample": QUERIES["weighted_sample"],
+        "salted_join": QUERIES["salted_join"],
+        "profile_corpus": bench_profile_corpus,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

@@ -181,12 +181,11 @@ def p_isnull_left_outer(spark, sf_dir):
     )
 
 
-@register(
-    "p_drop_neq_filter",
-    sql="""
-    SELECT event_id, user_id, event_type FROM events WHERE event_type <> 'view'
-    """,
-)
+# P2/P6 (drop + inequality filter) was a registered entry through r05; the
+# same algebra is driver-evidenced elsewhere (every entry projects; the
+# hash-green `dedup_minhash` pipeline filters `id <> component`, and
+# `p_isnull_left_outer`/`j3` filter on `>`), so the slot under the driver's
+# 50-entry cap now funds `dedup_incremental` (round-6 rotation).
 def p_drop_neq_filter(spark, sf_dir):
     """P2 drop + P6 inequality filter."""
     ev = _t(spark, sf_dir, "events")
@@ -272,16 +271,35 @@ def j3_anti_join(spark, sf_dir):
 
 
 @register(
-    "j5_scalar_in_expr",
+    "salted_join",
     sql="""
-    SELECT n.n_name,
-           count(*) AS customer_cnt,
-           ROUND(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM customer), 6)
-             AS customer_share
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
+    SELECT o.o_orderkey, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )
+def salted_join_entry(spark, sf_dir):
+    """Skew-salted equi-join (`operators/skew.py`) — the oracle is the
+    PLAIN join, pinning that deterministic key salting (skewed side
+    scattered over 8 sub-keys, replicated side exploded 8x) is exactly
+    semantics-preserving."""
+    from geoscan_fraud_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return salted_join(o, c, ["o_custkey"], salt=8).select(
+        "o_orderkey", "c_nationkey"
+    )
+
+
+# J5 (scalar broadcast -> folded literal) was a registered entry through
+# r05; the identical algebra — a driver-side global count folded into the
+# plan as F.lit — is driver-evidenced by the hash-green
+# `u3_tfidf_relational`/`geoscan_personalized_tiles` entries (their IDF
+# N = document_frequency.count() constant-folds the same way,
+# operators/tiles.py), so the slot under the driver's 50-entry cap now
+# funds `salted_join` (round-6 rotation).
 def j5_scalar_in_expr(spark, sf_dir):
     """J5 — scalar 'broadcast' as a folded literal (replaces `01:408-409`
     RDD broadcast with `F.lit(count)` constant folding)."""
@@ -338,10 +356,11 @@ def a2_collect_sorted(spark, sf_dir):
 # 50-entry cap now funds `vocab_token_frequencies` (VERDICT r04 #4).
 
 
-@register(
-    "a4_distinct",
-    sql="SELECT DISTINCT user_id, event_type FROM events",
-)
+# A4 (distinct) was a registered entry through r05; distinct algebra is
+# driver-evidenced by `distinct_users_exact` (COUNT(DISTINCT ...)) and by
+# the hash-green LSH pipelines (`dedup_minhash`'s candidate `.distinct()`
+# is replayed verbatim in its oracle), so the slot under the driver's
+# 50-entry cap now funds `weighted_sample` (round-6 rotation).
 def a4_distinct(spark, sf_dir):
     return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
 
@@ -365,8 +384,8 @@ def a5_groupby_max(spark, sf_dir):
 
 
 # A6 (global count) was a registered entry through r05; the same global
-# aggregate algebra is driver-evidenced by `j5_scalar_in_expr` (its share
-# denominator is the global customer count) and every groupBy+count entry,
+# aggregate algebra is driver-evidenced by `u3_tfidf_relational` (its IDF
+# N is a global count folded via F.lit) and every groupBy+count entry,
 # so the slot under the driver's 50-entry cap now funds `asof_join`
 # (VERDICT r05 #2).
 def a6_global_count(spark, sf_dir):

@@ -650,3 +650,170 @@ def vocab_token_frequencies(spark, sf_dir):
     return token_frequencies(
         _t(spark, sf_dir, "documents"), k=200, id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 rotations: weighted sampling, incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample",
+    sql="""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             pow((('0x' || substr(md5(doc_id::VARCHAR || '-' || '7'), 1, 15))::BIGINT
+                    + 1) / 1152921504606846976.0,
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0
+      ORDER BY k DESC, doc_id LIMIT 100)
+    ORDER BY doc_id
+    """,
+)
+def weighted_sample_entry(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling (operators/sampling.py):
+    key = u^(1/w) with u a 60-bit md5-slice uniform — bit-identical
+    between engines, so DuckDB replays the exact sample membership.
+    Spark plans the top-k as TakeOrderedAndProject (per-partition heaps,
+    no global sort)."""
+    from geoscan_fraud_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(d, "n_chars", 100, seed=7)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_md5_oracle(
+    n_hashes: int = 48, bands: int = 12, threshold: float = 0.5
+) -> str:
+    """Full incremental-dedup replay as one DuckDB statement: index
+    signatures over `documents`, a batch of mutated near-dups (+1e6 ids)
+    and exact copies (+2e6 ids, doc_id % 7 = 0), band join batch-vs-index
+    and batch-internal, signature-ESTIMATED Jaccard (fraction of equal
+    components — the operator never touches indexed text), recursive-CTE
+    connected components, component-level drop rule."""
+    r = n_hashes // bands
+    a_mul, b_mul, c_xor = dd.minhash_mix_params(n_hashes)
+    lo_mask = (1 << 30) - 1
+    sig_aggs = ",\n             ".join(
+        f"min(({a_mul[i]} * (xor(h, {c_xor[i]}::BIGINT) & {lo_mask})"
+        f" + {b_mul[i]} * (xor(h, {c_xor[i]}::BIGINT) >> 30)"
+        f" + {i}) % {dd.MINHASH_MOD}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh_{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    return f"""
+    WITH RECURSIVE
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               [tok[i] FOR i IN range(1, len(tok) + 1) IF (i - 1) % 13 != 5], ' ')
+               AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id, text FROM batch),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tok) >= 3
+               THEN [array_to_string(tok[i+1:i+3], ' ') FOR i IN range(0, len(tok) - 2)]
+               ELSE [array_to_string(tok, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM alldocs)),
+    hs AS (SELECT doc_id,
+                  ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
+           FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {sig_aggs}
+      FROM hs GROUP BY doc_id),
+    banded AS (
+      {band_selects}),
+    bband AS (SELECT * FROM banded WHERE doc_id >= 1000000),
+    iband AS (SELECT * FROM banded WHERE doc_id < 1000000),
+    cand_ix AS (
+      SELECT DISTINCT nb.doc_id AS nid, ib.doc_id AS oid
+      FROM bband nb JOIN iband ib ON nb.band = ib.band AND nb.bh = ib.bh),
+    est_ix AS (
+      SELECT DISTINCT c.nid AS id
+      FROM cand_ix c
+      JOIN sig a ON a.doc_id = c.nid
+      JOIN sig b ON b.doc_id = c.oid
+      WHERE ({eq_sum}) / {n_hashes}.0 >= {threshold}),
+    cand_in AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bband x JOIN bband y ON x.band = y.band AND x.bh = y.bh
+                               AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand_in c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+      WHERE ({eq_sum}) / {n_hashes}.0 >= {threshold}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT a, a FROM edges GROUP BY a
+      UNION
+      SELECT e.b, reach.root FROM reach JOIN edges e ON e.a = reach.id),
+    comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+    comp_matched AS (
+      SELECT DISTINCT component FROM comp
+      WHERE id IN (SELECT id FROM est_ix)),
+    dropped AS (
+      SELECT id FROM est_ix
+      UNION
+      SELECT id FROM comp
+      WHERE component IN (SELECT component FROM comp_matched)
+      UNION
+      SELECT id FROM comp WHERE id <> component)
+    SELECT doc_id FROM batch
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
+    ORDER BY doc_id
+    """
+
+
+@register("dedup_incremental", sql=_incremental_md5_oracle())
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a persisted signature index
+    (operators/incremental.py): the corpus is indexed as (id, sig) rows;
+    an incoming batch — mutated near-dups + exact copies — is deduped
+    against the index and within itself, signature-only. The md5 hash
+    family makes the WHOLE path (signatures, banding, estimates, CC,
+    component drop rule) value-replayable in DuckDB."""
+    from geoscan_fraud_spark.operators import incremental as inc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.filter(words, lambda w, i: (i % 13) != 5)
+        ).alias("text"),
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    batch = mutated.unionByName(copies)
+    idx = inc.minhash_index(docs, num_hashes=48, sig_hash="md5")
+    kept = inc.dedup_against_index(
+        batch, idx, num_hashes=48, bands=12, threshold=0.5, sig_hash="md5"
+    )
+    return kept.select("doc_id").orderBy("doc_id")

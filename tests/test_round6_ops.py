@@ -1,8 +1,6 @@
 """Round-6 operators: incremental dedup against a signature index,
 skew-salted join, weighted sampling, HLL corpus profiling."""
 
-import math
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -251,3 +249,43 @@ def test_profile_groups(spark, sf_dir):
     sources = {r.source for r in d.select("source").distinct().collect()}
     assert {r.source for r in prof.collect()} == sources
     assert prof.filter(F.col("n_docs") <= 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# physical plans — the properties that matter at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark, sf_dir):
+    from geoscan_fraud_spark.plans.audit import formatted_plan, plan_summary
+
+    d = load_fixture(spark, sf_dir, "documents")
+    s = weighted_sample(d, "n_chars", 50)
+    plan = formatted_plan(s)
+    assert "TakeOrderedAndProject" in plan
+    summary = plan_summary(s)
+    assert summary["python_eval"] == 0
+    assert summary["row_sorts"] == 0  # no full Sort node — heaps only
+
+
+def test_salted_join_plan_joins_on_salt(spark, sf_dir):
+    from geoscan_fraud_spark.plans.audit import formatted_plan, plan_summary
+
+    o = load_fixture(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_fixture(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    out = salted_join(o, c, ["o_custkey"], salt=8)
+    plan = formatted_plan(out)
+    assert "__salt" in plan  # the salt is a real join key in the plan
+    assert plan_summary(out)["python_eval"] == 0
+
+
+def test_profile_and_incremental_are_all_jvm(spark, sf_dir):
+    from geoscan_fraud_spark.plans.audit import plan_summary
+
+    d = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    assert plan_summary(profile_corpus(d, ["doc_id"]))["python_eval"] == 0
+    idx = minhash_index(d.limit(10), num_hashes=48)
+    sig_plan = plan_summary(idx)
+    assert sig_plan["python_eval"] == 0

@@ -65,6 +65,16 @@ def main():
         docs = _with_neardups(spark, sf_dir)
         return dd.minhash_dedup(docs, threshold=0.5, n=3, num_hashes=48, bands=12)
 
+    def bench_minhash_unguarded(spark, sf_dir):
+        """The r05-equivalent path (no exact-dup pre-collapse) — reported
+        so the hot-bucket guard's insurance premium on this dup-FREE
+        workload stays visible next to the guarded default."""
+        docs = _with_neardups(spark, sf_dir)
+        return dd.minhash_dedup(
+            docs, threshold=0.5, n=3, num_hashes=48, bands=12,
+            precollapse_exact=False,
+        )
+
     def bench_simhash_h3(spark, sf_dir):
         docs = _with_neardups(spark, sf_dir)
         return dd.simhash_pairs(docs, max_hamming=3)
@@ -148,6 +158,7 @@ def main():
         "weighted_sample": QUERIES["weighted_sample"],
         "salted_join": QUERIES["salted_join"],
         "profile_corpus": bench_profile_corpus,
+        "dedup_minhash_unguarded": bench_minhash_unguarded,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

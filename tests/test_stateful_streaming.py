@@ -69,3 +69,68 @@ def test_dedup_stream_emits_first_occurrence_only(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_stream_t").collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_neardup_ingest_sink_dedups_across_batches(spark, tmp_path):
+    """Micro-batches arriving in order: batch 0 establishes the corpus
+    and index; batch 1's exact copies and near-dups are dropped against
+    the PERSISTED index, its fresh doc survives."""
+    from geoscan_fraud_spark.streaming.scoring import neardup_ingest_sink
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(w for i, w in enumerate(base.split()) if i % 13 != 5)
+    fresh = " ".join(f"z{i}" for i in range(60))
+
+    index_path = str(tmp_path / "sig_index")
+    out_path = str(tmp_path / "corpus")
+    sink = neardup_ingest_sink(
+        index_path, out_path, num_hashes=48, bands=12, threshold=0.5
+    )
+
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(10, base), (11, near), (12, fresh)], "doc_id long, text string"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    corpus = spark.read.parquet(out_path)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 12]
+    idx = spark.read.parquet(index_path)
+    assert sorted(r.id for r in idx.collect()) == [1, 12]
+
+    # retry replay of batch 1 must not double-append (idempotent writes)
+    sink(b1, 1)
+    assert sorted(r.doc_id for r in spark.read.parquet(out_path).collect()) == [1, 12]
+
+
+def test_neardup_ingest_sink_through_streaming_query(spark, tmp_path):
+    """End-to-end through writeStream.foreachBatch with availableNow."""
+    from geoscan_fraud_spark.streaming.scoring import neardup_ingest_sink
+
+    src = str(tmp_path / "src")
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (3, "one two three four five six seven eight"),
+    ]
+    spark.createDataFrame(texts, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+
+    index_path = str(tmp_path / "idx")
+    out_path = str(tmp_path / "out")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_ingest_sink(
+                index_path, out_path, num_hashes=48, bands=12, threshold=0.9
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 3]

@@ -812,7 +812,13 @@ def dedup_incremental(spark, sf_dir):
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
     batch = mutated.unionByName(copies)
-    idx = inc.minhash_index(docs, num_hashes=48, sig_hash="md5")
+    # materialized like a production index (which is a parquet table on
+    # disk): dedup_against_index consumes the index twice (banding + the
+    # estimate join) and recomputing the signature pipeline per consumer
+    # would double the entry's cost
+    idx = inc.minhash_index(docs, num_hashes=48, sig_hash="md5").localCheckpoint(
+        eager=True
+    )
     kept = inc.dedup_against_index(
         batch, idx, num_hashes=48, bands=12, threshold=0.5, sig_hash="md5"
     )

@@ -568,15 +568,37 @@ def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
 
-def cosine_expr(a, b):
-    """Cosine similarity between two array<numeric> columns — native fold,
-    deterministic accumulation order (oracle-matchable)."""
+def dot_expr(a, b):
+    """Dot product of two array<numeric> columns — higher-order-function
+    fold with deterministic left-to-right accumulation from 0.0
+    (oracle-matchable against DuckDB's list_dot_product).
+
+    Measured dead end, kept as a warning: replacing the fold with an
+    "easily codegen-able" element_at product chain (64 terms per dot,
+    x16 centroids in the IVF assign) made the hot paths 10-80x SLOWER —
+    the generated methods blow past the JIT's HugeMethodLimit and the
+    whole projection drops to interpreted expression trees. The fold is
+    the fast form on this engine; the cheap wins are algebraic instead:
+    precompute each side's `norm_expr` once per ROW (not per pair) and
+    share one x.x term across centroid distances (`_centroid_dists`)."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def norm_expr(a):
+    """L2 norm with the same accumulation contract as `dot_expr`."""
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<numeric> columns —
+    deterministic accumulation order (oracle-matchable). For hot joins
+    prefer precomputing each side's `norm_expr` once per row instead of
+    per pair (`operators/similarity.py` does)."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def embedding_neardup_pairs(
@@ -600,25 +622,33 @@ def embedding_neardup_pairs(
     mass-duplicated embeddings.
     """
     hp = _hyperplanes(dim, planes, seed)
-    emb = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     key = None
     for p, plane in enumerate(hp):
-        dot = F.aggregate(
-            F.zip_with(emb, F.array(*[F.lit(v) for v in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
+        dot = dot_expr(F.col(emb_col), F.array(*[F.lit(v) for v in plane]))
         bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
         key = bit if key is None else key + bit
     keyed = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), key.alias("bucket"))
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, ["bucket"], max_bucket)
-    a = keyed.select("bucket", F.col("id").alias("id_a"), F.col("e").alias("e_a"))
-    b = keyed.select("bucket", F.col("id").alias("id_b"), F.col("e").alias("e_b"))
+    # per-row norms once, not per pair — the verify join then pays one
+    # dot per candidate pair (bit-identical to the per-pair cosine)
+    keyed = keyed.withColumn("__n", norm_expr(F.col("e")))
+    a = keyed.select(
+        "bucket", F.col("id").alias("id_a"), F.col("e").alias("e_a"),
+        F.col("__n").alias("__n_a"),
+    )
+    b = keyed.select(
+        "bucket", F.col("id").alias("id_b"), F.col("e").alias("e_b"),
+        F.col("__n").alias("__n_b"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("e_a"), F.col("e_b")))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("e_a"), F.col("e_b"))
+            / (F.col("__n_a") * F.col("__n_b")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geoscan_fraud_spark.operators.dedup import cosine_expr
+from geoscan_fraud_spark.operators.dedup import cosine_expr, dot_expr, norm_expr
 
 
 def lloyd_centroids(
@@ -48,20 +48,23 @@ def lloyd_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
-def _sq_dist_expr(a, b):
-    """|a-b|^2 via the dot-product identity a.a + b.b - 2 a.b, with each
-    dot a deterministic left fold — the identical arithmetic (same
-    folds, same order) is expressible in DuckDB as list_dot_product, so
-    assignments replay bit-exactly in an oracle."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, v: s + v
-        )
-
-    return dot(ad, ad) + dot(bd, bd) - F.lit(2.0) * dot(ad, bd)
+def _centroid_dists(emb, centroids: list[list[float]]):
+    """array of per-centroid |x-c|^2 via the dot-product identity
+    x.x + c.c - 2 x.c, sharing ONE x.x term across all centroids (the
+    per-centroid form re-evaluated it n_centroids times) and folding
+    each c.c to a Python-side literal with the same left-to-right IEEE
+    accumulation the engine fold uses — so assignments still replay
+    bit-exactly in a `list_dot_product`-based oracle, at a third of the
+    per-row fold count."""
+    n2 = dot_expr(emb, emb)
+    dists = []
+    for ctr in centroids:
+        c2 = 0.0
+        for v in ctr:
+            c2 += float(v) * float(v)
+        lit_arr = F.array(*[F.lit(float(v)) for v in ctr])
+        dists.append(n2 + F.lit(c2) - F.lit(2.0) * dot_expr(emb, lit_arr))
+    return F.array(*dists)
 
 
 def brute_force_topk(
@@ -74,16 +77,27 @@ def brute_force_topk(
     """(query_id, vec_id, sim, rank): exact cosine top-k per query.
 
     Ranking key is (rounded sim desc, vec_id asc) — fully deterministic,
-    ties broken by id.
+    ties broken by id. Each side's norm is computed once per ROW before
+    the cross join (not once per pair — 3x fewer interpreted folds in
+    the hot join), bit-identical to the naive per-pair cosine.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
-    )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    ).withColumn("__qn", norm_expr(F.col("q_emb")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")
+    ).withColumn("__cn", norm_expr(F.col("c_emb")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("sim", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -138,12 +152,7 @@ def _ivf_assign_probe(
         )
     else:
         def dists(emb):
-            return F.array(
-                *[
-                    _sq_dist_expr(emb, F.array(*[F.lit(float(v)) for v in ctr]))
-                    for ctr in centroids
-                ]
-            )
+            return _centroid_dists(emb, centroids)
 
         assigned = c.withColumn("__d", dists(F.col("c_emb"))).select(
             "vec_id",
@@ -190,14 +199,25 @@ def ivf_topk(
     query replayable in an external SQL oracle. Assignment = nearest
     centroid by squared L2 (first index on ties); probe order = ascending
     squared L2, ties by list id. 1-based list ids in this mode.
+    Per-side norms are computed once per row (not per probe pair) — a
+    bit-identical reshape of the per-pair cosine.
     """
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
     assigned, probes = _ivf_assign_probe(c, q, n_centroids, nprobe, seed, centroids)
+    assigned = assigned.withColumn("__cn", norm_expr(F.col("c_emb")))
+    probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
     scored = (
         probes.join(assigned, "list_id")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("sim", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -239,27 +259,36 @@ def ivf_topk_quantized(
     assigned, probes = _ivf_assign_probe(c, q, n_centroids, nprobe, seed, centroids)
     q8 = quantize_embeddings(
         assigned, vec_col="c_emb", id_col="vec_id", keep_cols=["list_id"]
-    )
+    ).withColumn("__vn", norm_expr(F.col("qvec")))
+    probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
     cand = (
         probes.join(q8, "list_id")
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn(
             "sim_q",
-            cosine_expr(F.col("q_emb"), F.transform("qvec", lambda x: x.cast("double"))),
+            dot_expr(F.col("q_emb"), F.col("qvec"))
+            / (F.col("__qn") * F.col("__vn")),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("vec_id"))
     shortlist = (
         cand.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= rerank * k)
-        .select("query_id", "q_emb", "vec_id")
+        .select("query_id", "q_emb", "__qn", "vec_id")
     )
     # re-rank against the RAW corpus relation, not `assigned`: the exact
     # pass needs only (vec_id -> c_emb), and joining `assigned` here would
     # re-evaluate the centroid-assignment folds over the whole corpus a
     # second time
-    rescored = shortlist.join(c, "vec_id").withColumn(
-        "sim", F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 6)
+    rescored = shortlist.join(
+        c.withColumn("__cn", norm_expr(F.col("c_emb"))), "vec_id"
+    ).withColumn(
+        "sim",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from geoscan_fraud_spark.operators.components import connected_components
 
 
-def word_shingles(text_col, n: int = 3):
-    """Distinct word n-grams as array<string> (native, no UDF).
+def word_grams(text_col, n: int = 3):
+    """ALL word n-grams (with multiplicity, in position order) as
+    array<string> (native, no UDF). Shorter-than-n documents yield one
+    gram holding the whole text.
 
     Built with `zip_with` over shifted copies of the word array: each
     input array is evaluated once per level. The obvious alternative —
@@ -35,17 +37,22 @@ def word_shingles(text_col, n: int = 3):
     gram: O(L^2) per document (measured ~15x slower on 50-word docs)."""
     words = F.split(text_col, r"\s+")
     if n <= 1:
-        return F.array_distinct(words)
+        return words
     grams = words
     for j in range(1, n):
         shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
         grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
     # zip_with pads the shorter side with null -> null grams at the tail
     grams = F.filter(grams, lambda g: g.isNotNull())
-    grams = F.when(F.size(words) >= n, grams).otherwise(
+    return F.when(F.size(words) >= n, grams).otherwise(
         F.array(F.concat_ws(" ", words))
     )
-    return F.array_distinct(grams)
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-grams as array<string> — `word_grams` deduplicated
+    (the shingle-set form the MinHash/Jaccard family consumes)."""
+    return F.array_distinct(word_grams(text_col, n))
 
 
 def minhash_signature(shingles_col, num_hashes: int = 64):

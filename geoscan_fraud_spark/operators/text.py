@@ -216,3 +216,59 @@ def filter_report(annotated: DataFrame) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") * 100.0 / F.sum("n_docs").over(total), 2).alias("pct"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText rule
+    family): for each n in ``ns``, the fraction of n-gram occurrences
+    that are repeats (``dup_frac_n``) and the share of the single most
+    frequent n-gram (``top_frac_n``). Boilerplate, keyword stuffing and
+    templated spam all light these up long before corpus-level dedup
+    can see them.
+
+    All native, map-only, one pass: duplicates via
+    ``1 - distinct/total``; the top-gram share via a sort + linear fold
+    that tracks the longest equal run (an aggregate carrying
+    (prev, run, best) struct state) — O(L log L) per document with NO
+    explode, NO shuffle, NO per-gram grouping. Documents shorter than n
+    words count as one gram (convention shared with `word_grams`).
+    """
+    from geoscan_fraud_spark.operators.dedup import word_grams
+
+    cols = [F.col(id_col)]
+    for n in ns:
+        grams = word_grams(F.col(text_col), n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        dup_frac = F.round(
+            (total - distinct).cast("double") / total, 4
+        ).alias(f"dup_frac_{n}")
+        run_state = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        top_frac = F.round(run_state.cast("double") / total, 4).alias(
+            f"top_frac_{n}"
+        )
+        cols += [dup_frac, top_frac]
+    return df.select(*cols)

@@ -233,3 +233,77 @@ def with_ttl_filter(df: DataFrame, ts_col: str, ttl_seconds: int = 604_800) -> D
     return df.filter(
         F.col(ts_col) >= F.current_timestamp() - F.expr(f"INTERVAL {ttl_seconds} SECOND")
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """JSON-lines source — the other format crawl/ingest corpora arrive
+    in besides parquet/CSV.
+
+    Pass ``schema`` (DDL string) whenever known: schema-less json reads
+    run a FULL inference pass over the data before the real scan —
+    at 100 TB that is a second read of the corpus. With an explicit
+    schema the scan is single-pass and column-pruned (only ``columns``
+    are parsed out of each line when the reader can push the projection).
+    Corrupt lines land in ``_corrupt_record`` if the schema declares it,
+    per Spark's PERMISSIVE default."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return df.select(*columns) if columns else df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, Spark's `json` format)."""
+    df.write.mode(mode).json(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a table directory into
+    size-balanced files of ~``target_mb`` and return the new file count.
+
+    Streaming ingest (`neardup_ingest_sink`, foreachBatch appends) and
+    incremental jobs accrete thousands of small files; at scale the
+    resulting scan pays per-file open/footer costs and the driver pays
+    per-file listing. Standard maintenance: read, `repartition(n)` with
+    n sized from the CURRENT on-disk bytes, rewrite atomically
+    (write to `<path>.__compact__`, then swap). The repartition is a
+    round-robin shuffle — the one shuffle this job exists to pay.
+
+    Single-writer maintenance op (like the reference's OPTIMIZE,
+    `01:440`): don't run it concurrently with writers to the same path.
+    """
+    size_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                size_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-size_bytes // (target_mb * 1024 * 1024)))
+
+    df = (
+        spark.read.parquet(path)
+        if fmt == "parquet"
+        else spark.read.format(fmt).load(path)
+    )
+    tmp = path.rstrip("/") + ".__compact__"
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(tmp)
+    )
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

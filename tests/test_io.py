@@ -129,3 +129,45 @@ def test_reference_csv_golden_invariants(spark):
     # relation, `02:258`): flagged <= anomalies, and within 1%+slack
     assert flagged <= n_anom
     assert n_anom - flagged <= max(10, 0.02 * n_anom)
+
+def test_read_write_jsonl_roundtrip(spark, tmp_path):
+    from geoscan_fraud_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="id long, name string, score double")
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == [
+        (1, "alpha", 1.5),
+        (2, "beta", None),
+    ]
+    pruned = read_jsonl(
+        spark, path, schema="id long, name string, score double", columns=["id"]
+    )
+    assert pruned.columns == ["id"]
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    from geoscan_fraud_spark.sources.io import compact_files
+
+    path = str(tmp_path / "frag")
+    # 40 tiny appends -> 40+ files
+    for i in range(10):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(path)
+    import os
+
+    def data_files(p):
+        out = []
+        for root, _d, files in os.walk(p):
+            out += [f for f in files if f.endswith(".parquet")]
+        return out
+
+    before = len(data_files(path))
+    assert before >= 10
+    n = compact_files(spark, path, target_mb=128)
+    after = len(data_files(path))
+    assert n == 1 and after == 1
+    got = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert got == list(range(1000))

@@ -289,3 +289,71 @@ def test_profile_and_incremental_are_all_jvm(spark, sf_dir):
     idx = minhash_index(d.limit(10), num_hashes=48)
     sig_plan = plan_summary(idx)
     assert sig_plan["python_eval"] == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def _round_half_up(x, places=4):
+    # Spark's F.round is HALF_UP; python's round() is banker's
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _py_repetition(text, n):
+    words = text.split()
+    if len(words) >= n:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    else:
+        grams = [" ".join(words)]
+    total = len(grams)
+    dup = _round_half_up((total - len(set(grams))) / total)
+    from collections import Counter
+
+    top = _round_half_up(Counter(grams).most_common(1)[0][1] / total)
+    return dup, top
+
+
+def test_repetition_stats_hand_cases(spark):
+    from geoscan_fraud_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b"),          # heavy 2-gram repetition
+        (2, "one two three four"),    # no repeats
+        (3, "x"),                     # shorter than n
+        (4, "spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, ns=(2,)).collect()}
+    for doc_id, text in rows:
+        dup, top = _py_repetition(text, 2)
+        assert got[doc_id][f"dup_frac_2"] == dup, (doc_id, text)
+        assert got[doc_id][f"top_frac_2"] == top, (doc_id, text)
+    # "a b a b a b": grams = [ab, ba, ab, ba, ab] -> dup 3/5, top 3/5
+    assert got[1].dup_frac_2 == 0.6
+    assert got[1].top_frac_2 == 0.6
+    assert got[3].dup_frac_2 == 0.0 and got[3].top_frac_2 == 1.0
+
+
+def test_repetition_stats_matches_python_reference(spark, docs):
+    from geoscan_fraud_spark.operators.text import repetition_stats
+
+    sample = docs.limit(100)
+    got = {r.doc_id: r for r in repetition_stats(sample, ns=(2, 3)).collect()}
+    for r in sample.collect():
+        for n in (2, 3):
+            dup, top = _py_repetition(r.text, n)
+            assert got[r.doc_id][f"dup_frac_{n}"] == dup, (r.doc_id, n)
+            assert got[r.doc_id][f"top_frac_{n}"] == top, (r.doc_id, n)
+
+
+def test_repetition_stats_is_map_only(spark, docs):
+    from geoscan_fraud_spark.operators.text import repetition_stats
+    from geoscan_fraud_spark.plans.audit import plan_summary
+
+    s = plan_summary(repetition_stats(docs))
+    assert s["shuffles"] == 0
+    assert s["python_eval"] == 0

@@ -149,6 +149,78 @@ def write_sorted_layout(
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, str]:
+    """Attach a Morton (Z-order) key column interleaving ``cols`` —
+    returns (df + key, key column name).
+
+    Each column is min/max-scaled to a ``bits``-bit integer (one small
+    driver-side aggregate — same eager-scalar pattern as the tf-idf N;
+    heavy skew in a column compresses its effective resolution, the
+    standard caveat of min/max Z-ordering) and the bit-planes are
+    interleaved with a shift/or chain — 2·bits native ops, codegen'd.
+    Rows where any key column is NULL get a NULL key (they sort last)."""
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError(
+            f"bits*len(cols) must fit a signed long, got {bits}*{len(cols)}"
+        )
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"__mn_{i}"], stats[f"__mx_{i}"]
+        if mn is None or mx is None or mx <= mn:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(mn)))
+                    / F.lit(float(mx - mn))
+                    * F.lit(float(top + 1))
+                ),
+            ).cast("long")
+        )
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    name = "__zorder"
+    return df.withColumn(name, key), name
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """S7, the real thing: Delta's `OPTIMIZE ... ZORDER BY (user, h3)`
+    (`01:440`) as a Morton-curve file layout for OSS Spark/parquet.
+
+    `write_sorted_layout` (lexicographic) gives tight file min/max stats
+    on the LEADING key only — a lookup on the second column scans every
+    file. Interleaving the bit-planes puts rows close in EVERY dimension
+    into the same files, so parquet row-group stats prune point/range
+    lookups on each Z-ordered column (verified in tests: per-file spread
+    of the second column drops from ~global to a small fraction).
+    One range shuffle on the key, sort within partitions — the identical
+    cost shape to the linear sort."""
+    keyed, key = zorder_key(df, cols, bits)
+    out = keyed.repartitionByRange(
+        *(([num_files] if num_files else []) + [F.col(key)])
+    )
+    out.sortWithinPartitions(key).drop(key).write.mode("overwrite").parquet(path)
+
+
 def write_csv_artifact(df: DataFrame, path: str) -> str:
     """S8 — driver-side CSV artifact sink (`02_geofraud_fraud.py:200-206`).
 

@@ -1,0 +1,129 @@
+"""End-to-end training-corpus preparation — the composition the
+individual §2.10 operators exist for, packaged as one auditable call.
+
+Stage order follows the standard large-corpus recipe (quality gates are
+cheap and map-only, so they run FIRST and shrink everything after;
+near-dup is the most expensive stage, so it sees only survivors;
+decontamination runs after dedup so a benchmark hit removed once stays
+removed; split assignment is map-only and last):
+
+    1. quality filter  (annotate_filter_reasons — keeps the audit trail)
+    2. exact + near dedup (minhash_dedup, guard defaults on)
+    3. benchmark decontamination (broadcast n-gram probe)
+    4. deterministic train/val/test split (map-only salted hash)
+
+Everything stays lazy: the returned DataFrames materialize when acted
+on, and the stage report is itself a DataFrame (one count aggregate per
+stage, unioned) so a caller pays for counting only if it asks. At
+100 TB each stage's scale story is its operator's — this module adds no
+shuffle of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.dedup import minhash_dedup
+from geoscan_fraud_spark.operators.decontam import decontaminate
+from geoscan_fraud_spark.operators.packing import assign_splits
+from geoscan_fraud_spark.operators.text import (
+    annotate_filter_reasons,
+    repetition_stats,
+    token_stats,
+)
+
+
+def default_quality_rules(
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    max_dup_3gram: float = 0.5,
+    max_top_2gram: float = 0.3,
+) -> dict:
+    """The Gopher-flavored default gate: length band + repetition caps.
+    Column names reference the `token_stats` + `repetition_stats` join
+    (`_annotated_stats`). Override freely — rules are just named boolean
+    pass-Columns."""
+    return {
+        "too_short": F.col("n_tokens") >= min_tokens,
+        "too_long": F.col("n_tokens") <= max_tokens,
+        "dup_3grams": F.col("dup_frac_3") <= max_dup_3gram,
+        "top_2gram": F.col("top_frac_2") <= max_top_2gram,
+    }
+
+
+def _annotated_stats(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """docs + token/repetition stat columns (two map-only operators
+    joined on id — the join is the price of keeping each operator's
+    output contract; both sides are stat columns, not text)."""
+    stats = token_stats(docs, text_col, id_col).select(id_col, "n_tokens")
+    reps = repetition_stats(docs, text_col, id_col, ns=(2, 3))
+    return docs.join(stats, id_col).join(reps, id_col)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_rules: dict | None = None,
+    dedup_threshold: float = 0.8,
+    dedup_num_hashes: int = 64,
+    dedup_bands: int = 16,
+    decontam_n: int = 8,
+    split_weights: dict[str, float] | None = None,
+    split_salt: str = "split-v1",
+) -> dict[str, DataFrame]:
+    """Run the full preparation recipe; returns a dict of DataFrames:
+
+    - ``annotated``: every input doc + stat columns + ``reject_reason``
+      (NULL = passed the quality gate) — the audit surface;
+    - ``corpus``: the cleaned documents (original columns + ``split``);
+    - ``report``: (stage, n_docs) counts per stage boundary — one count
+      aggregate per stage, materialized only when acted on.
+
+    ``benchmark=None`` skips decontamination.
+    """
+    annotated = _annotated_stats(docs, text_col, id_col)
+    annotated = annotate_filter_reasons(
+        annotated, quality_rules or default_quality_rules()
+    )
+    passed = annotated.filter(F.col("reject_reason").isNull()).select(
+        *docs.columns
+    )
+
+    deduped = minhash_dedup(
+        passed,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=dedup_num_hashes,
+        bands=dedup_bands,
+        threshold=dedup_threshold,
+    )
+
+    clean = (
+        decontaminate(
+            deduped, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+        )
+        if benchmark is not None
+        else deduped
+    )
+
+    corpus = assign_splits(
+        clean, weights=split_weights, id_col=id_col, salt=split_salt
+    )
+
+    def _count(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+        )
+
+    report = (
+        _count("input", docs)
+        .unionByName(_count("quality_passed", passed))
+        .unionByName(_count("after_dedup", deduped))
+        .unionByName(_count("after_decontam", clean))
+    )
+    return {"annotated": annotated, "corpus": corpus, "report": report}

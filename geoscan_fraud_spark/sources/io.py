@@ -165,6 +165,14 @@ def zorder_key(
         raise ValueError(
             f"bits*len(cols) must fit a signed long, got {bits}*{len(cols)}"
         )
+    numeric = (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType)
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, numeric):
+            raise ValueError(
+                f"zorder_key needs numeric/temporal columns; {c!r} is "
+                f"{df.schema[c].dataType.simpleString()} — rank-encode strings "
+                f"first (e.g. xxhash64) or use write_sorted_layout"
+            )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],

@@ -357,3 +357,53 @@ def test_repetition_stats_is_map_only(spark, docs):
     s = plan_summary(repetition_stats(docs))
     assert s["shuffles"] == 0
     assert s["python_eval"] == 0
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus preparation
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_training_corpus_end_to_end(spark, docs):
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    # corpus: fixture docs + an exact copy (dedup fodder) + a spammy doc
+    # (quality fodder) + a doc quoting the benchmark (decontam fodder)
+    bench_text = " ".join(f"bench{i}" for i in range(20))
+    extra = spark.createDataFrame(
+        [
+            (900_001, "spam " * 50),                     # top_frac_2 ~ 1
+            (900_002, bench_text + " trailing words here okay fine"),
+        ],
+        "doc_id long, text string",
+    )
+    copy = docs.limit(1).select(
+        (F.col("doc_id") + 900_100).alias("doc_id"), "text"
+    )
+    corpus_in = docs.unionByName(extra).unionByName(copy)
+    benchmark = spark.createDataFrame([(1, bench_text)], "doc_id long, text string")
+
+    out = prepare_training_corpus(
+        corpus_in, benchmark, dedup_threshold=0.5, decontam_n=8
+    )
+    report = {r.stage: r.n_docs for r in out["report"].collect()}
+    n_in = corpus_in.count()
+    assert report["input"] == n_in
+    assert report["quality_passed"] < report["input"]       # spam dropped
+    assert report["after_dedup"] < report["quality_passed"]  # copy dropped
+    assert report["after_decontam"] < report["after_dedup"]  # quote dropped
+
+    kept = out["corpus"]
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 900_001 not in ids and 900_002 not in ids
+    # the exact copy lost to its min-id original
+    assert not any(i >= 900_100 for i in ids)
+    # split column present and deterministic
+    splits = {r.split for r in kept.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # audit trail names the failing rule
+    reasons = {
+        r.doc_id: r.reject_reason
+        for r in out["annotated"].select("doc_id", "reject_reason").collect()
+    }
+    assert reasons[900_001] in ("top_2gram", "dup_3grams")

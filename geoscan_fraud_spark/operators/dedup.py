@@ -600,6 +600,21 @@ def norm_expr(a):
     return F.sqrt(dot_expr(a, a))
 
 
+def hyperplane_bucket(emb, dim: int, planes: int = 16, seed: int = 42):
+    """Sign-bit LSH bucket key for an embedding column: one bit per
+    seeded hyperplane (sign of the dot product), packed into an int.
+    Shared between the batch near-dup pairs and the persisted embedding
+    index (`operators/incremental.py`) — identical (dim, planes, seed)
+    means identical bucketing across runs."""
+    hp = _hyperplanes(dim, planes, seed)
+    key = None
+    for p, plane in enumerate(hp):
+        dot = dot_expr(emb, F.array(*[F.lit(v) for v in plane]))
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        key = bit if key is None else key + bit
+    return key
+
+
 def cosine_expr(a, b):
     """Cosine similarity between two array<numeric> columns —
     deterministic accumulation order (oracle-matchable). For hot joins
@@ -628,12 +643,7 @@ def embedding_neardup_pairs(
     self-join (`_cap_buckets`) — the hot-bucket guard for corpora with
     mass-duplicated embeddings.
     """
-    hp = _hyperplanes(dim, planes, seed)
-    key = None
-    for p, plane in enumerate(hp):
-        dot = dot_expr(F.col(emb_col), F.array(*[F.lit(v) for v in plane]))
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
-        key = bit if key is None else key + bit
+    key = hyperplane_bucket(F.col(emb_col), dim, planes, seed)
     keyed = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), key.alias("bucket"))
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, ["bucket"], max_bucket)

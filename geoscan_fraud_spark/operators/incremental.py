@@ -177,16 +177,122 @@ def dedup_against_index(
         .filter(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
         .select("id_a", "id_b")
     )
-    cc = connected_components(pairs, "id_a", "id_b")
+    return _component_drop(new_df, pairs, matched, id_col)
 
-    # components containing an index-matched member are fully represented
+
+def _component_drop(
+    new_df: DataFrame, pairs: DataFrame, matched: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared drop rule for the incremental dedups: drop index-matched
+    docs, every member of a batch-internal component CONTAINING an
+    index-matched doc (transitively represented), and each remaining
+    component's non-min members. ``matched`` must be materialized
+    (its plan is consumed twice)."""
+    cc = connected_components(pairs, "id_a", "id_b")
     comp_matched = (
         cc.join(matched, "id", "left_semi").select("component").distinct()
     )
     drop_cc = cc.join(comp_matched, "component", "left_semi").select("id")
     drop_rep = cc.filter(F.col("id") != F.col("component")).select("id")
     drop = matched.union(drop_cc).union(drop_rep).distinct()
-
     return new_df.join(
         drop.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding store (int8-quantized vectors + stored LSH buckets)
+# ---------------------------------------------------------------------------
+
+
+def embedding_index(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket, scale, qvec) — the persistable embedding store:
+    int8-quantized vectors (8x smaller than float64 — at corpus scale
+    the difference between a memory-resident store and not) plus the
+    sign-bit LSH bucket computed ONCE from the full-precision vector.
+
+    Storing the bucket matters: recomputing it later from the quantized
+    vector could flip a plane's sign where the dot is near zero —
+    quantization error would silently move vectors between buckets and
+    cost recall. Same (dim, planes, seed) must be used at query time."""
+    from geoscan_fraud_spark.operators.dedup import hyperplane_bucket
+    from geoscan_fraud_spark.operators.similarity import quantize_embeddings
+
+    bucketed = df.withColumn(
+        "__bucket", hyperplane_bucket(F.col(emb_col), dim, planes, seed)
+    )
+    return quantize_embeddings(
+        bucketed, vec_col=emb_col, id_col=id_col, keep_cols=["__bucket"]
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col("__bucket").alias("bucket"),
+        "scale",
+        "qvec",
+    )
+
+
+def embedding_dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    planes: int = 16,
+    seed: int = 42,
+    threshold: float = 0.95,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Drop new vectors whose cosine vs ANY indexed vector clears
+    ``threshold`` (verified against the DEQUANTIZED stored vector —
+    int8 rounding perturbs the cosine by ~the quantization step, so set
+    the threshold with that slack in mind), then near-dup the batch
+    against itself (`embedding_neardup_pairs`) under the same
+    component-level drop rule as `dedup_against_index`. Returns the kept
+    rows of ``new_df``; append their `embedding_index` rows afterwards.
+    """
+    from geoscan_fraud_spark.operators.dedup import (
+        cosine_expr,
+        embedding_neardup_pairs,
+        hyperplane_bucket,
+    )
+
+    nb = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("e"),
+        hyperplane_bucket(F.col(emb_col), dim, planes, seed).alias("bucket"),
+    )
+    ib = index.select(
+        "bucket",
+        F.col("id").alias("oid"),
+        F.transform(
+            F.col("qvec"), lambda q: q.cast("double") * F.col("scale")
+        ).alias("oe"),
+    )
+    if max_bucket is not None:
+        nb = _cap_buckets(nb, ["bucket"], max_bucket)
+        ib = _cap_buckets(ib, ["bucket"], max_bucket)
+    matched = (
+        nb.join(ib, "bucket")
+        .filter(cosine_expr(F.col("e"), F.col("oe")) >= threshold)
+        .select("id")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed twice by the drop rule
+    )
+    pairs = embedding_neardup_pairs(
+        new_df,
+        emb_col=emb_col,
+        id_col=id_col,
+        dim=dim,
+        threshold=threshold,
+        planes=planes,
+        seed=seed,
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+    return _component_drop(new_df, pairs, matched, id_col)

@@ -407,3 +407,80 @@ def test_prepare_training_corpus_end_to_end(spark, docs):
         for r in out["annotated"].select("doc_id", "reject_reason").collect()
     }
     assert reasons[900_001] in ("top_2gram", "dup_3grams")
+
+
+def test_weighted_sample_scale_invariant(spark):
+    # A-ES property: u^(1/(c*w)) is a monotone transform of u^(1/w) for
+    # any c>0, so scaling every weight leaves the selected SET unchanged
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    base = sorted(r.doc_id for r in weighted_sample(df, "w", 100, seed=3).collect())
+    scaled_df = df.withColumn("w", F.col("w") * 7.25)
+    scaled = sorted(
+        r.doc_id for r in weighted_sample(scaled_df, "w", 100, seed=3).collect()
+    )
+    assert base == scaled
+
+
+def test_salted_join_salt_one_degenerates_to_plain(spark):
+    left = spark.range(0, 50).select((F.col("id") % 5).alias("k"), "id")
+    right = spark.createDataFrame([(i, f"t{i}") for i in range(5)], "k long, tag string")
+    out = salted_join(left, right, ["k"], salt=1)
+    plain = left.join(right, "k")
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding store
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "embeddings")
+
+
+def test_embedding_index_drops_exact_copies(spark, embeddings):
+    from geoscan_fraud_spark.operators.incremental import (
+        embedding_dedup_against_index,
+        embedding_index,
+    )
+
+    idx = embedding_index(embeddings)
+    copies = embeddings.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    kept = embedding_dedup_against_index(copies, idx, threshold=0.98)
+    # identical vectors: cosine vs dequantized self ~1 (>0.98 easily)
+    assert kept.count() == 0
+
+
+def test_embedding_index_keeps_fresh_vectors(spark, embeddings):
+    from geoscan_fraud_spark.operators.incremental import (
+        embedding_dedup_against_index,
+        embedding_index,
+    )
+
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    other = embeddings.filter(F.col("vec_id") % 2 == 1)
+    idx = embedding_index(half)
+    kept = embedding_dedup_against_index(other, idx, threshold=0.995)
+    # random-ish fixture vectors: distinct vectors shouldn't hit 0.995
+    # cosine vs the other half (allow a couple of planted near-dups)
+    assert kept.count() >= int(other.count() * 0.9)
+
+
+def test_embedding_index_roundtrip_and_bucket_stability(spark, embeddings, tmp_path):
+    from geoscan_fraud_spark.operators.incremental import (
+        embedding_dedup_against_index,
+        embedding_index,
+    )
+
+    idx = embedding_index(embeddings.limit(100))
+    path = str(tmp_path / "emb_idx")
+    idx.write.parquet(path)
+    idx_back = spark.read.parquet(path)
+    copies = embeddings.limit(100).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    kept = embedding_dedup_against_index(copies, idx_back, threshold=0.98)
+    assert kept.count() == 0

@@ -159,6 +159,59 @@ def dedup_stream(
     )
 
 
+def incremental_ingest_sink(
+    index_path: str,
+    out_path: str,
+    dedup_fn,
+    index_fn,
+    index_cols: list[str],
+    empty_index_schema,
+):
+    """Generic `writeStream.foreachBatch(...)` sink for store-backed
+    incremental dedup: each micro-batch is deduped against the persisted
+    index via ``dedup_fn(batch_df, index_df) -> kept`` and within itself;
+    survivors append to ``out_path`` and ``index_fn(kept)`` rows to
+    ``index_path``. `neardup_ingest_sink` (MinHash text store) and
+    `embedding_ingest_sink` (int8 vector store) are instances.
+
+    Idempotent under retries: both writes land in a `batch_id=N`
+    subdirectory with overwrite mode, so a replayed micro-batch
+    overwrites its own output instead of double-appending (the standard
+    exactly-once recipe for foreachBatch file sinks), and the index read
+    filters to STRICTLY EARLIER batches — partition-pruned on the
+    batch_id layout column — so a replay never matches its own committed
+    delta (which would drop every survivor). Readers get the corpus with
+    `spark.read.parquet(out_path)` (partition discovery surfaces
+    `batch_id`; drop it if unwanted).
+
+    Cross-batch semantics are arrival-order: a doc is compared against
+    retained docs of strictly earlier batches plus its own batch. Two
+    near-dups split across in-flight batches resolve to whichever batch
+    commits first — same as any incremental dedup.
+    """
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            idx = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select(*index_cols)
+            )
+        except Exception:
+            # bootstrap: no index yet — empty store with the right schema
+            idx = spark.createDataFrame([], empty_index_schema(batch_df))
+        kept = dedup_fn(batch_df, idx).localCheckpoint(
+            eager=True
+        )  # one evaluation feeds both writes
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        index_fn(kept).write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+
+    return inner
+
+
 def neardup_ingest_sink(
     index_path: str,
     out_path: str,
@@ -170,64 +223,21 @@ def neardup_ingest_sink(
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
 ):
-    """`writeStream.foreachBatch(...)` sink: NEAR-dup dedup at ingest
-    against the persisted MinHash signature store.
+    """Near-dup-at-ingest against the persisted MinHash signature store
+    (`operators/incremental.dedup_against_index`, signature-only — the
+    store grows ~8·num_hashes bytes per RETAINED doc while the corpus
+    stays cold). `dedup_stream` removes exact key repeats inside the
+    stream; this is the stronger corpus-level guarantee. See
+    `incremental_ingest_sink` for the retry/idempotency contract."""
+    from pyspark.sql import types as T
 
-    `dedup_stream` removes exact key repeats inside the stream; this is
-    the stronger corpus-level guarantee — each micro-batch is deduped
-    against every document ever retained (via `operators/incremental
-    .dedup_against_index`, signature-only) and within itself; survivors
-    append to ``out_path`` and their `minhash_index` rows to
-    ``index_path``. The store grows by ~8·num_hashes bytes per RETAINED
-    doc — the working set a 100 TB ingest keeps hot, while the corpus
-    itself stays cold.
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
 
-    Idempotent under retries: both writes land in a `batch_id=N`
-    subdirectory with overwrite mode, so a replayed micro-batch
-    overwrites its own output instead of double-appending (the standard
-    exactly-once recipe for foreachBatch file sinks). Readers get the
-    corpus with `spark.read.parquet(out_path)` (partition discovery
-    surfaces `batch_id`; drop it if unwanted).
-
-    Cross-batch semantics are arrival-order: a doc is compared against
-    retained docs of STRICTLY EARLIER batches plus its own batch. Two
-    near-dup docs split across in-flight batches resolve to whichever
-    batch commits first — same as any incremental dedup.
-    """
-
-    def inner(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import types as T
-
-        from geoscan_fraud_spark.operators.incremental import (
-            dedup_against_index,
-            minhash_index,
-        )
-
-        spark = batch_df.sparkSession
-        try:
-            # strictly-earlier batches only: a RETRY of this batch must not
-            # see its own committed delta (the batch would match itself and
-            # drop every survivor). batch_id is the partition column, so
-            # the filter is partition-pruned — replays never scan their own
-            # or later deltas.
-            idx = (
-                spark.read.parquet(index_path)
-                .filter(F.col("batch_id") < batch_id)
-                .select("id", "sig")
-            )
-        except Exception:
-            # bootstrap: no index yet — empty store with the right schema
-            id_type = batch_df.schema[id_col].dataType
-            idx = spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField("id", id_type),
-                        T.StructField("sig", T.ArrayType(T.LongType())),
-                    ]
-                ),
-            )
-        kept = dedup_against_index(
+    def dedup_fn(batch_df, idx):
+        return dedup_against_index(
             batch_df,
             idx,
             text_col=text_col,
@@ -237,10 +247,75 @@ def neardup_ingest_sink(
             bands=bands,
             threshold=threshold,
             sig_hash=sig_hash,
-        ).localCheckpoint(eager=True)  # one evaluation feeds both writes
-        kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
-        minhash_index(
-            kept, text_col, id_col, n, num_hashes, sig_hash
-        ).write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
+        )
 
-    return inner
+    def index_fn(kept):
+        return minhash_index(kept, text_col, id_col, n, num_hashes, sig_hash)
+
+    def empty_schema(batch_df):
+        return T.StructType(
+            [
+                T.StructField("id", batch_df.schema[id_col].dataType),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+
+    return incremental_ingest_sink(
+        index_path, out_path, dedup_fn, index_fn, ["id", "sig"], empty_schema
+    )
+
+
+def embedding_ingest_sink(
+    index_path: str,
+    out_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    planes: int = 16,
+    seed: int = 42,
+    threshold: float = 0.95,
+):
+    """Embedding near-dup-at-ingest against the persisted int8 vector
+    store (`operators/incremental.embedding_dedup_against_index`) —
+    the multimodal/embedding analog of `neardup_ingest_sink`. See
+    `incremental_ingest_sink` for the retry/idempotency contract."""
+    from pyspark.sql import types as T
+
+    from geoscan_fraud_spark.operators.incremental import (
+        embedding_dedup_against_index,
+        embedding_index,
+    )
+
+    def dedup_fn(batch_df, idx):
+        return embedding_dedup_against_index(
+            batch_df,
+            idx,
+            emb_col=emb_col,
+            id_col=id_col,
+            dim=dim,
+            planes=planes,
+            seed=seed,
+            threshold=threshold,
+        )
+
+    def index_fn(kept):
+        return embedding_index(kept, emb_col, id_col, dim, planes, seed)
+
+    def empty_schema(batch_df):
+        return T.StructType(
+            [
+                T.StructField("id", batch_df.schema[id_col].dataType),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("scale", T.DoubleType()),
+                T.StructField("qvec", T.ArrayType(T.ByteType())),
+            ]
+        )
+
+    return incremental_ingest_sink(
+        index_path,
+        out_path,
+        dedup_fn,
+        index_fn,
+        ["id", "bucket", "scale", "qvec"],
+        empty_schema,
+    )

@@ -134,3 +134,33 @@ def test_neardup_ingest_sink_through_streaming_query(spark, tmp_path):
     q.awaitTermination(120)
     kept = sorted(r.doc_id for r in spark.read.parquet(out_path).collect())
     assert kept == [1, 3]
+
+
+def test_embedding_ingest_sink_dedups_across_batches(spark, tmp_path):
+    from geoscan_fraud_spark.streaming.scoring import embedding_ingest_sink
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    v1 = [float(x) for x in rng.randn(64)]
+    v2 = [float(x) for x in rng.randn(64)]
+    near_v1 = [x * 1.001 for x in v1]  # cosine ~1
+
+    index_path = str(tmp_path / "emb_idx")
+    out_path = str(tmp_path / "emb_out")
+    sink = embedding_ingest_sink(index_path, out_path, threshold=0.98)
+
+    schema = "vec_id long, embedding array<float>"
+    b0 = spark.createDataFrame([(1, v1)], schema)
+    b1 = spark.createDataFrame([(10, near_v1), (11, v2)], schema)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    kept = sorted(r.vec_id for r in spark.read.parquet(out_path).collect())
+    assert kept == [1, 11]
+    idx = sorted(r.id for r in spark.read.parquet(index_path).collect())
+    assert idx == [1, 11]
+
+    # replay of batch 1: unchanged (index read excludes own delta)
+    sink(b1, 1)
+    assert sorted(r.vec_id for r in spark.read.parquet(out_path).collect()) == [1, 11]

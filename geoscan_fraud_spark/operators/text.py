@@ -101,21 +101,11 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def winnow_fingerprints(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    window: int = 4,
-) -> DataFrame:
-    """Winnowing document fingerprints: k-gram rolling hashes, keep the
-    min per sliding window (Schleimer et al. MOSS scheme).
-
-    Hash = md5 (string compare) so the result is engine-portable; output
-    (doc_id, n_fingerprints, fingerprint) where fingerprint is the md5 of
-    the sorted distinct mins — a stable whole-document signature.
-    """
-    toks = tokens(F.col(text_col))
+def _winnow_mins(text_col, k: int, window: int):
+    """Sorted distinct winnowing window-minima of a text column — the
+    shared core of `winnow_fingerprints` (whole-doc signature) and
+    `winnow_shared_pairs` (cross-doc shared-substring candidates)."""
+    toks = tokens(text_col)
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -131,7 +121,24 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(hashes, i + 1, window)),
         ),
     ).otherwise(F.array(F.array_min(hashes)))
-    distinct_mins = F.array_sort(F.array_distinct(mins))
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: k-gram rolling hashes, keep the
+    min per sliding window (Schleimer et al. MOSS scheme).
+
+    Hash = md5 (string compare) so the result is engine-portable; output
+    (doc_id, n_fingerprints, fingerprint) where fingerprint is the md5 of
+    the sorted distinct mins — a stable whole-document signature.
+    """
+    distinct_mins = _winnow_mins(F.col(text_col), k, window)
     return df.select(
         F.col(id_col),
         F.size(distinct_mins).alias("n_fingerprints"),
@@ -272,3 +279,98 @@ def repetition_stats(
         )
         cols += [dup_frac, top_frac]
     return df.select(*cols)
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowing fingerprints — approximate SHARED-SUBSTRING
+    detection (each shared fingerprint witnesses an identical k-gram
+    that both documents' winnowing windows selected; Schleimer et al.'s
+    guarantee bounds the longest undetected shared run by k + window).
+    This is the niche MinHash misses: two long documents sharing one
+    lifted paragraph have near-zero global Jaccard but several shared
+    fingerprints.
+
+    Same bucketed shape as every candidate join here: fingerprints
+    explode to rows, the self-join is keyed by the (high-cardinality)
+    fingerprint hash, and the pair count aggregates map-side.
+    ``max_bucket`` drops fingerprints shared by more than that many docs
+    BEFORE the self-join (`_cap_buckets` tradeoff) — a fingerprint of
+    ubiquitous boilerplate would otherwise go quadratic.
+    """
+    from geoscan_fraud_spark.operators.dedup import _cap_buckets
+
+    fp = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_winnow_mins(F.col(text_col), k, window)).alias("fp"),
+    )
+    if max_bucket is not None:
+        fp = _cap_buckets(fp, ["fp"], max_bucket)
+    a = fp.select("fp", F.col("id").alias("id_a"))
+    b = fp.select("fp", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, entropy): Shannon entropy (nats) of each document's
+    token distribution — near zero for keyword-stuffed/templated spam,
+    high for natural prose; the quality signal complementing
+    `repetition_stats` (which sees adjacency, not distribution).
+
+    Native one-pass form: H = ln N - (1/N)·Σ c·ln c over token counts c,
+    computed by sorting the token array and folding run lengths (the
+    same sort + run-length trick as `repetition_stats` — map-only, no
+    explode, no shuffle)."""
+    toks = F.array_sort(F.split(F.col(text_col), r"\s+"))
+    n = F.size(toks)
+    clogc = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x == acc["prev"], acc["s"])
+            .otherwise(
+                acc["s"]
+                + F.when(
+                    acc["run"] > 0,
+                    acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+                ).otherwise(F.lit(0.0))
+            )
+            .alias("s"),
+        ),
+        lambda acc: acc["s"]
+        + F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(
+            n > 0, F.round(F.log(n.cast("double")) - clogc / n, 4)
+        ).alias("entropy"),
+    )

@@ -484,3 +484,71 @@ def test_embedding_index_roundtrip_and_bucket_stability(spark, embeddings, tmp_p
     )
     kept = embedding_dedup_against_index(copies, idx_back, threshold=0.98)
     assert kept.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# winnow shared pairs + token entropy
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_shared_pairs_finds_lifted_paragraph(spark):
+    from geoscan_fraud_spark.operators.text import winnow_shared_pairs
+
+    para = " ".join(f"shared{i}" for i in range(30))
+    a = para + " " + " ".join(f"a{i}" for i in range(100))
+    b = " ".join(f"b{i}" for i in range(100)) + " " + para
+    c = " ".join(f"c{i}" for i in range(130))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in winnow_shared_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # the lifted paragraph
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_shared_pairs_low_global_jaccard(spark):
+    # the MinHash-misses case: global token Jaccard of the pair is tiny
+    para = " ".join(f"shared{i}" for i in range(30))
+    a = para + " " + " ".join(f"a{i}" for i in range(400))
+    b = " ".join(f"b{i}" for i in range(400)) + " " + para
+    ja = len(set(a.split()) & set(b.split())) / len(set(a.split()) | set(b.split()))
+    assert ja < 0.05
+    from geoscan_fraud_spark.operators.text import winnow_shared_pairs
+
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    assert winnow_shared_pairs(df).count() == 1
+
+
+def test_token_entropy_values(spark):
+    import math
+
+    from geoscan_fraud_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),                  # H = 0
+            (2, "a b c d"),                  # H = ln 4
+            (3, "a a b b"),                  # H = ln 2
+            (4, "x"),                        # single token: H = 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy for r in token_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(4), 4)) < 1e-9
+    assert abs(got[3] - round(math.log(2), 4)) < 1e-9
+    assert got[4] == 0.0
+
+
+def test_token_entropy_matches_python_reference(spark, docs):
+    import math
+    from collections import Counter
+
+    from geoscan_fraud_spark.operators.text import token_entropy
+
+    got = {r.doc_id: r.entropy for r in token_entropy(docs.limit(50)).collect()}
+    for r in docs.limit(50).collect():
+        c = Counter(r.text.split())
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert abs(got[r.doc_id] - h) < 5e-4, r.doc_id

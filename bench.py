@@ -143,6 +143,12 @@ def main():
             load_fixture(spark, sf_dir, "documents"), ["source"]
         )
 
+    def bench_text_repetition(spark, sf_dir):
+        from geoscan_fraud_spark.operators.text import repetition_stats
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        return repetition_stats(load_fixture(spark, sf_dir, "documents"))
+
     extras = {
         "decontaminate": bench_decontaminate,
         "pack_documents": bench_pack_documents,
@@ -159,6 +165,7 @@ def main():
         "salted_join": QUERIES["salted_join"],
         "profile_corpus": bench_profile_corpus,
         "dedup_minhash_unguarded": bench_minhash_unguarded,
+        "text_repetition": bench_text_repetition,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

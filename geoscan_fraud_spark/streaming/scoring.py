@@ -319,3 +319,27 @@ def embedding_ingest_sink(
         ["id", "bucket", "scale", "qvec"],
         empty_schema,
     )
+
+
+def profile_sink(
+    profile_path: str,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    lg_k: int = 12,
+):
+    """`writeStream.foreachBatch(...)` sink appending one corpus-profile
+    row set per micro-batch (`operators/profiling.profile_corpus` —
+    counts + mergeable HLL vocabulary sketch). Any later rollup is
+    `merge_profiles` over the tiny profile table: per-batch sketches
+    union into exactly the sketch a from-scratch profile would build, so
+    corpus stats never require rescanning ingested data. Writes are
+    idempotent per batch (batch_id=N overwrite, as the ingest sinks)."""
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from geoscan_fraud_spark.operators.profiling import profile_corpus
+
+        profile_corpus(batch_df, group_cols, text_col, lg_k).write.mode(
+            "overwrite"
+        ).parquet(f"{profile_path}/batch_id={batch_id}")
+
+    return inner

@@ -578,3 +578,11 @@ def test_weighted_sample_per_group(spark, sf_dir):
         r.doc_id for r in s.filter(F.col("source") == one_src).collect()
     }
     assert direct == via_group
+
+
+def test_entropy_and_repetition_are_map_only(spark, docs):
+    from geoscan_fraud_spark.operators.text import token_entropy
+    from geoscan_fraud_spark.plans.audit import plan_summary
+
+    s = plan_summary(token_entropy(docs))
+    assert s["shuffles"] == 0 and s["python_eval"] == 0

@@ -164,3 +164,29 @@ def test_embedding_ingest_sink_dedups_across_batches(spark, tmp_path):
     # replay of batch 1: unchanged (index read excludes own delta)
     sink(b1, 1)
     assert sorted(r.vec_id for r in spark.read.parquet(out_path).collect()) == [1, 11]
+
+
+def test_profile_sink_rollup_matches_batch_profile(spark, tmp_path):
+    from geoscan_fraud_spark.operators.profiling import merge_profiles, profile_corpus
+    from geoscan_fraud_spark.streaming.scoring import profile_sink
+
+    rows0 = [(i, f"alpha beta tok{i}", "web") for i in range(50)]
+    rows1 = [(i + 100, f"gamma delta tok{i}", "web") for i in range(50)]
+    schema = "doc_id long, text string, source string"
+    b0 = spark.createDataFrame(rows0, schema)
+    b1 = spark.createDataFrame(rows1, schema)
+    path = str(tmp_path / "profiles")
+    sink = profile_sink(path, ["source"])
+    sink(b0, 0)
+    sink(b1, 1)
+
+    merged = merge_profiles(
+        spark.read.parquet(path).drop("batch_id"), ["source"]
+    ).collect()[0]
+    direct = profile_corpus(b0.unionByName(b1), ["source"]).collect()[0]
+    assert merged.n_docs == direct.n_docs == 100
+    assert merged.n_tokens == direct.n_tokens
+    assert (
+        abs(merged.distinct_tokens - direct.distinct_tokens)
+        <= 0.02 * direct.distinct_tokens
+    )

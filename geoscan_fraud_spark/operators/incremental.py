@@ -99,9 +99,25 @@ def _banded_sig(
 
 def estimated_jaccard(sig_a, sig_b):
     """MinHash Jaccard estimate: fraction of equal signature components.
-    Native fold over the zipped arrays — a double in [0, 1]."""
+    Native fold over the zipped arrays — a double in [0, 1].
+
+    Mismatched signature lengths raise at runtime (`raise_error`) instead
+    of silently under-estimating: zip_with would null-pad the shorter
+    side, every padded slot would count as unequal, and an index built
+    with a different ``num_hashes`` would quietly stop matching."""
     eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
-    return F.aggregate(eq, F.lit(0), lambda s, x: s + x) / F.size(sig_a)
+    est = F.aggregate(eq, F.lit(0), lambda s, x: s + x) / F.size(sig_a)
+    return F.when(F.size(sig_a) == F.size(sig_b), est).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("estimated_jaccard: signature length mismatch ("),
+                F.size(sig_a).cast("string"),
+                F.lit(" vs "),
+                F.size(sig_b).cast("string"),
+                F.lit(") — index and batch must share num_hashes"),
+            )
+        )
+    )
 
 
 def dedup_against_index(

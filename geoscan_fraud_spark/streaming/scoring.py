@@ -191,6 +191,8 @@ def incremental_ingest_sink(
     """
 
     def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             idx = (
@@ -198,8 +200,11 @@ def incremental_ingest_sink(
                 .filter(F.col("batch_id") < batch_id)
                 .select(*index_cols)
             )
-        except Exception:
-            # bootstrap: no index yet — empty store with the right schema
+        except AnalysisException:
+            # bootstrap only: the index path does not exist yet (or holds
+            # no readable schema). Anything else — corrupt files, wrong
+            # schema mid-stream — must surface, not silently restart the
+            # store from empty.
             idx = spark.createDataFrame([], empty_index_schema(batch_df))
         kept = dedup_fn(batch_df, idx).localCheckpoint(
             eager=True

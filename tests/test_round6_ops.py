@@ -586,3 +586,12 @@ def test_entropy_and_repetition_are_map_only(spark, docs):
 
     s = plan_summary(token_entropy(docs))
     assert s["shuffles"] == 0 and s["python_eval"] == 0
+
+
+def test_estimated_jaccard_rejects_length_mismatch(spark, docs):
+    idx48 = minhash_index(docs.limit(5), num_hashes=48)
+    batch = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with pytest.raises(Exception, match="length mismatch"):
+        dedup_against_index(
+            batch, idx48, num_hashes=32, bands=8, threshold=0.5
+        ).count()

@@ -131,6 +131,7 @@ def dedup_against_index(
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
     max_bucket: int | None = None,
+    precollapse_exact: bool = True,
 ) -> DataFrame:
     """Dedup an incoming batch against a signature index AND within
     itself; return the kept rows of ``new_df`` (append their
@@ -144,12 +145,34 @@ def dedup_against_index(
          unless the component contains an index-matched doc, in which
          case the WHOLE component is dropped (transitively represented).
 
+    ``precollapse_exact`` (default on — the hot-bucket guard, same as
+    `minhash_dedup`): signature-identical batch docs collapse to their
+    min-id representative before any banding, so k copies of a
+    boilerplate page cost one band row instead of a k²/2 self-join
+    blow-up. Result-preserving: copies pair with their representative at
+    estimate 1.0 ≥ any threshold, land in its component, and are dropped
+    whether the representative survives or not — exactly what excluding
+    them up front does. The collapse groups BY the signature array on
+    the already-checkpointed signature table (one small shuffle of
+    ~8·H-byte rows).
+
     The estimator needs identical (n, num_hashes, sig_hash) between the
     index build and this call; banding (``bands``) may differ run-to-run
     — it only changes candidate recall, not the estimate."""
     new_sig = minhash_index(
         new_df, text_col, id_col, n, num_hashes, sig_hash
     ).localCheckpoint(eager=True)
+    if precollapse_exact:
+        rep_ids = (
+            new_sig.groupBy("sig")
+            .agg(F.min("id").alias("id"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        new_sig = new_sig.join(rep_ids, "id", "left_semi")
+        new_df = new_df.join(
+            rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
     idx = index.select(F.col("id").alias("oid"), F.col("sig").alias("osig"))
 
     nb = _banded_sig(new_sig, num_hashes, bands, sig_hash)
@@ -264,6 +287,7 @@ def embedding_dedup_against_index(
     seed: int = 42,
     threshold: float = 0.95,
     max_bucket: int | None = None,
+    precollapse_exact: bool = True,
 ) -> DataFrame:
     """Drop new vectors whose cosine vs ANY indexed vector clears
     ``threshold`` (verified against the DEQUANTIZED stored vector —
@@ -272,12 +296,26 @@ def embedding_dedup_against_index(
     against itself (`embedding_neardup_pairs`) under the same
     component-level drop rule as `dedup_against_index`. Returns the kept
     rows of ``new_df``; append their `embedding_index` rows afterwards.
-    """
+
+    ``precollapse_exact`` (default on): value-identical vectors collapse
+    to their min-id representative first — k copies share every bucket
+    and would go quadratic in the self-join; copies of a representative
+    are dropped either way (cosine 1 ≥ any threshold), so the result is
+    unchanged."""
     from geoscan_fraud_spark.operators.dedup import (
         cosine_expr,
         embedding_neardup_pairs,
         hyperplane_bucket,
     )
+
+    if precollapse_exact:
+        rep_ids = (
+            new_df.groupBy(F.col(emb_col))
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        new_df = new_df.join(rep_ids, id_col, "left_semi")
 
     nb = new_df.select(
         F.col(id_col).alias("id"),

@@ -595,3 +595,63 @@ def test_estimated_jaccard_rejects_length_mismatch(spark, docs):
         dedup_against_index(
             batch, idx48, num_hashes=32, bands=8, threshold=0.5
         ).count()
+
+
+def test_incremental_precollapse_equivalent_on_flooded_batch(spark, docs):
+    # 300 exact copies of one doc + normal docs: guard on and off must
+    # keep the same set (copies always lose to their min-id original)
+    base = docs.limit(20)
+    idx = minhash_index(base, num_hashes=48)
+    one = docs.filter(F.col("doc_id") == 0).select("text").first().text
+    flood = spark.createDataFrame(
+        [(1_000_000 + i, one) for i in range(300)]
+        + [(2_000_000, " ".join(f"fresh{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    kept_on = sorted(
+        r.doc_id
+        for r in dedup_against_index(
+            flood, idx, num_hashes=48, bands=12, threshold=0.5
+        ).collect()
+    )
+    kept_off = sorted(
+        r.doc_id
+        for r in dedup_against_index(
+            flood, idx, num_hashes=48, bands=12, threshold=0.5,
+            precollapse_exact=False,
+        ).collect()
+    )
+    assert kept_on == kept_off
+    # doc 0's text is in the index: every copy matched and dropped;
+    # the fresh doc survives
+    assert kept_on == [2_000_000]
+
+
+def test_embedding_precollapse_equivalent_on_flooded_batch(spark, embeddings):
+    from geoscan_fraud_spark.operators.incremental import (
+        embedding_dedup_against_index,
+        embedding_index,
+    )
+
+    base = embeddings.limit(20)
+    idx = embedding_index(base)
+    v = base.first().embedding
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    fresh = [float(x) for x in rng.randn(64)]
+    flood = spark.createDataFrame(
+        [(1_000_000 + i, list(v)) for i in range(200)] + [(2_000_000, fresh)],
+        "vec_id long, embedding array<float>",
+    )
+    kept_on = sorted(
+        r.vec_id
+        for r in embedding_dedup_against_index(flood, idx, threshold=0.98).collect()
+    )
+    kept_off = sorted(
+        r.vec_id
+        for r in embedding_dedup_against_index(
+            flood, idx, threshold=0.98, precollapse_exact=False
+        ).collect()
+    )
+    assert kept_on == kept_off == [2_000_000]

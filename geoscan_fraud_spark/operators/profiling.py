@@ -92,3 +92,112 @@ def merge_profiles(
     return out.select(
         *keys, "n_docs", "n_tokens", "n_chars", "distinct_tokens", "token_sketch"
     )
+
+
+def _bin_expr(value, lo: float, hi: float, bins: int):
+    """Log-spaced bin index in [0, bins+1]: 0 = underflow (< lo),
+    bins+1 = overflow (>= hi), else 1 + floor(bins · log(v/lo)/log(hi/lo))."""
+    import math
+
+    span = math.log(hi / lo)
+    v = value.cast("double")
+    inner = (
+        F.lit(1)
+        + F.floor(F.log(v / F.lit(float(lo))) / F.lit(span) * F.lit(bins))
+    ).cast("int")
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(bins + 1))
+        .otherwise(F.least(inner, F.lit(bins)))  # guard v==hi-ulp rounding
+    )
+
+
+def histogram_profile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo: float = 1.0,
+    hi: float = 1e6,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-group MERGEABLE histogram of a positive metric (doc lengths,
+    token counts, file sizes): ``hist`` is an array of bins+2 counts
+    (log-spaced between ``lo`` and ``hi``, plus underflow/overflow
+    slots). Mergeable by vector addition (`merge_histogram_profiles`),
+    so per-batch histograms roll up to any coarser grouping with no
+    rescan — the quantile analog of the HLL vocabulary sketch (Spark's
+    exact/approx percentiles do not merge across persisted rows).
+    Log-spacing bounds relative quantile error at ~(hi/lo)^(1/bins)-1
+    (~24% per bin edge at the defaults; raise ``bins`` for tighter).
+
+    One partial-aggregating groupBy: each row maps to a bin (map-only
+    expression) and the count vector combines map-side."""
+    keys = list(group_cols or [])
+    gb = keys if keys else [F.lit(1).alias("__g")]
+    b = _bin_expr(F.col(value_col), lo, hi, bins)
+    counts = df.groupBy(*gb, b.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    jk = keys if keys else ["__g"]
+    # densify to a fixed-width vector so merging is a plain zip_with
+    out = counts.groupBy(*jk).agg(
+        F.aggregate(
+            F.collect_list(F.struct("__bin", "__n")),
+            F.array_repeat(F.lit(0).cast("long"), bins + 2),
+            lambda acc, x: F.transform(
+                acc,
+                lambda c, i: F.when(i == x["__bin"], c + x["__n"]).otherwise(c),
+            ),
+        ).alias("hist")
+    )
+    if not keys:
+        out = out.drop("__g")
+    return out.select(*keys, "hist")
+
+
+def merge_histogram_profiles(
+    profiles: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Roll histogram rows up to coarser groups (or one global row):
+    count vectors add element-wise — the merged histogram is exactly the
+    histogram a from-scratch pass would build."""
+    keys = list(group_cols or [])
+    gb = keys if keys else [F.lit(1).alias("__g")]
+    out = profiles.groupBy(*gb).agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            F.transform(F.first("hist"), lambda x: F.lit(0).cast("long")),
+            lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+        ).alias("hist")
+    )
+    if not keys:
+        out = out.drop("__g")
+    return out.select(*keys, "hist")
+
+
+def histogram_quantile(
+    hist: list[int], q: float, lo: float = 1.0, hi: float = 1e6
+) -> float:
+    """Estimate the q-quantile from a `histogram_profile` count vector
+    (driver-side helper over the tiny profile row): returns the
+    geometric midpoint of the bin containing the quantile rank;
+    underflow/overflow clamp to lo/hi."""
+    import math
+
+    bins = len(hist) - 2
+    total = sum(hist)
+    if total == 0:
+        raise ValueError("empty histogram")
+    rank = q * total
+    acc = 0
+    for i, c in enumerate(hist):
+        acc += c
+        if acc >= rank and c > 0:
+            if i == 0:
+                return lo
+            if i == bins + 1:
+                return hi
+            span = math.log(hi / lo) / bins
+            left = math.log(lo) + (i - 1) * span
+            return math.exp(left + span / 2)
+    return hi

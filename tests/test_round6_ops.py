@@ -655,3 +655,44 @@ def test_embedding_precollapse_equivalent_on_flooded_batch(spark, embeddings):
         ).collect()
     )
     assert kept_on == kept_off == [2_000_000]
+
+
+# ---------------------------------------------------------------------------
+# mergeable histograms
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_profile_counts_and_merge(spark, sf_dir):
+    from geoscan_fraud_spark.operators.profiling import (
+        histogram_profile,
+        histogram_quantile,
+        merge_histogram_profiles,
+    )
+
+    d = load_fixture(spark, sf_dir, "documents")
+    per_source = histogram_profile(d, "n_chars", ["source"], lo=1, hi=10_000, bins=64)
+    merged = merge_histogram_profiles(per_source, None).collect()[0]
+    direct = histogram_profile(d, "n_chars", None, lo=1, hi=10_000, bins=64).collect()[0]
+    assert list(merged.hist) == list(direct.hist)
+    assert sum(merged.hist) == d.count()
+
+    # quantile estimate within one log-bin of the exact median
+    import math
+
+    exact = d.approxQuantile("n_chars", [0.5], 0.0)[0]
+    est = histogram_quantile(list(merged.hist), 0.5, lo=1, hi=10_000)
+    assert abs(math.log(est / exact)) <= math.log(10_000) / 64 + 1e-9
+
+
+def test_histogram_under_overflow(spark):
+    from geoscan_fraud_spark.operators.profiling import histogram_profile
+
+    df = spark.createDataFrame(
+        [(0.5,), (2.0,), (50.0,), (1e9,)], "v double"
+    )
+    h = list(
+        histogram_profile(df, "v", None, lo=1, hi=100, bins=4).collect()[0].hist
+    )
+    assert h[0] == 1          # 0.5 underflows
+    assert h[-1] == 1         # 1e9 overflows
+    assert sum(h) == 4

@@ -166,6 +166,8 @@ def main():
         "profile_corpus": bench_profile_corpus,
         "dedup_minhash_unguarded": bench_minhash_unguarded,
         "text_repetition": bench_text_repetition,
+        "semantic_dedup": QUERIES["semantic_dedup"],
+        "lm_perplexity": QUERIES["lm_perplexity"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

@@ -823,3 +823,132 @@ def dedup_incremental(spark, sf_dir):
         batch, idx, num_hashes=48, bands=12, threshold=0.5, sig_hash="md5"
     )
     return kept.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) + unigram-LM perplexity (round-6 rotation:
+# slots funded by a1_groupby_count / a5_groupby_max, whose algebra is
+# driver-evidenced elsewhere — see harness.py fold notes)
+# ---------------------------------------------------------------------------
+
+
+def _semantic_dedup_oracle(threshold: float = 0.98) -> str:
+    """SemDeDup as one DuckDB statement over the SAME fixed centroid
+    literals the Spark plan uses: nearest-centroid assignment (squared-L2
+    via the dot-product identity, first index on ties — both engines
+    1-based first-occurrence), within-cluster cosine pairs, recursive-CTE
+    connected components, keep min id."""
+    cent = _ivf_centroids("/root/testdata/sf0.01")
+
+    def lit(v):
+        return "[" + ",".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    def d2(ctr):
+        L = lit(ctr)
+        return (
+            f"(list_dot_product(e, e) + list_dot_product({L}, {L})"
+            f" - 2.0 * list_dot_product(e, {L}))"
+        )
+
+    d_arr = "[" + ",\n            ".join(d2(c) for c in cent) + "]"
+    cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+    WITH RECURSIVE c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+    u AS (
+      SELECT id, e FROM c
+      UNION ALL
+      SELECT id + 1000000 AS id, list_transform(e, x -> x * 1.000001) AS e FROM c),
+    k AS (
+      SELECT id, e, list_position(d, list_min(d)) AS cl
+      FROM (SELECT id, e, {d_arr} AS d FROM u)),
+    verified AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM k a JOIN k b ON a.cl = b.cl AND a.id < b.id
+      WHERE {cos} >= {threshold}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified),
+    reach(id, root) AS (
+      SELECT a, a FROM edges GROUP BY a
+      UNION
+      SELECT e2.b, reach.root FROM reach JOIN edges e2 ON e2.a = reach.id),
+    comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id <> component)
+    SELECT id AS vec_id FROM u
+    WHERE id NOT IN (SELECT id FROM dropped)
+    ORDER BY vec_id
+    """
+
+
+@register("semantic_dedup", sql=_semantic_dedup_oracle)
+def semantic_dedup_entry(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py): k-means
+    blocking + within-cluster cosine + connected components + keep min
+    id. Runs the fixed-centroid quantizer (sf0.01 Lloyd literals — the
+    same set `ann_ivf_topk` shares with its oracle) so assignment AND
+    verification replay bit-exactly in DuckDB; the seeded MLlib-KMeans
+    fit is the 100 TB scale path (recall property pinned in pytest)."""
+    cent = _ivf_centroids("/root/testdata/sf0.01")
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    return sim.semantic_dedup(
+        e.unionByName(dup), threshold=0.98, centroids=cent
+    ).orderBy("vec_id")
+
+
+_LM_ALPHA = 0.5
+
+
+def _lm_perplexity_oracle(alpha: float = _LM_ALPHA) -> str:
+    """Unigram-LM scoring as DuckDB SQL: train on doc_id % 10 != 0
+    (add-alpha smoothing), score every document by mean NLL. The
+    smoothing denominator and OOV mass use the same exact-integer counts
+    both engines compute; ln/avg round to 6 (floating sum order is
+    engine-specific)."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, u.t FROM documents,
+             unnest(string_split(trim(text), ' ')) AS u(t)
+      WHERE length(u.t) > 0),
+    cnt AS (
+      SELECT t, count(*) AS c FROM tok WHERE doc_id % 10 != 0 GROUP BY t),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+    lm AS (
+      SELECT t, ln((c + {alpha}) / (n + {alpha} * (v + 1))) AS logp
+      FROM cnt, tot),
+    oov AS (SELECT ln({alpha} / (n + {alpha} * (v + 1))) AS logp FROM tot),
+    sc AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             -avg(coalesce(lm.logp, (SELECT logp FROM oov))) AS nll
+      FROM tok LEFT JOIN lm ON tok.t = lm.t
+      GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(sc.nll, 6) AS nll,
+           ROUND(exp(sc.nll), 6) AS ppl
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("lm_perplexity", sql=_lm_perplexity_oracle())
+def lm_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity scoring (operators/text.py): train an
+    add-alpha unigram model on the doc_id % 10 != 0 slice (one groupBy
+    over the exploded corpus; totals folded as literals, the tf-idf
+    eager-scalar pattern), score EVERY document — held-out docs exercise
+    the OOV path — by mean negative log-probability. The CCNet-recipe
+    quality filter in its simplest trainable form; the scoring join is
+    broadcast (vocabulary-sized right side), so the corpus never
+    shuffles for it."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
+    return tx.perplexity_score(docs, lm, oov).orderBy("doc_id")

@@ -298,6 +298,114 @@ def ivf_topk_quantized(
     )
 
 
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cosine): within-cluster embedding pairs with
+    ``cosine >= threshold`` — the SemDeDup blocking scheme (Abbas et al.
+    2023): k-means the corpus, compare only inside each cluster.
+
+    Same bucket-then-verify shape as the geo engine's cell join (J4) and
+    the hyperplane-LSH `embedding_neardup_pairs`, with a *learned*
+    partition instead of random planes — semantically close pairs that
+    random hyperplanes split across buckets land in one cluster here.
+    Recall caveat (inherent to the published algorithm): pairs straddling
+    a cluster boundary are missed; raise ``n_clusters`` only as the
+    corpus grows (cost is O(sum k_i^2) over cluster sizes k_i).
+
+    Scale: the self-join is a plain equi-join on the cluster id, one
+    shuffle; per-row norms are computed once before the join. At 100 TB,
+    size ``n_clusters ~ n / 10_000`` so clusters stay bounded, and set
+    ``max_bucket`` as the hot-cluster guard (same tradeoff as the LSH
+    `_cap_buckets`: a dense semantic clump — boilerplate at corpus scale
+    — would otherwise emit k^2/2 pairs; exact-duplicate vectors should be
+    collapsed upstream). Quantizer: seeded MLlib KMeans by default (the
+    distributed scale path); pass fixed ``centroids`` (e.g. from
+    `lloyd_centroids`) for a plan that replays bit-exactly in an external
+    SQL oracle (assignment = first index of min squared-L2, 1-based).
+    """
+    c = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cvec = c.withColumn(
+            "features", array_to_vector(F.transform("e", lambda x: x.cast("double")))
+        )
+        km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cl")
+        assigned = km.fit(cvec).transform(cvec).select("id", "e", "cl")
+    else:
+        d = _centroid_dists(F.col("e"), centroids)
+        assigned = c.select(
+            "id", "e", F.array_position(d, F.array_min(d)).alias("cl")
+        )
+    if max_bucket is not None:
+        from geoscan_fraud_spark.operators.dedup import _cap_buckets
+
+        assigned = _cap_buckets(assigned, ["cl"], max_bucket)
+    assigned = assigned.withColumn("__n", norm_expr(F.col("e")))
+    a = assigned.select(
+        F.col("cl"),
+        F.col("id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.col("__n").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("cl"),
+        F.col("id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("__n").alias("n_b"),
+    )
+    return (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot_expr(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Surviving ids after SemDeDup-style semantic deduplication: cluster
+    -> within-cluster cosine pairs (`semantic_pairs`) -> connected
+    components -> keep the minimum id per component.
+
+    Returns a one-column DataFrame of ``id_col`` (the survivor set;
+    semi-join it back to recover full rows — same contract as
+    `minhash_dedup`). Eager: connected components iterates to fixpoint
+    (O(log n) rounds, each checkpointed — `operators/components.py`).
+    """
+    from geoscan_fraud_spark.operators.components import connected_components
+
+    pairs = semantic_pairs(
+        df, threshold, n_clusters, emb_col, id_col, seed, centroids, max_bucket
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.select(F.col(id_col)).join(
+        dropped, F.col(id_col) == dropped.id, "left_anti"
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

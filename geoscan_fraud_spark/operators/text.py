@@ -374,3 +374,83 @@ def token_entropy(
             n > 0, F.round(F.log(n.cast("double")) - clogc / n, 4)
         ).alias("entropy"),
     )
+
+
+def fit_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """Train an add-alpha-smoothed unigram language model over a corpus:
+    returns ``(lm, oov_logp)`` where ``lm`` is (token, logp) with
+    ``logp = ln((count + alpha) / (N + alpha * (V + 1)))`` and
+    ``oov_logp`` the same formula at count 0 — the probability mass every
+    unseen token gets.
+
+    The CCNet-style quality lever (Wenzek et al. 2020 trains KenLM on a
+    clean corpus and filters by perplexity): here the model is the
+    simplest member of that family, a unigram table, trainable in ONE
+    groupBy over the exploded corpus. Training is an action — the totals
+    (N, V) are folded into the plan as literals, the same eager-scalar
+    pattern as the tf-idf IDF denominator (`operators/tiles.py`). The
+    returned ``lm`` is a vocabulary-sized relation: broadcast-joinable at
+    scoring time, so scoring a 100 TB corpus never shuffles the corpus
+    side (see `perplexity_score`). Tokens are whitespace-split, empties
+    dropped — matching `token_frequencies`.
+    """
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    denom = float(n) + float(alpha) * (v + 1)
+    import math
+
+    oov_logp = math.log(float(alpha) / denom)
+    lm = cnt.select(
+        "t",
+        F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom)).alias("logp"),
+    )
+    return lm, oov_logp
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    oov_logp: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, nll, ppl): score each document under a unigram LM
+    from `fit_unigram_lm` — ``nll`` is the mean negative log-probability
+    per token (lower = more in-distribution), ``ppl = exp(nll)``.
+
+    The standard LLM-pipeline quality filter: train the LM on a trusted
+    slice, drop documents whose perplexity is extreme on either side
+    (gibberish scores high; boilerplate/repetition scores suspiciously
+    low). Plan shape at 100 TB: explode -> broadcast-hash join against
+    the vocabulary-sized ``lm`` (corpus side never shuffles for the
+    join) -> one groupBy(id) with map-side partial aggregation — a
+    document's tokens start co-partitioned, so the final shuffle moves
+    one partial row per (partition, doc). ``nll``/``ppl`` round to 6
+    (floating sum order is engine-specific). Empty documents score NULL.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    scored = tok.join(F.broadcast(lm), "t", "left_outer").select(
+        id_col, F.coalesce(F.col("logp"), F.lit(float(oov_logp))).alias("logp")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("logp")).alias("__nll"),
+    )
+    return df.select(id_col).join(agg, id_col, "left_outer").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.round(F.col("__nll"), 6).alias("nll"),
+        F.round(F.exp(F.col("__nll")), 6).alias("ppl"),
+    )

@@ -1,0 +1,184 @@
+"""SemDeDup-style semantic dedup + unigram-LM perplexity scoring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.similarity import (
+    lloyd_centroids,
+    semantic_dedup,
+    semantic_pairs,
+)
+from geoscan_fraud_spark.operators.text import fit_unigram_lm, perplexity_score
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_fixture(spark, sf_dir, "embeddings")
+
+
+def _centroids(emb, k=8):
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").select("embedding").collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return lloyd_centroids(X, k)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_copies_are_deduped(spark, emb):
+    cent = _centroids(emb)
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(dup)
+    surv = semantic_dedup(both, threshold=0.98, centroids=cent)
+    ids = {r[0] for r in surv.collect()}
+    n = emb.count()
+    # a scaled copy has cosine ~1 with its source and the same nearest
+    # centroid -> exactly one of each pair survives, and it is the min id
+    assert len(ids) == n
+    assert all(i < 1_000_000 for i in ids)
+
+
+def test_distinct_vectors_survive(spark, emb):
+    cent = _centroids(emb)
+    surv = semantic_dedup(emb, threshold=0.999, centroids=cent)
+    # fixture vectors are distinct; at a near-1 threshold nothing drops
+    assert surv.count() == emb.count()
+
+
+def test_pairs_match_brute_force_within_clusters(spark, emb):
+    """Every within-cluster pair the brute-force cosine finds, the
+    operator finds (and nothing else): blocking adds no false pairs and
+    loses none INSIDE a cluster — the only recall loss SemDeDup allows
+    is across cluster boundaries."""
+    import numpy as np
+
+    cent = _centroids(emb)
+    small = emb.filter(F.col("vec_id") < 100)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_pairs(small, threshold=0.5, centroids=cent).collect()
+    }
+    rows = small.orderBy("vec_id").select("vec_id", "embedding").collect()
+    X = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    C = np.asarray(cent)
+
+    def assign(v):
+        return int(((C - v) ** 2).sum(axis=1).argmin())
+
+    expect = set()
+    ids = sorted(X)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign(X[a]) != assign(X[b]):
+                continue
+            cos = X[a] @ X[b] / (
+                math.sqrt(X[a] @ X[a]) * math.sqrt(X[b] @ X[b])
+            )
+            if cos >= 0.5:
+                expect.add((a, b))
+    assert got == expect
+
+
+def test_mllib_kmeans_path_dedups_copies(spark, emb):
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(dup)
+    surv = semantic_dedup(both, threshold=0.98, n_clusters=8, seed=7)
+    # scale path (MLlib KMeans): same invariant — copies collapse
+    assert surv.count() == emb.count()
+
+
+def test_max_bucket_caps_hot_cluster(spark, emb):
+    """A 200x-duplicated vector floods one cluster; the cap bounds the
+    candidate pairs instead of emitting k^2/2."""
+    cent = _centroids(emb)
+    one = emb.filter(F.col("vec_id") == 1)
+    flood = one.crossJoin(
+        emb.sparkSession.range(200).select(F.col("id").alias("__i"))
+    ).select(
+        (F.col("vec_id") * 1000 + F.col("__i") + 10_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    both = emb.filter(F.col("vec_id") < 50).unionByName(flood)
+    capped = semantic_pairs(both, threshold=0.98, centroids=cent, max_bucket=40)
+    uncapped = semantic_pairs(both, threshold=0.98, centroids=cent)
+    assert uncapped.count() >= 200 * 199 // 2
+    assert capped.count() < 40 * 40 * 2
+
+
+# ---------------------------------------------------------------------------
+# unigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_lm_closed_form_tiny_corpus(spark):
+    """Hand-checkable: corpus 'a a b' -> N=3, V=2; alpha=0.5."""
+    train = spark.createDataFrame([(0, "a a b")], ["doc_id", "text"])
+    lm, oov = fit_unigram_lm(train, alpha=0.5)
+    got = {r["t"]: r["logp"] for r in lm.collect()}
+    denom = 3 + 0.5 * 3
+    assert got["a"] == pytest.approx(math.log(2.5 / denom))
+    assert got["b"] == pytest.approx(math.log(1.5 / denom))
+    assert oov == pytest.approx(math.log(0.5 / denom))
+
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in perplexity_score(score, lm, oov).collect()
+    }
+    nll_ab = -(math.log(2.5 / denom) + math.log(1.5 / denom)) / 2
+    assert out[1]["nll"] == pytest.approx(nll_ab, abs=1e-6)
+    assert out[1]["ppl"] == pytest.approx(math.exp(nll_ab), abs=1e-5)
+    # all-OOV doc scores exactly the OOV mass
+    assert out[2]["nll"] == pytest.approx(-oov, abs=1e-6)
+    # empty doc: 0 tokens, NULL scores (no silent zero)
+    assert out[3]["n_tokens"] == 0 and out[3]["nll"] is None
+
+
+def test_lm_heldout_scores_higher_than_train(spark, sf_dir):
+    """In-distribution (train) docs must score no worse on average than
+    the same corpus under a model trained WITHOUT them sees them —
+    i.e. the filter signal points the right way on the fixture."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    lm, oov = fit_unigram_lm(train)
+    scored = perplexity_score(docs, lm, oov)
+    avg = (
+        scored.withColumn("held", F.col("doc_id") % 10 == 0)
+        .groupBy("held")
+        .agg(F.avg("nll").alias("a"))
+    )
+    by = {r["held"]: r["a"] for r in avg.collect()}
+    assert by[False] <= by[True]
+
+
+def test_lm_score_plan_is_broadcast(spark, sf_dir):
+    """The scoring join must broadcast the vocabulary side — the corpus
+    never shuffles for the join (one Exchange total: the per-doc agg)."""
+    docs = load_fixture(spark, sf_dir, "documents")
+    lm, oov = fit_unigram_lm(docs.limit(50))
+    plan = (
+        perplexity_score(docs, lm, oov)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

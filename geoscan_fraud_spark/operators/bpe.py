@@ -1,0 +1,220 @@
+"""Distributed BPE tokenizer training — learn a byte-pair-encoding merge
+list from a corpus, then segment/count tokens with it.
+
+Beyond-reference operator (SURVEY §2.10 "training-batch assembly"
+family): the engine's token counting so far used a fixed BPE-ish regex
+(`operators/text.py::TOKEN_PATTERN`); this module learns the merges from
+the corpus itself (Sennrich et al. 2016), the way real LLM tokenizers
+are built.
+
+Scale shape — the key observation is that BPE training never needs the
+corpus after one aggregation:
+
+1. `word_counts` — ONE corpus-sized shuffle (explode + groupBy word).
+   Everything after operates on the weighted DISTINCT-WORD relation,
+   which is bounded by vocabulary (10^7-10^8 rows for web corpora), not
+   corpus size.
+2. `train_bpe` — each merge round is: adjacent-pair count over the word
+   relation (one small shuffle; partial aggregation collapses map-side),
+   take the argmax (driver-side single row — the same eager-scalar
+   pattern as the tf-idf N), apply the merge to every word's symbol
+   array with a native `F.aggregate` left fold (map-only, codegen'd —
+   no Python in the loop). The symbol state is localCheckpoint-ed per
+   round, exactly like `connected_components`, so the plan does not
+   grow with the merge count.
+3. `bpe_segment` — scoring is the one place Python runs: a classic
+   rank-priority BPE encoder inside `mapInPandas` (Arrow-batched, with
+   a per-batch word cache so repeated words encode once). Map-only; the
+   corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: end-of-word marker (a multi-char string no single char can equal)
+END = "</w>"
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, weight): whitespace-token frequencies — the ONE corpus-sized
+    aggregation BPE training needs; all merge rounds run on its output."""
+    w = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    out = df.select(w).filter(F.col("word") != "")
+    if lowercase:
+        out = out.select(F.lower(F.col("word")).alias("word"))
+    return out.groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def _initial_symbols(word_col):
+    """word -> [c1, c2, ..., cn, END]."""
+    chars = F.filter(F.split(word_col, ""), lambda c: c != "")
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def _adjacent_pairs(syms_col):
+    """array<struct<a,b>> of adjacent symbol pairs (empty for size<2)."""
+    n = F.size(syms_col)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                syms_col[i].alias("a"), syms_col[i + 1].alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Left-to-right greedy merge of adjacent (a, b) -> a||b, as a native
+    left fold: acc = (out, prev) where prev buffers the last unemitted
+    symbol ('' = none; real symbols are never empty). 'aaa' under (a,a)
+    becomes [aa, a] — leftmost-first, the classic BPE apply order."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("prev")
+    )
+
+    def step(acc, s):
+        hit = (acc["prev"] == F.lit(a)) & (s == F.lit(b))
+        out = F.when(
+            hit, F.concat(acc["out"], F.array(F.lit(a + b)))
+        ).otherwise(
+            F.when(
+                acc["prev"] != "", F.concat(acc["out"], F.array(acc["prev"]))
+            ).otherwise(acc["out"])
+        )
+        prev = F.when(hit, F.lit("")).otherwise(s)
+        return F.struct(out.alias("out"), prev.alias("prev"))
+
+    def finish(acc):
+        return F.when(
+            acc["prev"] != "", F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms_col, init, step, finish)
+
+
+def train_bpe(
+    words: DataFrame,
+    num_merges: int = 100,
+    min_freq: int = 2,
+    word_col: str = "word",
+    weight_col: str = "weight",
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a (word, weight) relation
+    (from `word_counts`). Returns the ordered merge list.
+
+    Deterministic: the best pair each round is (max summed weight, then
+    lexicographic (a, b)). Stops early when no pair reaches ``min_freq``.
+    Eager by nature (each round's argmax gates the next); every round is
+    one vocabulary-sized pair-count shuffle + one map-only fold, with the
+    symbol state checkpointed so lineage stays flat across hundreds of
+    rounds."""
+    state = words.select(
+        _initial_symbols(F.col(word_col)).alias("syms"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = (
+            state.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "w")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("w").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if best is None or best["cnt"] < min_freq:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((a, b))
+        state = state.select(
+            _apply_merge(F.col("syms"), a, b).alias("syms"), "w"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic rank-priority BPE encode: repeatedly merge the lowest-rank
+    adjacent pair, applying each left-to-right (matches `_apply_merge`'s
+    training order, so encoding a training word reproduces its final
+    training segmentation)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, a, b = None, None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, a, b = r, syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens): segment each document with a
+    learned merge list. Arrow-batched `mapInPandas` (the tokenizer-apply
+    step is the legitimate Python hot path — a rank-dict lookup loop no
+    column algebra expresses); per-batch word cache so each distinct word
+    in a batch encodes once. Map-only: zero shuffles."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc(text) -> list[str]:
+            if text is None:
+                return []
+            toks: list[str] = []
+            for w in text.split():
+                if lowercase:
+                    w = w.lower()
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, ranks)
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": toks.map(len),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

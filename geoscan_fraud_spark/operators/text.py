@@ -454,3 +454,42 @@ def perplexity_score(
         F.round(F.col("__nll"), 6).alias("nll"),
         F.round(F.exp(F.col("__nll")), 6).alias("ppl"),
     )
+
+
+#: accent-folding table for Latin-1/Latin-Extended-A letters — the cases
+#: web text actually contains; a full Unicode NFD pass needs ICU, which
+#: the hot path avoids (F.translate is a codegen'd char map).
+_ACCENT_SRC = "àáâãäåāăąèéêëēĕėęěìíîïĩīĭįıòóôõöøōŏőùúûüũūŭůűųýÿñçćĉčşšßžźżÀÁÂÃÄÅĀĂĄÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖØŌŎŐÙÚÛÜŨŪŬŮŰŲÝŸÑÇĆĈČŞŠŽŹŻ"
+_ACCENT_DST = "aaaaaaaaaeeeeeeeeeiiiiiiiiiooooooooouuuuuuuuuuyynccccssszzzAAAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOOUUUUUUUUUUYYNCCCCSSZZZ"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_accents: bool = False,
+    mask_digits: bool = False,
+) -> DataFrame:
+    """CCNet-style text normalization as a map-only native-expression
+    chain: lowercase, whitespace collapse (+trim), Latin accent folding
+    (`F.translate` char map — no ICU dependency), and digit masking
+    (every digit -> '0', the CCNet trick that stops numbers exploding
+    the LM vocabulary).
+
+    The canonical pre-pass before `fit_unigram_lm` / dedup shingling:
+    normalizing first makes 'Foo  Bar' and 'foo bar' the same document
+    to every downstream signature. Pure projection — no shuffle, stays
+    inside whole-stage codegen; writes ``out_col`` (default: replaces
+    ``text_col``)."""
+    c = F.col(text_col)
+    if strip_accents:
+        c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    if lowercase:
+        c = F.lower(c)
+    if mask_digits:
+        c = F.regexp_replace(c, "[0-9]", "0")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)

@@ -7,7 +7,11 @@ near-dup is the most expensive stage, so it sees only survivors;
 decontamination runs after dedup so a benchmark hit removed once stays
 removed; split assignment is map-only and last):
 
-    1. quality filter  (annotate_filter_reasons — keeps the audit trail)
+    0. (optional) signature normalization — every signal runs over a
+       `normalize_text` shadow column; output text stays raw
+    1. quality filter  (annotate_filter_reasons — keeps the audit trail;
+       optionally + a unigram-LM perplexity gate trained on a trusted
+       reference corpus)
     2. exact + near dedup (minhash_dedup, guard defaults on)
     3. benchmark decontamination (broadcast n-gram probe)
     4. deterministic train/val/test split (map-only salted hash)
@@ -29,6 +33,9 @@ from geoscan_fraud_spark.operators.decontam import decontaminate
 from geoscan_fraud_spark.operators.packing import assign_splits
 from geoscan_fraud_spark.operators.text import (
     annotate_filter_reasons,
+    fit_unigram_lm,
+    normalize_text,
+    perplexity_score,
     repetition_stats,
     token_stats,
 )
@@ -75,6 +82,9 @@ def prepare_training_corpus(
     decontam_n: int = 8,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split-v1",
+    normalize_signatures: bool = False,
+    lm_reference: DataFrame | None = None,
+    max_nll: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation recipe; returns a dict of DataFrames:
 
@@ -85,31 +95,73 @@ def prepare_training_corpus(
       aggregate per stage, materialized only when acted on.
 
     ``benchmark=None`` skips decontamination.
+
+    ``normalize_signatures=True`` runs every SIGNAL (stats, dedup
+    shingles, decontamination grams, LM scoring) over a
+    `normalize_text`-canonicalized shadow column, so 'Foo  Bar' and
+    'foo bar' deduplicate against each other — while the OUTPUT corpus
+    keeps the original text untouched (the CCNet convention: normalize
+    for decisions, never for data).
+
+    ``lm_reference`` + ``max_nll`` add the perplexity gate: a unigram LM
+    is trained on the (trusted) reference corpus and every document's
+    mean NLL joins the audit columns; docs with ``nll > max_nll`` are
+    rejected alongside the Gopher rules. NOTE: LM training is an action
+    (`fit_unigram_lm` folds its totals eagerly), so passing
+    ``lm_reference`` makes this call non-lazy at build time.
     """
-    annotated = _annotated_stats(docs, text_col, id_col)
-    annotated = annotate_filter_reasons(
-        annotated, quality_rules or default_quality_rules()
-    )
+    sig_col = text_col
+    base = docs
+    if normalize_signatures:
+        sig_col = "__sig_text"
+        base = normalize_text(
+            docs, text_col, out_col=sig_col, strip_accents=True
+        )
+
+    annotated = _annotated_stats(base, sig_col, id_col)
+    rules = dict(quality_rules or default_quality_rules())
+    if lm_reference is not None:
+        ref = (
+            normalize_text(lm_reference, text_col, strip_accents=True)
+            if normalize_signatures
+            else lm_reference
+        )
+        lm, oov = fit_unigram_lm(ref, text_col)
+        nll = perplexity_score(base, lm, oov, sig_col, id_col).select(
+            id_col, "nll"
+        )
+        annotated = annotated.join(nll, id_col)
+        if max_nll is not None:
+            rules["lm_nll"] = F.col("nll") <= max_nll
+    annotated = annotate_filter_reasons(annotated, rules)
     passed = annotated.filter(F.col("reject_reason").isNull()).select(
-        *docs.columns
+        *docs.columns, *([sig_col] if normalize_signatures else [])
     )
 
     deduped = minhash_dedup(
         passed,
-        text_col=text_col,
+        text_col=sig_col,
         id_col=id_col,
         num_hashes=dedup_num_hashes,
         bands=dedup_bands,
         threshold=dedup_threshold,
     )
 
-    clean = (
-        decontaminate(
-            deduped, benchmark, n=decontam_n, text_col=text_col, id_col=id_col
+    if benchmark is not None:
+        bench_sig = (
+            normalize_text(
+                benchmark, text_col, out_col=sig_col, strip_accents=True
+            )
+            if normalize_signatures
+            else benchmark
         )
-        if benchmark is not None
-        else deduped
-    )
+        clean = decontaminate(
+            deduped, bench_sig, n=decontam_n, text_col=sig_col, id_col=id_col
+        )
+    else:
+        clean = deduped
+    if normalize_signatures:
+        clean = clean.drop(sig_col)
 
     corpus = assign_splits(
         clean, weights=split_weights, id_col=id_col, salt=split_salt

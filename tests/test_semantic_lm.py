@@ -182,3 +182,60 @@ def test_lm_score_plan_is_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pipeline integration: normalized signatures + LM gate
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_normalized_signatures_and_lm_gate(spark, sf_dir):
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    # case/spacing variant of an existing doc: only normalized signatures
+    # can see it as a duplicate
+    variant = docs.limit(1).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    # gibberish doc: every token OOV under an LM trained on the corpus
+    gibberish = spark.createDataFrame(
+        [(900_777, " ".join(f"zq{i}xv" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    corpus_in = docs.unionByName(variant).unionByName(gibberish)
+
+    # gate just below the all-OOV score: an all-OOV doc scores exactly
+    # -oov_logp, so it must fail while ordinary in-vocabulary docs pass
+    _, oov = fit_unigram_lm(docs)
+    out = prepare_training_corpus(
+        corpus_in,
+        dedup_threshold=0.5,
+        normalize_signatures=True,
+        lm_reference=docs,
+        max_nll=-oov - 0.25,
+    )
+    kept = {r.doc_id for r in out["corpus"].select("doc_id").collect()}
+    assert 900_000 not in kept      # normalized dedup caught the variant
+    assert 900_777 not in kept      # LM gate caught the gibberish
+    # raw text preserved (no normalization leaked into the output)
+    texts = dict(
+        out["corpus"].select("doc_id", "text").limit(5).collect()
+    )
+    orig = dict(docs.filter(F.col("doc_id").isin(*texts)).collect())
+    assert texts == orig
+    # audit trail names the LM rule and carries the nll column
+    ann = out["annotated"]
+    assert "nll" in ann.columns
+    reason = ann.filter(F.col("doc_id") == 900_777).first()["reject_reason"]
+    assert reason == "lm_nll"
+
+
+def test_pipeline_default_path_unchanged_by_new_options(spark, sf_dir):
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prepare_training_corpus(docs, dedup_threshold=0.5)
+    assert "nll" not in out["annotated"].columns
+    assert "__sig_text" not in out["corpus"].columns

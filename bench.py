@@ -149,6 +149,29 @@ def main():
 
         return repetition_stats(load_fixture(spark, sf_dir, "documents"))
 
+    def bench_semantic_blas(spark, sf_dir):
+        """The production path of the registered `semantic_dedup` entry:
+        same fixed quantizer + workload, BLAS Gram-matrix pair scan
+        instead of the oracle-portable fold — timed beside it so the
+        two are never conflated (the dedup_minhash md5/xxhash64 split)."""
+        from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
+        from geoscan_fraud_spark.operators.similarity import semantic_dedup
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        cent = _ivf_centroids("/root/testdata/sf0.01")
+        e = load_fixture(spark, sf_dir, "embeddings")
+        dup = e.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.000001)).alias(
+                "embedding"
+            ),
+            "label",
+        )
+        return semantic_dedup(
+            e.unionByName(dup), threshold=0.98, centroids=cent, impl="blas"
+        )
+
     _bpe_merges: dict[str, list] = {}
 
     def bench_bpe_segment(spark, sf_dir):
@@ -181,6 +204,7 @@ def main():
         "dedup_minhash_unguarded": bench_minhash_unguarded,
         "text_repetition": bench_text_repetition,
         "semantic_dedup": QUERIES["semantic_dedup"],
+        "semantic_dedup_blas": bench_semantic_blas,
         "lm_perplexity": QUERIES["lm_perplexity"],
         "bpe_segment": bench_bpe_segment,
     }

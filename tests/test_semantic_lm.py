@@ -239,3 +239,30 @@ def test_pipeline_default_path_unchanged_by_new_options(spark, sf_dir):
     out = prepare_training_corpus(docs, dedup_threshold=0.5)
     assert "nll" not in out["annotated"].columns
     assert "__sig_text" not in out["corpus"].columns
+
+
+def test_semantic_pairs_blas_matches_fold(spark, emb):
+    """The BLAS Gram-matrix path and the oracle fold path must find the
+    SAME pair set (no fixture pair sits within float-reorder distance of
+    the threshold) with cosines equal to 1e-9."""
+    cent = _centroids(emb)
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(dup)
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_pairs(
+            both, threshold=0.98, centroids=cent, impl="fold"
+        ).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_pairs(
+            both, threshold=0.98, centroids=cent, impl="blas"
+        ).collect()
+    }
+    assert fold.keys() == blas.keys() and len(fold) > 0
+    assert all(abs(fold[k] - blas[k]) < 1e-9 for k in fold)

@@ -303,3 +303,47 @@ def chunk_documents(
         F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
         F.size(F.col("__c")).alias("n_tokens"),
     )
+
+
+def temperature_weights(
+    sizes: dict[str, float], temperature: float = 1.0
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights: w_s ∝ size_s^(1/T), normalized
+    to sum 1 — the multilingual/multi-domain rebalancing rule (T=1 keeps
+    natural proportions; T→∞ approaches uniform; T<1 sharpens toward the
+    biggest sources). Driver-side arithmetic over the per-source size
+    dict (vocabulary-of-sources-sized, never data-sized)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    powered = {
+        s: float(n) ** (1.0 / temperature) for s, n in sizes.items() if n > 0
+    }
+    z = sum(powered.values())
+    if z == 0:
+        raise ValueError("all sources are empty")
+    return {s: v / z for s, v in powered.items()}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    temperature: float,
+    total_n: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`sample_mixture` with weights derived from the data itself at a
+    sampling temperature: one small count aggregate fixes the per-source
+    sizes (eager — the tf-idf scalar pattern), `temperature_weights`
+    rescales them, and the exact largest-remainder quota sampler runs as
+    usual (single window shuffle)."""
+    sizes = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return sample_mixture(
+        df,
+        temperature_weights(sizes, temperature),
+        total_n,
+        source_col,
+        id_col,
+    )

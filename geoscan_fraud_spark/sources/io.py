@@ -387,3 +387,84 @@ def compact_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC source — the other columnar format interchange corpora arrive
+    in. Same pruning story as parquet: pass ``columns`` so the scan's
+    ReadSchema carries only what downstream needs."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (Spark-native writer; predicate-pushdown-capable)."""
+    df.write.mode(mode).orc(path)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    target_mb: int = 128,
+    keep_last: int = 1,
+) -> int:
+    """Fold old ``batch_id=N`` partitions of an incremental-dedup store
+    (`streaming/scoring.py::incremental_ingest_sink` layout) into ONE
+    ``batch_id=-1`` base generation; returns the number of partitions
+    folded (0 = nothing to do).
+
+    The streaming sink accretes one directory per micro-batch, so the
+    index read in every later batch pays per-partition listing + footer
+    costs that grow without bound. Folding into ``batch_id=-1`` keeps
+    the sink's idempotency contract intact for COMMITTED batches: -1 is
+    earlier than every real id, so the strictly-earlier retry guard
+    (``batch_id < N``) still sees the base. The newest ``keep_last``
+    batches are NOT folded — the last batch may replay after a crash
+    (written but not checkpoint-committed), and folding its rows into
+    the base would make the replay match its own delta and drop every
+    survivor. Same single-writer rule as `compact_files`: run between
+    stream restarts, never under a live writer; the old partitions are
+    moved aside before the base swap so a crash leaves either layout
+    readable, never a half-deleted one."""
+    prefix = "batch_id="
+    try:
+        ids = sorted(
+            int(d[len(prefix):])
+            for d in os.listdir(index_path)
+            if d.startswith(prefix)
+        )
+    except FileNotFoundError:
+        raise ValueError(f"{index_path} does not exist")
+    if not ids:
+        raise ValueError(
+            f"{index_path} has no batch_id=* partitions — not an "
+            f"incremental-store layout (use compact_files for plain dirs)"
+        )
+    live = [i for i in ids if i >= 0]
+    fold = ([-1] if -1 in ids else []) + live[: max(0, len(live) - keep_last)]
+    if fold == [] or fold == [-1]:
+        return 0
+
+    fold_dirs = [os.path.join(index_path, f"{prefix}{i}") for i in fold]
+    size_bytes = 0
+    for d in fold_dirs:
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    size_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-size_bytes // (target_mb * 1024 * 1024)))
+
+    df = spark.read.option("basePath", index_path).parquet(*fold_dirs)
+    tmp = index_path.rstrip("/") + ".__compact__"
+    df.drop("batch_id").repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = index_path.rstrip("/") + ".__old__"
+    os.makedirs(old, exist_ok=True)
+    for i, d in zip(fold, fold_dirs):
+        os.rename(d, os.path.join(old, f"{prefix}{i}"))
+    os.rename(tmp, os.path.join(index_path, f"{prefix}-1"))
+    shutil.rmtree(old)
+    return len(fold)

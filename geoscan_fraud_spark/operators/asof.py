@@ -15,7 +15,7 @@ compile to).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -43,6 +43,7 @@ def asof_join(
     ts_col: str = "ts",
     direction: str = "backward",
     suffix: str = "_r",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right.ts <= left.ts`` (``direction='backward'``; ties inclusive) or
@@ -52,6 +53,15 @@ def asof_join(
 
     Right's non-key, non-ts columns are attached with ``suffix``; the
     matched right timestamp arrives as ``ts<suffix>``.
+
+    ``tolerance`` (optional) bounds the match distance like
+    ``pandas.merge_asof(tolerance=...)``: a matched right row farther
+    than ``tolerance`` from the left timestamp is nulled back out
+    (units follow the column type — numeric delta for numeric ts, a
+    `Column` interval/duration expression or numeric seconds-delta
+    semantics are the caller's to align). Applied as a map-only
+    post-filter on the packed struct, so the plan shape (one shuffle)
+    is unchanged.
 
     Determinism: right rows tied on (key, ts) resolve to the greatest
     tuple of their ORDERABLE value columns (pandas' "last occurrence" is
@@ -131,7 +141,18 @@ def asof_join(
         F.last("__rpack", ignorenulls=True).over(w).alias("__rpack"),
         *[F.col(f"__l_{c}") for c in lvals],
     )
-    return filled.filter(F.col("__src") == 1).select(
+    out = filled.filter(F.col("__src") == 1)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        rts = F.col("__rpack").getField("__ts")
+        # sign is known per direction, so no abs() (which intervals lack)
+        delta = (
+            F.col(ts_col) - rts if direction == "backward" else rts - F.col(ts_col)
+        )
+        out = out.withColumn(
+            "__rpack", F.when(delta <= tol, F.col("__rpack"))
+        )
+    return out.select(
         *keys,
         ts_col,
         *[F.col(f"__l_{c}").alias(c) for c in lvals],

@@ -175,3 +175,59 @@ def test_interval_join_multiset_and_null_columns(spark):
     # all matched -> no spurious NULL-interval duplicates for the NULL-tag row
     assert left.count() == 3
     assert left.filter(F.col("name").isNull()).count() == 0
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_tolerance_matches_pandas(spark, sides, direction):
+    """tolerance nulls matches farther than the bound — exactly
+    pandas.merge_asof(tolerance=...)."""
+    left, right = sides
+    got = asof_join(
+        left,
+        right,
+        on=["user_id"],
+        ts_col="ts",
+        direction=direction,
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    gp = _pd(got).sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+
+    lp = _pd(left).sort_values("ts")
+    rp = _pd(right).sort_values("ts")
+    exp = pd.merge_asof(
+        lp,
+        rp,
+        on="ts",
+        by="user_id",
+        direction=direction,
+        suffixes=("", "_r"),
+        tolerance=pd.Timedelta(minutes=30),
+    ).sort_values(["user_id", "ts", "lv"]).reset_index(drop=True)
+
+    assert len(gp) == len(exp)
+    assert gp["state_r"].fillna(-1).tolist() == exp["state"].fillna(-1).tolist()
+    # the bound actually bit: strictly fewer matches than the unbounded join
+    unbounded = asof_join(
+        left, right, on=["user_id"], ts_col="ts", direction=direction
+    )
+    assert (
+        got.filter(F.col("state_r").isNotNull()).count()
+        < unbounded.filter(F.col("state_r").isNotNull()).count()
+    )
+
+
+def test_asof_join_numeric_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "x"), (1, 100.0, "y")], ["k", "ts", "lv"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, "a"), (1, 50.0, "b")], ["k", "ts", "rv"]
+    )
+    out = {
+        r["lv"]: r["rv_r"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", tolerance=5.0
+        ).collect()
+    }
+    assert out["x"] == "a"      # delta 2 <= 5
+    assert out["y"] is None     # nearest earlier is 50, delta 50 > 5

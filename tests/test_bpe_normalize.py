@@ -177,3 +177,26 @@ def test_normalize_then_dedup_collapses_case_variants(spark):
 
     kept = exact_dedup(normalize_text(df), ["text"]).select("doc_id")
     assert sorted(r[0] for r in kept.collect()) == [0, 2]
+
+
+@pytest.mark.parametrize("seed", [11, 37, 91])
+def test_train_matches_reference_on_random_corpus(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "abcdefgh"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        for _ in range(30)
+    ]
+    docs = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    wc = word_counts(df)
+    got = train_bpe(wc, num_merges=8)
+    weights = {r["word"]: r["weight"] for r in wc.collect()}
+    assert got == _ref_train(weights, 8)

@@ -131,3 +131,42 @@ def test_haversine_metric_properties(lat1, lng1, lat2, lng2):
 def test_resolution_ladder_monotone():
     edges = [RES_EDGE_M[r] for r in sorted(RES_EDGE_M)]
     assert edges == sorted(edges, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode vs training-state (pure python — fuzz broadly)
+# ---------------------------------------------------------------------------
+
+word_st = st.text(alphabet="abcdef", min_size=1, max_size=8)
+
+
+@given(
+    st.dictionaries(word_st, st.integers(min_value=1, max_value=9), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=15),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_encode_reproduces_training_segmentation(word_weights, num_merges):
+    """For ANY corpus and merge budget: rank-priority encoding with the
+    learned merge list reproduces each training word's final training
+    segmentation (the invariant that makes offline-trained merges safe
+    to apply at scoring time)."""
+    from geoscan_fraud_spark.operators.bpe import END, _encode_word
+    from tests.test_bpe_normalize import _ref_train
+
+    merges = _ref_train(word_weights, num_merges, min_freq=1)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    # final training segmentation: apply merges in order, leftmost-first
+    for w in word_weights:
+        syms = list(w) + [END]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        assert _encode_word(w, ranks) == syms

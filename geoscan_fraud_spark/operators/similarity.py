@@ -521,3 +521,162 @@ def dequantize_embeddings(
             F.col("qvec"), lambda q: q.cast("double") * F.col("scale")
         ).alias("embedding"),
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> int:
+    """Build and persist an IVF-ANN index: ``path/lists`` holds the
+    int8-quantized corpus PARTITIONED BY list id, ``path/centroids.json``
+    the quantizer. Returns the number of inverted lists written.
+
+    The layout is the serving-side point: a query probes ``nprobe``
+    lists, and because each list is its own partition directory the scan
+    reads ONLY those directories (static partition pruning via the probe
+    filter — `ivf_index_query`). At 100 TB that is the difference
+    between touching nprobe/n_centroids of the corpus and all of it.
+    Vectors are stored int8 (`quantize_embeddings`, 8x smaller); exact
+    re-rank at query time uses dequantized vectors by default or the
+    full-precision corpus if the caller passes it."""
+    import json
+    import os
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cvec = c.withColumn(
+            "features", array_to_vector(F.transform("c_emb", lambda x: x.cast("double")))
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id"
+        ).fit(cvec)
+        # the fitted centers persist with the index, so queries never refit
+        cent = [[float(v) for v in ctr] for ctr in model.clusterCenters()]
+        assigned = model.transform(cvec).select("vec_id", "c_emb", "list_id")
+    else:
+        cent = [[float(v) for v in ctr] for ctr in centroids]
+        d = _centroid_dists(F.col("c_emb"), cent)
+        assigned = c.select(
+            "vec_id",
+            "c_emb",
+            F.array_position(d, F.array_min(d)).alias("list_id"),
+        )
+
+    q8 = quantize_embeddings(
+        assigned, vec_col="c_emb", id_col="vec_id", keep_cols=["list_id"]
+    )
+    q8.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, "lists")
+    )
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "n_centroids": len(cent),
+        "dim": len(cent[0]),
+        "centroids": cent,
+        "one_based": centroids is not None,
+    }
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(meta, f)
+    return len(cent)
+
+
+def ivf_index_query(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Query a persisted `ivf_index_write` index: (query_id, vec_id, sim,
+    rank) — same contract as `ivf_topk`.
+
+    Probe lists are collected driver-side (the query set is small by
+    definition) and pushed as a STATIC ``list_id IN (...)`` filter, so
+    the parquet scan prunes to the probed partition directories before a
+    single byte of the others is read. Scoring runs on the int8 vectors
+    (scale cancels out of cosine); the top ``rerank * k`` per query
+    re-rank against dequantized vectors — or bit-true full-precision
+    ones if ``rerank_corpus`` (the original relation) is given."""
+    import json
+    import os
+
+    spark = queries.sparkSession
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    cent = meta["centroids"]
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    d = _centroid_dists(F.col("q_emb"), cent)
+    probes = (
+        q.withColumn("__d", d)
+        .select("query_id", "q_emb", F.posexplode(F.col("__d")).alias("pos", "dist"))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("pos"))
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select(
+            "query_id",
+            "q_emb",
+            (F.col("pos") + (1 if meta["one_based"] else 0)).alias("list_id"),
+        )
+    )
+    probe_ids = sorted({r["list_id"] for r in probes.select("list_id").distinct().collect()})
+    lists = (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .filter(F.col("list_id").isin(probe_ids))
+        .withColumn("__vn", norm_expr(F.col("qvec")))
+    )
+    probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
+    cand = (
+        probes.join(lists, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "sim_q",
+            dot_expr(F.col("q_emb"), F.col("qvec")) / (F.col("__qn") * F.col("__vn")),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("vec_id"))
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= rerank * k)
+        .select("query_id", "q_emb", "__qn", "vec_id")
+    )
+    if rerank_corpus is not None:
+        full = rerank_corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")
+        )
+    else:
+        full = dequantize_embeddings(
+            spark.read.parquet(os.path.join(path, "lists"))
+            .filter(F.col("list_id").isin(probe_ids))
+        ).withColumnRenamed("embedding", "c_emb")
+    rescored = shortlist.join(
+        full.withColumn("__cn", norm_expr(F.col("c_emb"))), "vec_id"
+    ).withColumn(
+        "sim",
+        F.round(
+            dot_expr(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

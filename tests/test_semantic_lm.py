@@ -266,3 +266,76 @@ def test_semantic_pairs_blas_matches_fold(spark, emb):
     }
     assert fold.keys() == blas.keys() and len(fold) > 0
     assert all(abs(fold[k] - blas[k]) < 1e-9 for k in fold)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_roundtrip_matches_inline(spark, emb, tmp_path):
+    """Query-from-disk == inline ivf_topk under the same fixed quantizer
+    when re-ranking against the same full-precision corpus."""
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_query,
+        ivf_index_write,
+        ivf_topk,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf")
+    n = ivf_index_write(emb, path, centroids=cent)
+    assert n == 8
+    q = emb.filter(F.col("vec_id") < 20)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_index_query(
+            q, path, k=5, nprobe=4, rerank_corpus=emb
+        ).collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(q, emb, k=5, nprobe=4, centroids=cent).collect()
+    }
+    assert got == exp
+
+
+def test_ivf_index_scan_prunes_to_probed_lists(spark, emb, tmp_path):
+    """The probe filter must reach the file listing: only the probed
+    list_id partition directories appear in the scan's input files."""
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path, centroids=cent)
+    import re
+
+    q = emb.filter(F.col("vec_id") == 0)
+    out = ivf_index_query(q, path, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[list_id[^\]]*IN \(([^)]*)\)", plan)
+    # every list scan carries a static 2-element IN over the probed ids
+    assert filters, plan[:500]
+    assert all(len(f.split(",")) == 2 for f in filters)
+
+
+def test_ivf_index_mllib_path_and_dequantized_rerank(spark, emb, tmp_path):
+    """MLlib-fit index + dequantized re-rank: recall vs brute force
+    stays high (quantization error is sub-0.5%)."""
+    from geoscan_fraud_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    path = str(tmp_path / "ivf_ml")
+    ivf_index_write(emb, path, n_centroids=8, seed=5)
+    q = emb.filter(F.col("vec_id") < 30)
+    got = ivf_index_query(q, path, k=10, nprobe=6)
+    exact = brute_force_topk(q, emb, k=10)
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(g & e) / len(e) >= 0.9

@@ -348,3 +348,111 @@ def profile_sink(
         ).parquet(f"{profile_path}/batch_id={batch_id}")
 
     return inner
+
+
+def prepared_ingest_sink(
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_rules: dict | None = None,
+    normalize_signatures: bool = False,
+    lm=None,
+    oov_logp: float | None = None,
+    max_nll: float | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    sig_hash: str = "xxhash64",
+):
+    """The streaming counterpart of
+    `operators/pipelines.prepare_training_corpus`: each micro-batch runs
+    quality gates (Gopher rules; optional unigram-LM NLL bound with an
+    OFFLINE-trained ``lm`` — a static relation, so the scoring join is
+    stream-static broadcast) and the survivors dedup against the
+    persisted MinHash store exactly as `neardup_ingest_sink`.
+
+    ``normalize_signatures`` mirrors the batch pipeline: gates and
+    signatures see `normalize_text` output while the stored corpus keeps
+    raw text (the index_fn re-normalizes the kept rows — a map-only
+    recompute, cheaper than threading a shadow column through the
+    store). Rejected rows are dropped, not archived — run the batch
+    pipeline's `annotated` audit surface when reject accounting matters.
+    Retry/idempotency contract: `incremental_ingest_sink`.
+    """
+    from pyspark.sql import types as T
+
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
+    from geoscan_fraud_spark.operators.pipelines import default_quality_rules
+    from geoscan_fraud_spark.operators.text import (
+        annotate_filter_reasons,
+        normalize_text,
+        perplexity_score,
+        repetition_stats,
+        token_stats,
+    )
+
+    if (lm is None) != (oov_logp is None):
+        raise ValueError("pass lm and oov_logp together")
+
+    def _sig(df):
+        return (
+            normalize_text(df, text_col, strip_accents=True)
+            if normalize_signatures
+            else df
+        )
+
+    def dedup_fn(batch_df, idx):
+        base = _sig(batch_df)
+        stats = token_stats(base, text_col, id_col).select(id_col, "n_tokens")
+        reps = repetition_stats(base, text_col, id_col, ns=(2, 3))
+        ann = base.join(stats, id_col).join(reps, id_col)
+        rules = dict(quality_rules or default_quality_rules())
+        if lm is not None:
+            nll = perplexity_score(base, lm, oov_logp, text_col, id_col).select(
+                id_col, "nll"
+            )
+            ann = ann.join(nll, id_col)
+            if max_nll is not None:
+                rules["lm_nll"] = F.col("nll") <= max_nll
+        passed_ids = (
+            annotate_filter_reasons(ann, rules)
+            .filter(F.col("reject_reason").isNull())
+            .select(id_col)
+        )
+        passed = batch_df.join(passed_ids, id_col, "left_semi")
+        kept = dedup_against_index(
+            _sig(passed),
+            idx,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            sig_hash=sig_hash,
+        )
+        if not normalize_signatures:
+            return kept
+        # survivors decided on the normalized shadow; stored rows keep
+        # the RAW text
+        return passed.join(kept.select(id_col), id_col, "left_semi")
+
+    def index_fn(kept):
+        return minhash_index(_sig(kept), text_col, id_col, n, num_hashes, sig_hash)
+
+    def empty_schema(batch_df):
+        return T.StructType(
+            [
+                T.StructField("id", batch_df.schema[id_col].dataType),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+
+    return incremental_ingest_sink(
+        index_path, out_path, dedup_fn, index_fn, ["id", "sig"], empty_schema
+    )

@@ -190,3 +190,79 @@ def test_profile_sink_rollup_matches_batch_profile(spark, tmp_path):
         abs(merged.distinct_tokens - direct.distinct_tokens)
         <= 0.02 * direct.distinct_tokens
     )
+
+
+def test_prepared_ingest_sink_gates_and_dedups(spark, tmp_path):
+    """Streaming prepare: spam fails the quality gate, a case-variant of
+    an earlier batch's doc dedups through normalized signatures, raw
+    text is stored, and the fresh doc survives."""
+    from geoscan_fraud_spark.streaming.scoring import prepared_ingest_sink
+
+    base = " ".join(f"w{i}" for i in range(60))
+    fresh = " ".join(f"z{i}" for i in range(60))
+
+    index_path = str(tmp_path / "p_idx")
+    out_path = str(tmp_path / "p_out")
+    sink = prepared_ingest_sink(
+        index_path,
+        out_path,
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        normalize_signatures=True,
+    )
+
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [
+            (10, base.upper() + "  "),   # case/space variant of doc 1
+            (11, "spam " * 50),          # fails the repetition gate
+            (12, fresh),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    corpus = spark.read.parquet(out_path)
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    assert sorted(rows) == [1, 12]
+    assert rows[12] == fresh  # raw text stored, not the normalized shadow
+
+    # retry replay stays idempotent
+    sink(b1, 1)
+    assert sorted(r.doc_id for r in spark.read.parquet(out_path).collect()) == [1, 12]
+
+
+def test_prepared_ingest_sink_lm_gate(spark, tmp_path):
+    """An offline-trained LM bounds NLL at ingest: gibberish is rejected
+    while in-vocabulary docs pass."""
+    from geoscan_fraud_spark.operators.text import fit_unigram_lm
+    from geoscan_fraud_spark.streaming.scoring import prepared_ingest_sink
+
+    vocab_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 40))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm, oov = fit_unigram_lm(vocab_docs)
+
+    sink = prepared_ingest_sink(
+        str(tmp_path / "l_idx"),
+        str(tmp_path / "l_out"),
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        lm=lm,
+        oov_logp=oov,
+        max_nll=-oov - 0.25,
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, " ".join(f"w{j}" for j in range(40))),       # in-vocab
+            (101, " ".join(f"qx{j}v" for j in range(40))),     # all-OOV
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "l_out"))
+    assert sorted(r.doc_id for r in out.collect()) == [100]

@@ -103,3 +103,36 @@ def test_temperature_mixture_matches_manual_weights(spark, sf_dir):
     assert {r["doc_id"] for r in auto.select("doc_id").collect()} == {
         r["doc_id"] for r in manual.select("doc_id").collect()
     }
+
+
+def test_compact_index_preserves_streaming_dedup(spark, tmp_path):
+    """End-to-end with the real sink: compacting the signature store
+    between batches must not change dedup decisions — a later batch's
+    near-dup of a compacted doc is still dropped."""
+    from geoscan_fraud_spark.streaming.scoring import neardup_ingest_sink
+
+    base = " ".join(f"w{i}" for i in range(60))
+    other = " ".join(f"y{i}" for i in range(60))
+    near = " ".join(w for i, w in enumerate(base.split()) if i % 13 != 5)
+    fresh = " ".join(f"z{i}" for i in range(60))
+
+    index_path = str(tmp_path / "c_idx")
+    out_path = str(tmp_path / "c_out")
+    sink = neardup_ingest_sink(
+        index_path, out_path, num_hashes=48, bands=12, threshold=0.5
+    )
+    sink(spark.createDataFrame([(1, base)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame([(2, other)], "doc_id long, text string"), 1)
+
+    # maintenance window: fold batch 0 into the base (batch 1 stays)
+    folded = compact_index(spark, index_path)
+    assert folded == 1
+
+    sink(
+        spark.createDataFrame(
+            [(10, near), (11, fresh)], "doc_id long, text string"
+        ),
+        2,
+    )
+    corpus = spark.read.parquet(out_path)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 11]

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -218,3 +218,64 @@ def bpe_segment(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+#: reserved id for out-of-vocabulary tokens in `tokens_to_ids`
+UNK_ID = 0
+
+
+def build_vocab(segmented: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(token, token_id) from a `bpe_segment` output: ids are dense ints
+    starting at 1 (0 is reserved for UNK), assigned by descending corpus
+    frequency with the token string as tiebreaker — deterministic across
+    runs and partitionings.
+
+    The explode + count is the same two-phase aggregate as
+    `word_counts`; the id assignment is one window over the
+    vocabulary-sized count table (a single-partition sort of the VOCAB,
+    not the corpus — acceptable because a token vocabulary is bounded;
+    the corpus never enters the window)."""
+    counts = (
+        segmented.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.select(
+        "token", F.row_number().over(w).alias("token_id")
+    )
+
+
+def tokens_to_ids(
+    segmented: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, token_ids array<int>): map each document's token sequence to
+    vocabulary ids, order-preserving; tokens absent from ``vocab`` get
+    ``UNK_ID`` (0).
+
+    The text -> ids tail of the tokenizer pipeline (whose output feeds
+    `pack_documents` budgets and model training). Plan: posexplode ->
+    BROADCAST vocab join (vocabulary-sized right side; the corpus never
+    shuffles for it) -> one groupBy(id) reassembling the sequence via
+    sorted (pos, id) structs — a single corpus shuffle, same shape as
+    `perplexity_score`."""
+    tok = segmented.select(
+        F.col(id_col), F.posexplode(F.col(tokens_col)).alias("pos", "token")
+    )
+    mapped = tok.join(F.broadcast(vocab), "token", "left_outer").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(UNK_ID)).alias("tid"),
+    )
+    return (
+        mapped.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+    )

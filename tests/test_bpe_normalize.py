@@ -200,3 +200,77 @@ def test_train_matches_reference_on_random_corpus(spark, seed):
     got = train_bpe(wc, num_merges=8)
     weights = {r["word"]: r["weight"] for r in wc.collect()}
     assert got == _ref_train(weights, 8)
+
+
+# ---------------------------------------------------------------------------
+# vocab + token ids
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_ids_deterministic_and_dense(spark):
+    from geoscan_fraud_spark.operators.bpe import build_vocab
+
+    seg = spark.createDataFrame(
+        [(0, ["b", "a", "a"]), (1, ["c", "a", "b"])],
+        "doc_id long, tokens array<string>",
+    )
+    vocab = {r["token"]: r["token_id"] for r in build_vocab(seg).collect()}
+    # freq desc, token asc: a(3)=1, b(2)=2, c(1)=3 — dense from 1, 0 free for UNK
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+
+
+def test_tokens_to_ids_roundtrip_and_unk(spark, sf_dir):
+    from geoscan_fraud_spark.operators.bpe import (
+        UNK_ID,
+        build_vocab,
+        bpe_segment,
+        tokens_to_ids,
+        train_bpe,
+        word_counts,
+    )
+
+    fixture = load_fixture(spark, sf_dir, "documents").limit(30)
+    oov_doc = spark.createDataFrame(
+        [(900_000, "zzqqxx zzqqxx")], "doc_id long, text string"
+    )
+    docs = fixture.select("doc_id", "text").unionByName(oov_doc)
+    train_docs = fixture.filter(F.col("doc_id") % 5 != 0)
+    merges = train_bpe(word_counts(train_docs), num_merges=15)
+    seg = bpe_segment(docs, merges)
+    vocab = build_vocab(bpe_segment(train_docs, merges))
+    ids = tokens_to_ids(seg, vocab)
+
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    inv = {i: t for t, i in v.items()}
+    seg_rows = {r["doc_id"]: r["tokens"] for r in seg.collect()}
+    for row in ids.collect():
+        toks = seg_rows[row["doc_id"]]
+        assert len(row["token_ids"]) == len(toks)  # order-preserving, lossless length
+        for tid, tok in zip(row["token_ids"], toks):
+            if tid == UNK_ID:
+                assert tok not in v  # only true OOV maps to UNK
+            else:
+                assert inv[tid] == tok
+    # held-out docs genuinely exercise the UNK path on this fixture
+    flat = [t for r in ids.collect() for t in r["token_ids"]]
+    assert UNK_ID in flat
+
+
+def test_tokens_to_ids_plan_broadcasts_vocab(spark, sf_dir):
+    from geoscan_fraud_spark.operators.bpe import (
+        build_vocab,
+        bpe_segment,
+        tokens_to_ids,
+    )
+
+    docs = load_fixture(spark, sf_dir, "documents")
+    seg = bpe_segment(docs, [("a", "b")])
+    vocab = build_vocab(bpe_segment(docs.limit(10), [("a", "b")]))
+    plan = (
+        tokens_to_ids(seg, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

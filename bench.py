@@ -150,10 +150,11 @@ def main():
         return repetition_stats(load_fixture(spark, sf_dir, "documents"))
 
     def bench_semantic_blas(spark, sf_dir):
-        """The production path of the registered `semantic_dedup` entry:
-        same fixed quantizer + workload, BLAS Gram-matrix pair scan
-        instead of the oracle-portable fold — timed beside it so the
-        two are never conflated (the dedup_minhash md5/xxhash64 split)."""
+        """Pure-BLAS variant of `semantic_dedup` (same fixed quantizer +
+        workload): the registered entry runs impl='hybrid' (BLAS
+        candidates + exact-fold re-verify, fold-identical output); this
+        times the scan without the re-verify joins so the two are never
+        conflated (the dedup_minhash md5/xxhash64 split)."""
         from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
         from geoscan_fraud_spark.operators.similarity import semantic_dedup
         from geoscan_fraud_spark.sources.io import load_fixture

@@ -887,11 +887,12 @@ def semantic_dedup_entry(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.py): k-means
     blocking + within-cluster cosine + connected components + keep min
     id. Runs the fixed-centroid quantizer (sf0.01 Lloyd literals — the
-    same set `ann_ivf_topk` shares with its oracle) and the fold cosine
-    (`impl='fold'`) so assignment AND verification replay bit-exactly in
-    DuckDB; the seeded MLlib-KMeans fit + BLAS Gram-matrix pair scan
-    (`impl='blas'`, default) are the 100 TB scale path (parity and
-    recall pinned in pytest; benched separately)."""
+    same set `ann_ivf_topk` shares with its oracle) with `impl='hybrid'`
+    — BLAS candidate scan at a 1e-6-widened threshold, exact left-fold
+    re-verify on the candidates — so the output is identical to the pure
+    fold the DuckDB oracle replays, at BLAS cost; the seeded
+    MLlib-KMeans fit + pure-BLAS scan stay the 100 TB path (parity and
+    recall pinned in pytest; variants benched separately)."""
     cent = _ivf_centroids("/root/testdata/sf0.01")
     e = _t(spark, sf_dir, "embeddings")
     dup = e.select(
@@ -900,7 +901,7 @@ def semantic_dedup_entry(spark, sf_dir):
         "label",
     )
     return sim.semantic_dedup(
-        e.unionByName(dup), threshold=0.98, centroids=cent, impl="fold"
+        e.unionByName(dup), threshold=0.98, centroids=cent, impl="hybrid"
     ).orderBy("vec_id")
 
 

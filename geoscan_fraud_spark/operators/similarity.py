@@ -338,13 +338,44 @@ def semantic_pairs(
     fold is interpreted per element while BLAS does the same flops
     vectorized, measured ~5x faster at fixture scale and widening with
     cluster size; the similarity matrix is built in 1024-row blocks so
-    per-group memory is O(block x k), and `max_bucket` bounds k) or
-    ``'fold'`` (native `F.aggregate` left-fold cosine — bit-exact against
-    a `list_dot_product` SQL oracle; pairs with |cos - threshold| below
-    float-sum reordering error (~1e-12) may differ between the two).
+    per-group memory is O(block x k), and `max_bucket` bounds k),
+    ``'fold'`` (native `F.aggregate` left-fold cosine over every
+    in-cluster pair — the semantics-defining oracle path; pairs with
+    |cos - threshold| below float-sum reordering error (~1e-12) may
+    differ from 'blas'), or ``'hybrid'`` (BLAS candidate scan at
+    ``threshold - 1e-6``, then the exact fold re-scores ONLY the
+    candidates: every fold-passing pair clears the widened BLAS bound
+    because the two differ by reordering error alone, so the output —
+    ids AND cosines — is identical to 'fold' at BLAS cost).
     """
-    if impl not in ("blas", "fold"):
-        raise ValueError(f"impl must be 'blas' or 'fold', got {impl!r}")
+    if impl not in ("blas", "fold", "hybrid"):
+        raise ValueError(f"impl must be 'blas', 'fold' or 'hybrid', got {impl!r}")
+    if impl == "hybrid":
+        cand = semantic_pairs(
+            df, float(threshold) - 1e-6, n_clusters, emb_col, id_col,
+            seed, centroids, max_bucket, "blas",
+        ).select("id_a", "id_b")
+        e = df.select(F.col(id_col).alias("__id"), F.col(emb_col).alias("__e"))
+        ea = e.select(
+            F.col("__id").alias("id_a"),
+            F.col("__e").alias("e_a"),
+            norm_expr(F.col("__e")).alias("n_a"),
+        )
+        eb = e.select(
+            F.col("__id").alias("id_b"),
+            F.col("__e").alias("e_b"),
+            norm_expr(F.col("__e")).alias("n_b"),
+        )
+        return (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .withColumn(
+                "cosine",
+                dot_expr(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")),
+            )
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+            .select("id_a", "id_b", "cosine")
+        )
     c = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
     if centroids is None:
         from pyspark.ml.clustering import KMeans

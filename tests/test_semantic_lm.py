@@ -339,3 +339,23 @@ def test_ivf_index_mllib_path_and_dequantized_rerank(spark, emb, tmp_path):
     g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     assert len(g & e) / len(e) >= 0.9
+
+
+def test_semantic_pairs_hybrid_identical_to_fold(spark, emb):
+    """hybrid must equal fold EXACTLY — ids and cosine doubles — since
+    the fold re-scores every BLAS candidate and the widened bound can
+    only add candidates, never lose fold-passing ones."""
+    cent = _centroids(emb)
+    dup = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(dup)
+    fold = sorted(
+        map(tuple, semantic_pairs(both, threshold=0.98, centroids=cent, impl="fold").collect())
+    )
+    hybrid = sorted(
+        map(tuple, semantic_pairs(both, threshold=0.98, centroids=cent, impl="hybrid").collect())
+    )
+    assert fold == hybrid and len(fold) > 0

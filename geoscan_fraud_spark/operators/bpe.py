@@ -141,12 +141,15 @@ def train_bpe(
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def _encode_word(
+    word: str, ranks: dict[tuple[str, str], int], end: bool = True
+) -> list[str]:
     """Classic rank-priority BPE encode: repeatedly merge the lowest-rank
     adjacent pair, applying each left-to-right (matches `_apply_merge`'s
     training order, so encoding a training word reproduces its final
-    training segmentation)."""
-    syms = list(word) + [END]
+    training segmentation). ``end=False`` omits the END marker — used
+    for the non-final chunks of an over-length word."""
+    syms = list(word) + ([END] if end else [])
     while len(syms) > 1:
         best_rank, a, b = None, None, None
         for i in range(len(syms) - 1):
@@ -174,12 +177,21 @@ def bpe_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    max_word_chars: int = 256,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens): segment each document with a
     learned merge list. Arrow-batched `mapInPandas` (the tokenizer-apply
     step is the legitimate Python hot path — a rank-dict lookup loop no
     column algebra expresses); per-batch word cache so each distinct word
-    in a batch encodes once. Map-only: zero shuffles."""
+    in a batch encodes once. Map-only: zero shuffles.
+
+    ``max_word_chars``: the encoder is O(len^2) per word in the worst
+    case, and a web corpus WILL contain megabyte "words" (base64 blobs,
+    minified JS) that would pin an executor core for hours — longer words
+    are pre-split into ``max_word_chars`` chunks, each encoded
+    independently (the same guard production tokenizers apply via their
+    pre-tokenization regex). Words at or under the cap — all natural
+    language — are unaffected."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     schema = T.StructType(
         [
@@ -203,7 +215,19 @@ def bpe_segment(
                     w = w.lower()
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = _encode_word(w, ranks)
+                    if len(w) > max_word_chars:
+                        starts = range(0, len(w), max_word_chars)
+                        last = len(w) - (len(w) - 1) % max_word_chars - 1
+                        got = [
+                            s
+                            for i in starts
+                            for s in _encode_word(
+                                w[i : i + max_word_chars], ranks, end=(i == last)
+                            )
+                        ]
+                    else:
+                        got = _encode_word(w, ranks)
+                    cache[w] = got
                 toks.extend(got)
             return toks
 

@@ -274,3 +274,25 @@ def test_tokens_to_ids_plan_broadcasts_vocab(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_segment_caps_pathological_words(spark):
+    """A megabyte 'word' (base64 blob) must not pin a core: it is
+    pre-split into max_word_chars chunks, and normal words still encode
+    through the standard path."""
+    import time
+
+    from geoscan_fraud_spark.operators.bpe import bpe_segment
+
+    blob = "ab" * 100_000  # 200k chars, highly mergeable
+    df = spark.createDataFrame(
+        [(0, f"hello {blob} world")], ["doc_id", "text"]
+    )
+    merges = [("a", "b"), ("ab", "ab")]
+    t0 = time.perf_counter()
+    row = bpe_segment(df, merges, max_word_chars=64).first()
+    assert time.perf_counter() - t0 < 30
+    toks = row["tokens"]
+    # chunk boundaries add at most len/cap extra tokens; content survives
+    rebuilt = "".join(toks).replace("</w>", " ").strip().split()
+    assert rebuilt == ["hello", blob, "world"]

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _cutter(df: DataFrame, checkpoint: str):
@@ -54,10 +55,22 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint: str = "auto",
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(src, dst) long-id edges -> (id, component) where component is the
     minimum vertex id in the connected component.
-    """
+
+    Adaptive physical strategy (the AQE philosophy applied where Spark
+    can't): near-dup graphs are SPARSE — a 100 TB corpus with 0.1%
+    duplicates yields a tiny edge list — and each distributed iteration
+    costs 2 joins + a checkpoint + a convergence count in fixed job
+    latency. When the materialized edge list is at or under
+    ``small_graph_threshold`` edges (16 bytes each — 16 MB of driver
+    memory at the default), the labels are computed with a driver-side
+    union-find on the collected pairs instead: identical min-label
+    result, 2 jobs instead of ~4 per iteration. The iterative
+    min-label + pointer-jumping path remains for genuinely large edge
+    lists (pass ``small_graph_threshold=0`` to force it)."""
     cut = _cutter(edges, checkpoint)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # no distinct: duplicate edges are absorbed by the min-aggregates each
@@ -65,6 +78,36 @@ def connected_components(
     # the duplicates ever will
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = cut(sym)
+
+    if small_graph_threshold > 0:
+        # the count reads the just-checkpointed blocks — no recompute
+        if sym.count() <= 2 * small_graph_threshold:
+            pairs = sym.collect()
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in pairs:
+                u, v = r["u"], r["v"]
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN root so the label is the component min
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            ids = {x for r in pairs for x in (r["u"], r["v"])}
+            out = [(x, find(x)) for x in ids]
+            id_type = edges.schema[src].dataType
+            schema = T.StructType(
+                [T.StructField("id", id_type), T.StructField("component", id_type)]
+            )
+            return edges.sparkSession.createDataFrame(out, schema)
 
     labels = cut(
         sym.select(F.col("u").alias("id"))

@@ -45,3 +45,30 @@ def test_self_loops_and_duplicates(spark):
     cc = connected_components(edges)
     got = {r["id"]: r["component"] for r in cc.collect()}
     assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+def test_small_graph_path_equals_iterative(spark):
+    """The driver union-find fast path and the distributed iterative
+    path must produce IDENTICAL (id, component) labelings."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(300)
+    ] + [(500 + i, 500 + i + 1) for i in range(50)]  # plus a long chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    }
+    assert fast == slow and len(fast) > 0
+    # labels are component minima on both paths
+    comp_min = {}
+    for i, c in fast:
+        comp_min.setdefault(c, set()).add(i)
+    for c, members in comp_min.items():
+        assert c == min(members | {c})

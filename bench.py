@@ -173,6 +173,33 @@ def main():
             e.unionByName(dup), threshold=0.98, centroids=cent, impl="blas"
         )
 
+    _ivf_disk_index: dict[str, str] = {}
+
+    def bench_ivf_index_query(spark, sf_dir):
+        """Serving-path ANN: probe the PERSISTED partition-pruned int8
+        index (`ivf_index_write` runs once per bench process — the
+        amortized build; timed is the query: static-pruned scan of
+        nprobe lists + quantized score + exact re-rank)."""
+        import tempfile
+
+        from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
+        from geoscan_fraud_spark.operators.similarity import (
+            ivf_index_query,
+            ivf_index_write,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        e = load_fixture(spark, sf_dir, "embeddings")
+        if sf_dir not in _ivf_disk_index:
+            path = tempfile.mkdtemp(prefix="ivf_bench_") + "/index"
+            ivf_index_write(
+                e, path, centroids=_ivf_centroids("/root/testdata/sf0.01")
+            )
+            _ivf_disk_index[sf_dir] = path
+        q = e.filter(F.col("vec_id") < 50)
+        return ivf_index_query(q, _ivf_disk_index[sf_dir], k=10, nprobe=4)
+
     _inc_index: dict[str, object] = {}
 
     def bench_incremental_query(spark, sf_dir):
@@ -227,6 +254,7 @@ def main():
         "interval_join": QUERIES["interval_join"],
         "chunk_documents": QUERIES["chunk_documents"],
         "ann_ivf_quantized": bench_ivf_quantized,
+        "ann_ivf_index_query": bench_ivf_index_query,
         # round-6 operators: three registered entries + the HLL profile
         "dedup_incremental": QUERIES["dedup_incremental"],
         "dedup_incremental_query": bench_incremental_query,

@@ -358,9 +358,16 @@ def minhash_dedup(
             .select("id")
             .localCheckpoint(eager=True)
         )
+        # restrict BEFORE the signature table: Catalyst does not push a
+        # left-semi below the explode+aggregate (verified on the optimized
+        # plan), so filtering after it would still shingle and hash every
+        # exact copy — the cost the guard exists to avoid
+        df_reps = df.join(
+            rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
         sig = minhash_signature_table(
-            df, text_col, id_col, n, num_hashes, sig_hash
-        ).join(rep_ids, "id", "left_semi")
+            df_reps, text_col, id_col, n, num_hashes, sig_hash
+        )
         cand = _sig_candidate_pairs(
             sig, num_hashes, bands, sig_hash, max_bucket
         ).localCheckpoint(eager=True)

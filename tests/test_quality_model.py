@@ -1,0 +1,69 @@
+"""Trainable quality classifier (MLlib LR over native feature signals)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.quality_model import (
+    FEATURE_COLS,
+    fit_quality_classifier,
+    quality_features,
+    score_quality,
+)
+from geoscan_fraud_spark.sources.io import load_fixture
+
+
+def _labeled(spark, sf_dir):
+    """Fixture docs labeled good; synthetic spam labeled bad."""
+    good = (
+        load_fixture(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("label", F.lit(1))
+    )
+    spam_rows = [
+        (10_000 + i, ("buy now " * (5 + i % 7)).strip(), 0) for i in range(60)
+    ] + [
+        (10_100 + i, ("aaa bbb " + "zzz " * (30 + i)).strip(), 0)
+        for i in range(60)
+    ]
+    spam = spark.createDataFrame(spam_rows, "doc_id long, text string, label int")
+    return good.unionByName(spam)
+
+
+def test_features_are_complete_and_null_free(spark, sf_dir):
+    docs = load_fixture(spark, sf_dir, "documents")
+    feats = quality_features(docs)
+    assert feats.columns == ["doc_id"] + FEATURE_COLS
+    n = docs.count()
+    assert feats.count() == n
+    for c in FEATURE_COLS:
+        assert feats.filter(F.col(c).isNull()).count() == 0
+
+
+def test_classifier_separates_spam_from_fixture(spark, sf_dir):
+    labeled = _labeled(spark, sf_dir)
+    model = fit_quality_classifier(labeled)
+    scored = score_quality(labeled, model).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    good = [r["p_good"] for r in rows if r["label"] == 1]
+    bad = [r["p_good"] for r in rows if r["label"] == 0]
+    # means separate decisively, and a tau=0.5 cut is mostly right
+    assert sum(good) / len(good) > 0.8
+    assert sum(bad) / len(bad) < 0.2
+    acc = (
+        sum(1 for g in good if g >= 0.5) + sum(1 for b in bad if b < 0.5)
+    ) / len(rows)
+    assert acc >= 0.95
+
+
+def test_scoring_held_out_spam(spark, sf_dir):
+    """The model generalizes to spam patterns not in training."""
+    labeled = _labeled(spark, sf_dir)
+    model = fit_quality_classifier(labeled)
+    unseen = spark.createDataFrame(
+        [(50_000 + i, ("click here " * (10 + i)).strip()) for i in range(20)],
+        "doc_id long, text string",
+    )
+    scored = score_quality(unseen, model)
+    assert scored.agg(F.avg("p_good")).first()[0] < 0.3

@@ -131,3 +131,19 @@ def score_quality(
         id_col,
         F.round(vector_to_array(F.col("probability"))[1], 6).alias("p_good"),
     )
+
+
+def choose_tau(
+    scored: DataFrame, keep_rate: float, p_col: str = "p_good"
+) -> float:
+    """Threshold achieving a target keep rate: the (1 - keep_rate)
+    quantile of the score distribution on a validation slice — how
+    production pipelines actually pick tau (a fixed 0.5 bakes in the
+    classifier's calibration, which a corpus shift silently breaks).
+    One small aggregate (`percentile_approx` — the scale-safe sketch)."""
+    if not 0.0 < keep_rate <= 1.0:
+        raise ValueError(f"keep_rate must be in (0, 1], got {keep_rate}")
+    q = scored.agg(
+        F.percentile_approx(F.col(p_col), 1.0 - keep_rate).alias("tau")
+    ).first()["tau"]
+    return float(q if q is not None else 0.0)

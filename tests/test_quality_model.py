@@ -67,3 +67,29 @@ def test_scoring_held_out_spam(spark, sf_dir):
     )
     scored = score_quality(unseen, model)
     assert scored.agg(F.avg("p_good")).first()[0] < 0.3
+
+
+def test_model_save_load_roundtrip(spark, sf_dir, tmp_path):
+    labeled = _labeled(spark, sf_dir)
+    model = fit_quality_classifier(labeled)
+    path = str(tmp_path / "qmodel")
+    model.write().overwrite().save(path)
+    from pyspark.ml import PipelineModel
+
+    loaded = PipelineModel.load(path)
+    a = {r["doc_id"]: r["p_good"] for r in score_quality(labeled, model).collect()}
+    b = {r["doc_id"]: r["p_good"] for r in score_quality(labeled, loaded).collect()}
+    assert a == b
+
+
+def test_choose_tau_hits_keep_rate(spark, sf_dir):
+    from geoscan_fraud_spark.operators.quality_model import choose_tau
+
+    labeled = _labeled(spark, sf_dir)
+    model = fit_quality_classifier(labeled)
+    scored = score_quality(labeled, model)
+    tau = choose_tau(scored, keep_rate=0.8)
+    kept = scored.filter(F.col("p_good") >= tau).count() / scored.count()
+    assert abs(kept - 0.8) < 0.05
+    with pytest.raises(ValueError):
+        choose_tau(scored, keep_rate=0.0)

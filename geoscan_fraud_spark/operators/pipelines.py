@@ -85,6 +85,8 @@ def prepare_training_corpus(
     normalize_signatures: bool = False,
     lm_reference: DataFrame | None = None,
     max_nll: float | None = None,
+    quality_model=None,
+    min_p_good: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation recipe; returns a dict of DataFrames:
 
@@ -109,6 +111,13 @@ def prepare_training_corpus(
     rejected alongside the Gopher rules. NOTE: LM training is an action
     (`fit_unigram_lm` folds its totals eagerly), so passing
     ``lm_reference`` makes this call non-lazy at build time.
+
+    ``quality_model`` + ``min_p_good`` add the learned gate: a fitted
+    `operators/quality_model.fit_quality_classifier` pipeline scores
+    every document (map-only after the feature joins) and ``p_good``
+    joins the audit columns; docs below the bound reject as
+    ``"quality_model"``. The classifier sees the same (optionally
+    normalized) text as every other signal.
     """
     sig_col = text_col
     base = docs
@@ -133,6 +142,13 @@ def prepare_training_corpus(
         annotated = annotated.join(nll, id_col)
         if max_nll is not None:
             rules["lm_nll"] = F.col("nll") <= max_nll
+    if quality_model is not None:
+        from geoscan_fraud_spark.operators.quality_model import score_quality
+
+        pg = score_quality(base, quality_model, sig_col, id_col)
+        annotated = annotated.join(pg, id_col)
+        if min_p_good is not None:
+            rules["quality_model"] = F.col("p_good") >= min_p_good
     annotated = annotate_filter_reasons(annotated, rules)
     passed = annotated.filter(F.col("reject_reason").isNull()).select(
         *docs.columns, *([sig_col] if normalize_signatures else [])

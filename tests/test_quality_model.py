@@ -93,3 +93,35 @@ def test_choose_tau_hits_keep_rate(spark, sf_dir):
     assert abs(kept - 0.8) < 0.05
     with pytest.raises(ValueError):
         choose_tau(scored, keep_rate=0.0)
+
+
+def test_pipeline_quality_model_gate(spark, sf_dir):
+    """The learned gate composes into prepare_training_corpus: spam is
+    rejected with reason 'quality_model' and p_good joins the audit."""
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    labeled = _labeled(spark, sf_dir)
+    model = fit_quality_classifier(labeled)
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    # spam long enough to slip past the default length rule, caught only
+    # by the classifier
+    spam = spark.createDataFrame(
+        [(800_001, ("win money fast " * 20).strip())],
+        "doc_id long, text string",
+    )
+    corpus_in = docs.unionByName(spam)
+    out = prepare_training_corpus(
+        corpus_in,
+        dedup_threshold=0.5,
+        quality_model=model,
+        min_p_good=0.5,
+        # loosen the repetition rules so the classifier is the deciding gate
+        quality_rules={"too_short": F.col("n_tokens") >= 3},
+    )
+    ann = out["annotated"]
+    assert "p_good" in ann.columns
+    row = ann.filter(F.col("doc_id") == 800_001).first()
+    assert row["reject_reason"] == "quality_model"
+    kept = {r.doc_id for r in out["corpus"].select("doc_id").collect()}
+    assert 800_001 not in kept and len(kept) > 0

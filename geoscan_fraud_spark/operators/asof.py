@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 #: Internal column names the join plans reserve for themselves.
 _ASOF_RESERVED = ("__src", "__rpack")
-_INTERVAL_RESERVED = ("__pid", "__iid", "__bucket")
+_INTERVAL_RESERVED = ("__pid", "__iid", "__bucket", "__w")
 
 
 def _orderable(dt: T.DataType) -> bool:
@@ -200,12 +200,15 @@ def interval_join(
     and silently drop or duplicate points). That makes ``how='left'`` an
     eager two-materialization path — ``'inner'`` stays fully lazy.
 
-    Leaving ``bucket_width`` unset runs one small eager aggregate over
-    ``intervals`` (median length) before building the plan — pass an
-    explicit width in latency-sensitive call sites (see COVERAGE.md
-    note). Points and intervals must not share non-key column names
-    (the join output would be ambiguous); reserved internals
-    (``__pid``/``__iid``/``__bucket``) are rejected likewise.
+    Leaving ``bucket_width`` unset derives the width LAZILY (r06): the
+    median interval length is computed as a broadcast one-row scalar
+    crossed into both sides, so the plan builds without running a job
+    and the median evaluates with the first action (it still costs one
+    pass over ``intervals`` at execution — an explicit width skips even
+    that and folds as a literal). Points and intervals must not share
+    non-key column names (the join output would be ambiguous); reserved
+    internals (``__pid``/``__iid``/``__bucket``/``__w``) are rejected
+    likewise.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -226,11 +229,22 @@ def interval_join(
             f"rename one side (asof_join-style suffixing is the caller's choice)"
         )
     if bucket_width is None:
-        q = intervals.select(
-            F.percentile_approx(F.col(end_col) - F.col(start_col), 0.5)
-        ).first()[0]
-        bucket_width = float(q) if q and q > 0 else 1.0
-    w = float(bucket_width)
+        med = intervals.agg(
+            F.percentile_approx(
+                F.col(end_col) - F.col(start_col), F.lit(0.5)
+            ).alias("__m")
+        ).select(
+            F.coalesce(
+                F.when(F.col("__m") > 0, F.col("__m").cast("double")),
+                F.lit(1.0),
+            ).alias("__w")
+        )
+        bmed = F.broadcast(med)
+        points = points.crossJoin(bmed)
+        intervals = intervals.crossJoin(bmed)
+        w = F.col("__w")
+    else:
+        w = F.lit(float(bucket_width))
 
     iv = intervals.withColumn(
         "__bucket",
@@ -240,11 +254,11 @@ def interval_join(
                 F.floor(F.col(end_col) / w).cast("long"),
             )
         ),
-    )
+    ).drop("__w")
     if how == "inner":
         pt = points.withColumn(
             "__bucket", F.floor(F.col(point_col) / w).cast("long")
-        )
+        ).drop("__w")
         return (
             pt.join(iv, keys + ["__bucket"], "inner")
             .filter(
@@ -255,12 +269,14 @@ def interval_join(
         )
     # left: id-based accounting of unmatched points, behind lineage cuts
     # so the ids are assigned exactly once (see docstring)
-    pt = points.withColumn(
-        "__pid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    pt = (
+        points.withColumn("__pid", F.monotonically_increasing_id())
+        .withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
+        .drop("__w")
+        .localCheckpoint(eager=True)
+    )
     matched = (
-        pt.withColumn("__bucket", F.floor(F.col(point_col) / w).cast("long"))
-        .join(iv, keys + ["__bucket"], "inner")
+        pt.join(iv, keys + ["__bucket"], "inner")
         .filter(
             (F.col(start_col) <= F.col(point_col))
             & (F.col(point_col) < F.col(end_col))

@@ -231,3 +231,32 @@ def test_asof_join_numeric_tolerance(spark):
     }
     assert out["x"] == "a"      # delta 2 <= 5
     assert out["y"] is None     # nearest earlier is 50, delta 50 > 5
+
+
+def test_interval_join_auto_width_is_lazy_and_correct(spark, sf_dir):
+    """bucket_width=None must neither run a job at build time nor change
+    results vs an explicit median width."""
+    ev = load_fixture(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", F.col("value").alias("p")
+    )
+    intervals = ev.filter(F.col("event_id") % 11 == 0).select(
+        "user_id",
+        (F.col("value") - 2.0).alias("start"),
+        (F.col("value") + 3.0).alias("end"),
+    )
+    from geoscan_fraud_spark.operators.asof import interval_join
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    auto = interval_join(points, intervals, "p", on=["user_id"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan build triggered no Spark job
+
+    explicit = interval_join(
+        points, intervals, "p", on=["user_id"], bucket_width=5.0
+    )
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert a == b and len(a) > 0
+    assert "__w" not in auto.columns

@@ -360,6 +360,8 @@ def prepared_ingest_sink(
     lm=None,
     oov_logp: float | None = None,
     max_nll: float | None = None,
+    quality_model=None,
+    min_p_good: float | None = None,
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
@@ -370,7 +372,9 @@ def prepared_ingest_sink(
     `operators/pipelines.prepare_training_corpus`: each micro-batch runs
     quality gates (Gopher rules; optional unigram-LM NLL bound with an
     OFFLINE-trained ``lm`` — a static relation, so the scoring join is
-    stream-static broadcast) and the survivors dedup against the
+    stream-static broadcast; optional learned-classifier bound with an
+    offline-fitted ``quality_model`` + ``min_p_good``, scored map-only
+    per batch) and the survivors dedup against the
     persisted MinHash store exactly as `neardup_ingest_sink`.
 
     ``normalize_signatures`` mirrors the batch pipeline: gates and
@@ -419,6 +423,13 @@ def prepared_ingest_sink(
             ann = ann.join(nll, id_col)
             if max_nll is not None:
                 rules["lm_nll"] = F.col("nll") <= max_nll
+        if quality_model is not None:
+            from geoscan_fraud_spark.operators.quality_model import score_quality
+
+            pg = score_quality(base, quality_model, text_col, id_col)
+            ann = ann.join(pg, id_col)
+            if min_p_good is not None:
+                rules["quality_model"] = F.col("p_good") >= min_p_good
         passed_ids = (
             annotate_filter_reasons(ann, rules)
             .filter(F.col("reject_reason").isNull())

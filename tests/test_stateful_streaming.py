@@ -266,3 +266,42 @@ def test_prepared_ingest_sink_lm_gate(spark, tmp_path):
     sink(batch, 0)
     out = spark.read.parquet(str(tmp_path / "l_out"))
     assert sorted(r.doc_id for r in out.collect()) == [100]
+
+
+def test_prepared_ingest_sink_classifier_gate(spark, tmp_path):
+    """An offline-fitted quality model bounds p_good at ingest."""
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.operators.quality_model import fit_quality_classifier
+    from geoscan_fraud_spark.streaming.scoring import prepared_ingest_sink
+
+    good_rows = [
+        (i, " ".join(f"the quick word{j} is here now" for j in range(i % 5 + 6)), 1)
+        for i in range(40)
+    ]
+    bad_rows = [(100 + i, ("spam spam buy " * (8 + i % 5)).strip(), 0) for i in range(40)]
+    labeled = spark.createDataFrame(
+        good_rows + bad_rows, "doc_id long, text string, label int"
+    )
+    model = fit_quality_classifier(labeled)
+
+    sink = prepared_ingest_sink(
+        str(tmp_path / "q_idx"),
+        str(tmp_path / "q_out"),
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        quality_model=model,
+        min_p_good=0.5,
+        quality_rules={"nonempty": F.col("n_tokens") >= 1},
+    )
+    batch = spark.createDataFrame(
+        [
+            (500, "the quick words are here now and the text reads fine today"),
+            (501, ("spam spam buy " * 10).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    out = spark.read.parquet(str(tmp_path / "q_out"))
+    assert sorted(r.doc_id for r in out.collect()) == [500]

@@ -201,3 +201,59 @@ def histogram_quantile(
             left = math.log(lo) + (i - 1) * span
             return math.exp(left + span / 2)
     return hi
+
+
+def profile_drift(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Compare two profile relations (from `profile_corpus` /
+    `merge_profiles`) WITHOUT touching either corpus — the monitoring
+    primitive for ingest drift ("did yesterday's crawl shift?").
+
+    Per matched group: count ratios, plus vocabulary overlap estimated
+    by HLL inclusion-exclusion — ``|A∩B| ≈ |A| + |B| - |A∪B|`` with the
+    union sketch from `hll_union_agg`, so the only inputs are the
+    persisted few-KB sketches. ``vocab_jaccard`` is the intersection
+    over the union; ``vocab_novel_b`` estimates the fraction of B's
+    vocabulary unseen in A (new tokens — the drift signal). Estimates
+    inherit HLL stderr (~2.5% at lg_k=12); intersection error grows when
+    the overlap is small relative to either set — treat near-zero
+    Jaccards as "disjoint", not as precise values. Outer-joined groups
+    missing from one side report NULL ratios."""
+    keys = list(group_cols or [])
+    jk = keys if keys else ["__g"]
+    pa = (a if keys else a.withColumn("__g", F.lit(1))).select(
+        *jk,
+        F.col("n_docs").alias("docs_a"),
+        F.col("n_tokens").alias("tokens_a"),
+        F.col("distinct_tokens").alias("vocab_a"),
+        F.col("token_sketch").alias("sk_a"),
+    )
+    pb = (b if keys else b.withColumn("__g", F.lit(1))).select(
+        *jk,
+        F.col("n_docs").alias("docs_b"),
+        F.col("n_tokens").alias("tokens_b"),
+        F.col("distinct_tokens").alias("vocab_b"),
+        F.col("token_sketch").alias("sk_b"),
+    )
+    joined = pa.join(pb, jk, "full_outer")
+    union_est = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    inter = F.greatest(
+        F.col("vocab_a") + F.col("vocab_b") - union_est, F.lit(0.0)
+    )
+    out = joined.select(
+        *jk,
+        "docs_a",
+        "docs_b",
+        F.round(F.col("docs_b") / F.col("docs_a"), 4).alias("docs_ratio"),
+        F.round(F.col("tokens_b") / F.col("tokens_a"), 4).alias("tokens_ratio"),
+        F.col("vocab_a"),
+        F.col("vocab_b"),
+        F.round(inter / union_est, 4).alias("vocab_jaccard"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - inter / F.col("vocab_b")), 4
+        ).alias("vocab_novel_b"),
+    )
+    return out.drop("__g") if not keys else out

@@ -696,3 +696,31 @@ def test_histogram_under_overflow(spark):
     assert h[0] == 1          # 0.5 underflows
     assert h[-1] == 1         # 1e9 overflows
     assert sum(h) == 4
+
+
+def test_profile_drift_detects_vocab_shift(spark, docs):
+    """Identical corpora report Jaccard ~1 / novelty ~0; a corpus with a
+    replaced vocabulary half reports high novelty — all computed from
+    the persisted sketches only."""
+    from geoscan_fraud_spark.operators.profiling import profile_corpus, profile_drift
+
+    base = profile_corpus(docs)
+    same = profile_drift(base, profile_corpus(docs))
+    r = same.first()
+    assert r["docs_ratio"] == 1.0 and r["tokens_ratio"] == 1.0
+    assert r["vocab_jaccard"] > 0.9
+    assert r["vocab_novel_b"] < 0.1
+
+    # shifted corpus: every token rewritten -> disjoint vocabulary
+    shifted = docs.withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), r"\s+"), lambda t: F.concat(F.lit("zz"), t)
+            ),
+        ),
+    )
+    drift = profile_drift(base, profile_corpus(shifted)).first()
+    assert drift["vocab_jaccard"] < 0.1
+    assert drift["vocab_novel_b"] > 0.9

@@ -215,8 +215,11 @@ def main():
 
         docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
         if sf_dir not in _inc_index:
+            # bands= stores the pre-computed band hashes (r07): the
+            # recurring per-batch path explodes them instead of
+            # re-hashing the whole index every cycle
             _inc_index[sf_dir] = inc.minhash_index(
-                docs, num_hashes=48, sig_hash="md5"
+                docs, num_hashes=48, sig_hash="md5", bands=12
             ).localCheckpoint(eager=True)
         words = F.split(F.col("text"), r"\s+")
         batch = docs.select(
@@ -244,6 +247,68 @@ def main():
             _bpe_merges[sf_dir] = train_bpe(word_counts(docs), num_merges=20)
         return bpe_segment(docs, _bpe_merges[sf_dir])
 
+    _prep_state: dict[str, object] = {}
+
+    def bench_prepared_ingest(spark, sf_dir):
+        """Streaming end-to-end corpus preparation (VERDICT r06 #8): a
+        fixed availableNow cycle of `prepared_ingest_sink` — per-batch
+        Gopher gate + offline-trained unigram-LM NLL bound + store-backed
+        normalized near-dup — over the documents fixture split into two
+        micro-batches. The source files and the LM fit are one-off per
+        bench process (amortized in production); each timed invocation
+        runs the full two-batch cycle against a FRESH store + checkpoint,
+        so the number is the cold per-corpus streaming cost."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from geoscan_fraud_spark.operators.text import fit_unigram_lm
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from geoscan_fraud_spark.streaming.scoring import prepared_ingest_sink
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        if "src" not in _prep_state:
+            src = tempfile.mkdtemp(prefix="prep_bench_src_")
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/half=0")
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/half=1")
+            _prep_state["src"] = src
+            _prep_state["schema"] = docs.schema
+            lm, oov = fit_unigram_lm(docs)
+            _prep_state["lm"] = lm.localCheckpoint(eager=True)
+            _prep_state["oov"] = oov
+        prev = _prep_state.pop("work", None)
+        if prev:
+            shutil.rmtree(prev, ignore_errors=True)
+        work = tempfile.mkdtemp(prefix="prep_bench_work_")
+        _prep_state["work"] = work
+        sink = prepared_ingest_sink(
+            f"{work}/idx",
+            f"{work}/out",
+            num_hashes=48,
+            bands=12,
+            threshold=0.5,
+            normalize_signatures=True,
+            lm=_prep_state["lm"],
+            oov_logp=_prep_state["oov"],
+            max_nll=12.0,
+        )
+        q = (
+            spark.readStream.schema(_prep_state["schema"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(_prep_state["src"]) + "/half=*")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.read.parquet(f"{work}/out")
+
     extras = {
         "decontaminate": bench_decontaminate,
         "pack_documents": bench_pack_documents,
@@ -267,6 +332,7 @@ def main():
         "semantic_dedup_blas": bench_semantic_blas,
         "lm_perplexity": QUERIES["lm_perplexity"],
         "bpe_segment": bench_bpe_segment,
+        "prepared_ingest_stream": bench_prepared_ingest,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action
@@ -277,25 +343,35 @@ def main():
     # run). The min of N runs is the least-noise estimate of the plan's
     # cost; noise_ratio (max/min over per-query totals) is recorded so a
     # loaded-machine round is visible in the artifact itself.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    #
+    # The FIRST serial pass is a discarded warm-up (r07, VERDICT r06 #7):
+    # it pays janino/whole-stage-codegen compilation, JIT tiering, and
+    # shuffle/broadcast infrastructure spin-up for every plan shape — in
+    # r06 it ran ~1.6x the steady state (48.7 s vs 30.7 s) and was the
+    # whole of the reported noise_ratio. It still executes every query
+    # (so per-query minima from the recorded passes are steady-state) but
+    # is excluded from per_run_totals, minima, and noise_ratio.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     per_run_totals: list[float] = []
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
-    for r in range(runs):
+    for r in range(runs + 1):
+        warmup = r == 0
         run_total = 0.0
         for name in headline:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
             run_total += dt
-            if name not in timings or dt < timings[name]:
+            if not warmup and (name not in timings or dt < timings[name]):
                 timings[name] = dt
-        per_run_totals.append(round(run_total, 3))
+        if not warmup:
+            per_run_totals.append(round(run_total, 3))
         for name, fn in extras.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
-            if name not in extra_timings or dt < extra_timings[name]:
+            if not warmup and (name not in extra_timings or dt < extra_timings[name]):
                 extra_timings[name] = dt
 
     # `value` is the sum of per-query minima (a composite no single run
@@ -316,6 +392,7 @@ def main():
                 "queries": timings,
                 "sf": float(sf),
                 "runs": runs,
+                "warmup_runs": 1,
                 "noise_ratio": noise_ratio,
                 "per_run_totals": per_run_totals,
                 "best_serial_run": min(per_run_totals),

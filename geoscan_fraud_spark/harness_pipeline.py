@@ -470,6 +470,21 @@ def text_quality(spark, sf_dir):
 
 
 def _lang_sql() -> str:
+    """Replays the script-first lang_id (operators/text.py): Unicode
+    script codepoint counts (same literal character-class patterns —
+    valid in both Java regex and RE2), argmax script gated on >=
+    SCRIPT_SHARE_MIN of non-whitespace chars, else the marker-word
+    vote. DuckDB counts matches via len(regexp_extract_all)."""
+    from geoscan_fraud_spark.operators.text import SCRIPT_RANGES, SCRIPT_SHARE_MIN
+
+    sc_counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{s}"
+        for s, pat in SCRIPT_RANGES.items()
+    )
+    scripts = list(SCRIPT_RANGES)
+    sc_max = "GREATEST(" + ",".join(f"c_{s}" for s in scripts) + ")"
+    # first-declared wins ties — mirrors the Spark fold's strict '>'
+    sc_case = " ".join(f"WHEN c_{s} = sm THEN '{s}'" for s in scripts)
     scores = ",\n           ".join(
         "len(list_intersect(tok, ["
         + ",".join(f"'{w}'" for w in words)
@@ -480,15 +495,21 @@ def _lang_sql() -> str:
     m = "GREATEST(" + ",".join(f"s_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
     return f"""
-    WITH t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tok
+    WITH t AS (SELECT doc_id, text,
+                      list_distinct(string_split(trim(text), ' ')) AS tok,
+                      length(regexp_replace(text, '\\s', '', 'g')) AS nws
                FROM documents),
-    s AS (SELECT doc_id,
+    s AS (SELECT doc_id, nws,
+           {sc_counts},
            {scores}
     FROM t),
-    g AS (SELECT *, {m} AS m FROM s)
+    g AS (SELECT *, {m} AS m, {sc_max} AS sm FROM s)
     SELECT doc_id,
-           CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred,
-           m AS lang_score
+           CASE WHEN nws > 0 AND CAST(sm AS DOUBLE) / nws >= {SCRIPT_SHARE_MIN}
+                THEN (CASE {sc_case} END)
+                WHEN m = 0 THEN 'und' {case} END AS lang_pred,
+           CASE WHEN nws > 0 AND CAST(sm AS DOUBLE) / nws >= {SCRIPT_SHARE_MIN}
+                THEN sm ELSE m END AS lang_score
     FROM g
     """
 
@@ -815,10 +836,13 @@ def dedup_incremental(spark, sf_dir):
     # materialized like a production index (which is a parquet table on
     # disk): dedup_against_index consumes the index twice (banding + the
     # estimate join) and recomputing the signature pipeline per consumer
-    # would double the entry's cost
-    idx = inc.minhash_index(docs, num_hashes=48, sig_hash="md5").localCheckpoint(
-        eager=True
-    )
+    # would double the entry's cost. bands= pre-computes the band-hash
+    # array at build (r07) — identical buckets to per-batch re-hashing
+    # (parity pinned in test_round7_fixes), so the oracle replay of the
+    # banding from signatures stays exact.
+    idx = inc.minhash_index(
+        docs, num_hashes=48, sig_hash="md5", bands=12
+    ).localCheckpoint(eager=True)
     kept = inc.dedup_against_index(
         batch, idx, num_hashes=48, bands=12, threshold=0.5, sig_hash="md5"
     )

@@ -65,12 +65,15 @@ def connected_components(
     duplicates yields a tiny edge list — and each distributed iteration
     costs 2 joins + a checkpoint + a convergence count in fixed job
     latency. When the materialized edge list is at or under
-    ``small_graph_threshold`` edges (16 bytes each — 16 MB of driver
-    memory at the default), the labels are computed with a driver-side
-    union-find on the collected pairs instead: identical min-label
-    result, 2 jobs instead of ~4 per iteration. The iterative
-    min-label + pointer-jumping path remains for genuinely large edge
-    lists (pass ``small_graph_threshold=0`` to force it)."""
+    ``small_graph_threshold`` edges, the labels are computed with a
+    driver-side union-find instead: identical min-label result, 2 jobs
+    instead of ~4 per iteration. The pairs cross the wire as Arrow
+    batches into a 2-column pandas frame (two int64 numpy arrays — 16
+    bytes/edge, ~32 MB at the 2M-symmetrized default, NOT per-row
+    Python ``Row`` objects at ~100+ bytes each), and the union-find
+    runs over contiguous numpy index arrays. The iterative min-label +
+    pointer-jumping path remains for genuinely large edge lists (pass
+    ``small_graph_threshold=0`` to force it)."""
     cut = _cutter(edges, checkpoint)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # no distinct: duplicate edges are absorbed by the min-aggregates each
@@ -82,32 +85,48 @@ def connected_components(
     if small_graph_threshold > 0:
         # the count reads the just-checkpointed blocks — no recompute
         if sym.count() <= 2 * small_graph_threshold:
-            pairs = sym.collect()
-            parent: dict = {}
+            import numpy as np  # local: keep module import-light
 
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
+            # Arrow transfer: two flat int64 columns, no Row objects
+            pdf = sym.toPandas()
+            uv = np.concatenate(
+                [pdf["u"].to_numpy(), pdf["v"].to_numpy()]
+            )
+            # np.unique sorts, so index order == id order: the min root
+            # INDEX of a component is also its min vertex ID
+            ids, inv = np.unique(uv, return_inverse=True)
+            m = len(pdf)
+            ui, vi = inv[:m], inv[m:]
+            parent = np.arange(len(ids), dtype=np.int64)
 
-            for r in pairs:
-                u, v = r["u"], r["v"]
-                ru, rv = find(u), find(v)
-                if ru != rv:
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]  # path halving
+                    x = parent[x]
+                return x
+
+            for a, b in zip(ui.tolist(), vi.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
                     # union by MIN root so the label is the component min
-                    if rv < ru:
-                        ru, rv = rv, ru
-                    parent[rv] = ru
-            ids = {x for r in pairs for x in (r["u"], r["v"])}
-            out = [(x, find(x)) for x in ids]
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            # final flatten: one vectorized pass after unions settle
+            roots = parent.copy()
+            while True:
+                nxt = parent[roots]
+                if (nxt == roots).all():
+                    break
+                roots = nxt
+            import pandas as pd  # noqa: local with numpy above
+
+            out_pdf = pd.DataFrame({"id": ids, "component": ids[roots]})
             id_type = edges.schema[src].dataType
             schema = T.StructType(
                 [T.StructField("id", id_type), T.StructField("component", id_type)]
             )
-            return edges.sparkSession.createDataFrame(out, schema)
+            return edges.sparkSession.createDataFrame(out_pdf, schema)
 
     labels = cut(
         sym.select(F.col("u").alias("id"))

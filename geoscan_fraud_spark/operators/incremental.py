@@ -45,36 +45,49 @@ def minhash_index(
     n: int = 3,
     num_hashes: int = 64,
     sig_hash: str = "xxhash64",
+    bands: int | None = None,
 ) -> DataFrame:
-    """(id, sig array<bigint>) signature rows — the persistable corpus
-    index. One row per document, 8·num_hashes bytes of signature; write
-    with `sources.io.write_table` and read back for the next batch.
+    """(id, sig array<bigint>[, bands]) signature rows — the persistable
+    corpus index. One row per document, 8·num_hashes bytes of signature;
+    write with `sources.io.write_table` and read back for the next batch.
 
     The array packing (vs H named columns) keeps the persisted schema
     independent of H-at-write-time readers and makes the estimator a
-    single `zip_with` fold."""
+    single `zip_with` fold.
+
+    ``bands`` (r07, VERDICT r06 #2) additionally PRE-COMPUTES the LSH
+    band-hash array into a ``bands`` column: without it,
+    `dedup_against_index` must re-hash the ENTIRE index into band
+    buckets on every batch — at a billion-row store that is a full map
+    pass (md5/xxhash64 over every band of every row) per ingest cycle.
+    Stored, the recurring per-batch cost on the index side drops to a
+    posexplode of the ready array. ~8 (xxhash64) or ~32 (md5) bytes per
+    band per row of extra store; the batch side still hashes fresh."""
     sig = minhash_signature_table(df, text_col, id_col, n, num_hashes, sig_hash)
-    return sig.select(
+    out = sig.select(
         "id",
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
     )
+    if bands is not None:
+        out = out.withColumn(
+            "bands", _band_hash_array(num_hashes, bands, sig_hash)
+        )
+    return out
 
 
-def _banded_sig(
-    sig_df: DataFrame, num_hashes: int, bands: int, sig_hash: str
-) -> DataFrame:
-    """(id, band, bh) band-bucket rows from array signatures — same band
-    hashing as `minhash_candidate_pairs` (md5 over '|'-joined decimal
-    components for the oracle-portable family, xxhash64 otherwise), so an
-    index written by one path buckets identically to a batch banded by
-    the other run of the same configuration."""
+def _band_hash_array(num_hashes: int, bands: int, sig_hash: str):
+    """Band-hash array column over ``sig`` — same band hashing as
+    `minhash_candidate_pairs` (md5 over '|'-joined decimal components
+    for the oracle-portable family, xxhash64 otherwise), so an index
+    written by one path buckets identically to a batch banded by the
+    other run of the same configuration."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     r = num_hashes // bands
     if sig_hash == "md5":
-        band_hashes = F.array(
+        return F.array(
             *[
                 F.md5(
                     F.concat_ws(
@@ -85,16 +98,46 @@ def _banded_sig(
                 for b in range(bands)
             ]
         )
-    elif sig_hash == "xxhash64":
-        band_hashes = F.array(
+    if sig_hash == "xxhash64":
+        return F.array(
             *[
                 F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)])
                 for b in range(bands)
             ]
         )
-    else:
-        raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
-    return sig_df.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+    raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
+
+
+def _banded_sig(
+    sig_df: DataFrame, num_hashes: int, bands: int, sig_hash: str
+) -> DataFrame:
+    """(id, band, bh) band-bucket rows from array signatures. If the
+    input carries a pre-computed ``bands`` column (a store written by
+    `minhash_index(bands=...)`), it is exploded directly — the stored
+    band count is validated per row against the requested ``bands``
+    (`raise_error` fail-fast, the `estimated_jaccard` convention) since
+    a store banded at a different width would silently miss candidates.
+    Otherwise the band hashes are computed from ``sig``."""
+    if "bands" in sig_df.columns:
+        checked = F.when(
+            F.size("bands") == F.lit(bands), F.col("bands")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("stored band count ("),
+                    F.size("bands").cast("string"),
+                    F.lit(f") != requested bands ({bands}) — rebuild the "),
+                    F.lit("index or pass the store's band width"),
+                )
+            )
+        )
+        return sig_df.select("id", F.posexplode(checked).alias("band", "bh"))
+    return sig_df.select(
+        "id",
+        F.posexplode(_band_hash_array(num_hashes, bands, sig_hash)).alias(
+            "band", "bh"
+        ),
+    )
 
 
 def estimated_jaccard(sig_a, sig_b):
@@ -158,7 +201,11 @@ def dedup_against_index(
 
     The estimator needs identical (n, num_hashes, sig_hash) between the
     index build and this call; banding (``bands``) may differ run-to-run
-    — it only changes candidate recall, not the estimate."""
+    — it only changes candidate recall, not the estimate — EXCEPT when
+    the index carries a pre-computed ``bands`` column
+    (`minhash_index(bands=...)`): stored band hashes are only valid at
+    their build width, so a mismatch fail-fasts instead of silently
+    missing candidates."""
     new_sig = minhash_index(
         new_df, text_col, id_col, n, num_hashes, sig_hash
     ).localCheckpoint(eager=True)
@@ -176,12 +223,17 @@ def dedup_against_index(
     idx = index.select(F.col("id").alias("oid"), F.col("sig").alias("osig"))
 
     nb = _banded_sig(new_sig, num_hashes, bands, sig_hash)
-    ib = _banded_sig(
-        idx.select(F.col("oid").alias("id"), F.col("osig").alias("sig")),
-        num_hashes,
-        bands,
-        sig_hash,
-    ).select("band", "bh", F.col("id").alias("oid"))
+    # a store written with minhash_index(bands=...) carries pre-computed
+    # band hashes — _banded_sig explodes them instead of re-hashing the
+    # whole index every batch (VERDICT r06 #2)
+    idx_for_bands = index.select(
+        "id",
+        "sig",
+        *(["bands"] if "bands" in index.columns else []),
+    )
+    ib = _banded_sig(idx_for_bands, num_hashes, bands, sig_hash).select(
+        "band", "bh", F.col("id").alias("oid")
+    )
     if max_bucket is not None:
         nb = _cap_buckets(nb, ["band", "bh"], max_bucket)
         ib = _cap_buckets(ib, ["band", "bh"], max_bucket)

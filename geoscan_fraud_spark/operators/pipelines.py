@@ -16,11 +16,14 @@ removed; split assignment is map-only and last):
     3. benchmark decontamination (broadcast n-gram probe)
     4. deterministic train/val/test split (map-only salted hash)
 
-Everything stays lazy: the returned DataFrames materialize when acted
-on, and the stage report is itself a DataFrame (one count aggregate per
-stage, unioned) so a caller pays for counting only if it asks. At
-100 TB each stage's scale story is its operator's — this module adds no
-shuffle of its own.
+Laziness: the returned DataFrames materialize when acted on, and the
+stage report is itself a DataFrame (one count aggregate per stage,
+unioned) so a caller pays for counting only if it asks. The only
+build-time jobs are `minhash_dedup`'s lineage-cut checkpoints (shared
+by every configuration); the optional LM gate fits in lazy mode
+(`fit_unigram_lm(lazy=True)`) and adds zero build-time jobs — pinned
+by a statusTracker test. At 100 TB each stage's scale story is its
+operator's — this module adds no shuffle of its own.
 """
 
 from __future__ import annotations
@@ -108,9 +111,10 @@ def prepare_training_corpus(
     ``lm_reference`` + ``max_nll`` add the perplexity gate: a unigram LM
     is trained on the (trusted) reference corpus and every document's
     mean NLL joins the audit columns; docs with ``nll > max_nll`` are
-    rejected alongside the Gopher rules. NOTE: LM training is an action
-    (`fit_unigram_lm` folds its totals eagerly), so passing
-    ``lm_reference`` makes this call non-lazy at build time.
+    rejected alongside the Gopher rules. The fit runs in lazy mode
+    (`fit_unigram_lm(lazy=True)` — totals fold in as a broadcast
+    one-row relation), so constructing the pipeline triggers NO job;
+    everything materializes when the returned DataFrames are acted on.
 
     ``quality_model`` + ``min_p_good`` add the learned gate: a fitted
     `operators/quality_model.fit_quality_classifier` pipeline scores
@@ -123,6 +127,18 @@ def prepare_training_corpus(
     base = docs
     if normalize_signatures:
         sig_col = "__sig_text"
+        # reserved-name convention (matches asof_join/interval_join):
+        # never silently overwrite a caller column
+        for name, rel in (
+            ("docs", docs),
+            ("benchmark", benchmark),
+            ("lm_reference", lm_reference),
+        ):
+            if rel is not None and sig_col in rel.columns:
+                raise ValueError(
+                    f"{name} already has a {sig_col!r} column — it is "
+                    f"reserved by normalize_signatures=True; rename it"
+                )
         base = normalize_text(
             docs, text_col, out_col=sig_col, strip_accents=True
         )
@@ -135,7 +151,7 @@ def prepare_training_corpus(
             if normalize_signatures
             else lm_reference
         )
-        lm, oov = fit_unigram_lm(ref, text_col)
+        lm, oov = fit_unigram_lm(ref, text_col, lazy=True)
         nll = perplexity_score(base, lm, oov, sig_col, id_col).select(
             id_col, "nll"
         )

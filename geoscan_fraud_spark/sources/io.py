@@ -427,10 +427,30 @@ def compact_index(
     (written but not checkpoint-committed), and folding its rows into
     the base would make the replay match its own delta and drop every
     survivor. Same single-writer rule as `compact_files`: run between
-    stream restarts, never under a live writer; the old partitions are
-    moved aside before the base swap so a crash leaves either layout
-    readable, never a half-deleted one."""
+    stream restarts, never under a live writer.
+
+    Crash-safety ordering (ADVICE r06): the new base is renamed INTO
+    place before the folded source dirs are moved aside. For a dedup
+    index the failure modes are asymmetric — a transient DUPLICATE
+    signature row is idempotent for `dedup_against_index` (same match
+    set), while a transiently MISSING row silently admits duplicates.
+    So the only window where rows are absent is the two back-to-back
+    renames swapping the old ``batch_id=-1`` for the new one; every
+    other intermediate state only over-counts. Manual recovery after a
+    crash: if ``<path>.__old__`` exists, any ``batch_id=*`` dirs inside
+    it that are missing from the live index should be moved back (they
+    were folded into the new base only if ``batch_id=-1`` has a newer
+    mtime); a leftover ``<path>.__compact__`` is an unreferenced
+    scratch dir and can be deleted. This function refuses to run while
+    either leftover exists."""
     prefix = "batch_id="
+    for leftover in ("__old__", "__compact__"):
+        p = index_path.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} exists — a previous compaction crashed mid-swap; "
+                f"recover per the compact_index docstring before re-running"
+            )
     try:
         ids = sorted(
             int(d[len(prefix):])
@@ -458,13 +478,35 @@ def compact_index(
                     size_bytes += os.path.getsize(os.path.join(root, f))
     n_files = max(1, -(-size_bytes // (target_mb * 1024 * 1024)))
 
-    df = spark.read.option("basePath", index_path).parquet(*fold_dirs)
+    df = (
+        spark.read.option("basePath", index_path)
+        .option("mergeSchema", "true")  # an existing base carries src_batch
+        .parquet(*fold_dirs)
+    )
+    # preserve each row's ORIGIN batch through the fold (r07): batch_id
+    # becomes the payload column src_batch so `expire_index` can age the
+    # base by real ingest batch. Rows folded from a pre-r07 base keep
+    # src_batch=-1 — origin unknown, never expires (documented there).
+    src = (
+        F.coalesce(F.col("src_batch"), F.col("batch_id"))
+        if "src_batch" in df.columns
+        else F.col("batch_id")
+    )
     tmp = index_path.rstrip("/") + ".__compact__"
-    df.drop("batch_id").repartition(n_files).write.mode("overwrite").parquet(tmp)
+    df.withColumn("src_batch", src).drop("batch_id").repartition(
+        n_files
+    ).write.mode("overwrite").parquet(tmp)
     old = index_path.rstrip("/") + ".__old__"
     os.makedirs(old, exist_ok=True)
+    base = os.path.join(index_path, f"{prefix}-1")
+    # swap the base FIRST (two atomic renames back-to-back — the only
+    # rows-missing window), THEN retire the folded dirs: from here on
+    # the index only has transient duplicates, which are idempotent
+    if -1 in fold:
+        os.rename(base, os.path.join(old, f"{prefix}-1"))
+    os.rename(tmp, base)
     for i, d in zip(fold, fold_dirs):
-        os.rename(d, os.path.join(old, f"{prefix}{i}"))
-    os.rename(tmp, os.path.join(index_path, f"{prefix}-1"))
+        if i != -1:
+            os.rename(d, os.path.join(old, f"{prefix}{i}"))
     shutil.rmtree(old)
     return len(fold)

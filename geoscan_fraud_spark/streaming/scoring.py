@@ -166,6 +166,7 @@ def incremental_ingest_sink(
     index_fn,
     index_cols: list[str],
     empty_index_schema,
+    optional_index_cols: list[str] | None = None,
 ):
     """Generic `writeStream.foreachBatch(...)` sink for store-backed
     incremental dedup: each micro-batch is deduped against the persisted
@@ -195,11 +196,15 @@ def incremental_ingest_sink(
 
         spark = batch_df.sparkSession
         try:
-            idx = (
-                spark.read.parquet(index_path)
-                .filter(F.col("batch_id") < batch_id)
-                .select(*index_cols)
-            )
+            raw = spark.read.parquet(index_path)
+            # optional columns (e.g. the pre-banded 'bands' array) are
+            # selected only when the store has them, so a sink upgraded
+            # mid-store keeps reading v1 layouts instead of treating the
+            # select failure as an empty bootstrap
+            cols = list(index_cols) + [
+                c for c in (optional_index_cols or []) if c in raw.columns
+            ]
+            idx = raw.filter(F.col("batch_id") < batch_id).select(*cols)
         except AnalysisException:
             # bootstrap only: the index path does not exist yet (or holds
             # no readable schema). Anything else — corrupt files, wrong
@@ -255,7 +260,12 @@ def neardup_ingest_sink(
         )
 
     def index_fn(kept):
-        return minhash_index(kept, text_col, id_col, n, num_hashes, sig_hash)
+        # bands pre-computed at append time (VERDICT r06 #2): the next
+        # batch's index-side band join explodes the stored array instead
+        # of re-hashing the whole store
+        return minhash_index(
+            kept, text_col, id_col, n, num_hashes, sig_hash, bands=bands
+        )
 
     def empty_schema(batch_df):
         return T.StructType(
@@ -266,7 +276,13 @@ def neardup_ingest_sink(
         )
 
     return incremental_ingest_sink(
-        index_path, out_path, dedup_fn, index_fn, ["id", "sig"], empty_schema
+        index_path,
+        out_path,
+        dedup_fn,
+        index_fn,
+        ["id", "sig"],
+        empty_schema,
+        optional_index_cols=["bands"],
     )
 
 
@@ -454,7 +470,9 @@ def prepared_ingest_sink(
         return passed.join(kept.select(id_col), id_col, "left_semi")
 
     def index_fn(kept):
-        return minhash_index(_sig(kept), text_col, id_col, n, num_hashes, sig_hash)
+        return minhash_index(
+            _sig(kept), text_col, id_col, n, num_hashes, sig_hash, bands=bands
+        )
 
     def empty_schema(batch_df):
         return T.StructType(
@@ -465,5 +483,11 @@ def prepared_ingest_sink(
         )
 
     return incremental_ingest_sink(
-        index_path, out_path, dedup_fn, index_fn, ["id", "sig"], empty_schema
+        index_path,
+        out_path,
+        dedup_fn,
+        index_fn,
+        ["id", "sig"],
+        empty_schema,
+        optional_index_cols=["bands"],
     )

@@ -84,6 +84,15 @@ def main():
     QUERIES = dict(QUERIES)
     QUERIES["dedup_minhash_xxhash64"] = bench_minhash_xxhash64
     QUERIES["dedup_simhash_h3"] = bench_simhash_h3
+    # u4 rotated out of the 50-slot driver registry in r07; the bench
+    # keeps timing it so headline totals stay comparable across rounds
+    # (the `if q in QUERIES` filter above already dropped it — restore
+    # its original slot before ttl_window_filter)
+    from geoscan_fraud_spark.harness import u4_explode_tokens
+
+    QUERIES["u4_explode_tokens"] = u4_explode_tokens
+    if "u4_explode_tokens" not in headline:
+        headline.insert(headline.index("ttl_window_filter"), "u4_explode_tokens")
     # the registry entry now runs a pinned mini-fixture (oracle-able);
     # the bench keeps timing the sf-scaled composite for comparability
     QUERIES["geoscan_score_pipeline"] = score_pipeline_dense

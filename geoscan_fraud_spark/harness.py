@@ -133,15 +133,11 @@ def p_project_filter_alias(spark, sf_dir):
     ).select("c_custkey", F.col("c_name").alias("customer_name"), "c_acctbal")
 
 
-@register(
-    "p_derived_column",
-    sql="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1.0 - l_discount) AS net_price,
-           ROUND(LN(l_quantity + 1.0), 4) AS log_qty
-    FROM lineitem
-    """,
-)
+# P3/U6 (withColumn + log) was a registered entry through r06; the
+# identical algebra — arithmetic/ln derived columns — is driver-evidenced
+# by the hash-green `u3_tfidf_relational` (log-ratio TF-IDF columns) and
+# `u7_haversine` (trig column chain), so the slot under the driver's
+# 50-entry cap now funds `token_entropy` (round-7 rotation).
 def p_derived_column(spark, sf_dir):
     """P3 withColumn + U6 log (IEEE-exact arithmetic unrounded; ln rounded)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -546,14 +542,11 @@ def setop_unionbyname(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "u4_explode_tokens",
-    sql="""
-    SELECT word, count(*) AS cnt FROM (
-      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-    GROUP BY word
-    """,
-)
+# U4 (explode) was a registered entry through r06; explode+count algebra
+# is driver-evidenced by the hash-green `vocab_token_frequencies` (the
+# same explode -> groupBy count over documents) and `u2_sample_explode`
+# (explode of struct arrays + dotted access), so the slot under the
+# driver's 50-entry cap now funds `text_repetition` (round-7 rotation).
 def u4_explode_tokens(spark, sf_dir):
     """U4 — explode (`01:189`) on the documents fixture."""
     d = _t(spark, sf_dir, "documents")

@@ -109,14 +109,14 @@ def distinct_users_approx(spark, sf_dir):
     )
 
 
-@register(
-    "tumbling_window_counts",
-    sql="""
-    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-           event_type, count(*) AS cnt
-    FROM events GROUP BY window_start, event_type
-    """,
-)
+# Tumbling-window counts was a registered entry through r06; event-time
+# bucket-and-count algebra is driver-evidenced by the hash-green
+# `sessionize` (event-time gap windows + per-bucket aggregation) and
+# `ttl_window_filter` (event-time interval arithmetic + grouped counts),
+# the epoch alignment of F.window vs time_bucket stays pinned by the
+# streaming parity test (test_ext.py::test_streaming_tumbling_matches_batch),
+# so the slot under the driver's 50-entry cap now funds
+# `bpe_tokens_to_ids` (round-7 rotation).
 def tumbling_window_counts(spark, sf_dir):
     """Event-time tumbling window (batch form of the streaming agg; both
     engines align buckets to the epoch in UTC)."""

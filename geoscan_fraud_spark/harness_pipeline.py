@@ -548,6 +548,196 @@ def text_winnow_fingerprint(spark, sf_dir):
     return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, window=4)
 
 
+def _gram_list_sql(n: int) -> str:
+    """DuckDB word n-grams over ``tok`` — the `word_grams` convention
+    (shorter-than-n docs yield one whole-text gram); 1-based inclusive
+    list slices, same pattern as the winnow oracle."""
+    return (
+        f"CASE WHEN len(tok) >= {n} "
+        f"THEN [array_to_string(tok[i+1:i+{n}], ' ') "
+        f"      for i in range(0, len(tok) - {n - 1})] "
+        f"ELSE [array_to_string(tok, ' ')] END"
+    )
+
+
+@register(
+    "text_repetition",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok FROM documents),
+    g AS (SELECT doc_id, {_gram_list_sql(2)} AS g2, {_gram_list_sql(3)} AS g3 FROM t),
+    m2 AS (SELECT doc_id, max(c) AS mx FROM (
+             SELECT doc_id, gm, count(*) AS c
+             FROM (SELECT doc_id, unnest(g2) AS gm FROM g) GROUP BY 1, 2)
+           GROUP BY 1),
+    m3 AS (SELECT doc_id, max(c) AS mx FROM (
+             SELECT doc_id, gm, count(*) AS c
+             FROM (SELECT doc_id, unnest(g3) AS gm FROM g) GROUP BY 1, 2)
+           GROUP BY 1)
+    SELECT g.doc_id,
+           ROUND((len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE), 4)
+             AS dup_frac_2,
+           ROUND(m2.mx / CAST(len(g2) AS DOUBLE), 4) AS top_frac_2,
+           ROUND((len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE), 4)
+             AS dup_frac_3,
+           ROUND(m3.mx / CAST(len(g3) AS DOUBLE), 4) AS top_frac_3
+    FROM g JOIN m2 USING (doc_id) JOIN m3 USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher repetition signals (r07 rotation): per-n duplicate-gram
+    fraction + top-gram share, replayed in DuckDB as list algebra (the
+    engine computes the top share via a sort + run-length fold; the
+    oracle counts grams directly — same value, independent mechanism)."""
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"), ns=(2, 3))
+
+
+@register(
+    "token_entropy",
+    sql="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    e AS (SELECT doc_id, unnest(tok) AS w FROM t),
+    c AS (SELECT doc_id, w, count(*) AS c FROM e GROUP BY 1, 2),
+    a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, sum(c * ln(c)) AS clogc
+          FROM c GROUP BY 1)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           ROUND(ln(n) - clogc / n, 4) AS entropy
+    FROM a
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Shannon token entropy (r07 rotation): the engine's map-only sort +
+    run-length fold vs the oracle's closed-form group-and-sum — H =
+    ln N - (1/N)·Σ c·ln c must agree to the rounded 4 decimals."""
+    return tx.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BPE text -> token ids (pinned mini-fixture golden, r07 rotation)
+# ---------------------------------------------------------------------------
+
+#: deterministic mini-corpus for the BPE golden: enough shared subwords
+#: (low/lower/lowest, new/newer/newest, wide/wider/widest) that 20 merges
+#: learn real morphology; ASCII-only so Spark's UTF8 binary string order
+#: and Python's codepoint order agree on every tiebreak.
+_BPE_DOCS: list[tuple[int, str]] = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new new"),
+    (2, "wide wider widest wide"),
+    (3, "the lower river runs wider and wider"),
+    (4, "newest ideas flow lower than the lowest tide"),
+    (5, "low tide and high tide turn the wide river"),
+    (6, "wider and wider the newest river grows"),
+    (7, "the low road and the high road"),
+    (8, "lower the newest sail on the widest mast"),
+    (9, "new low new low new low"),
+    (10, "the the the widest widest river"),
+    (11, "lowest newest widest lowest newest widest"),
+]
+
+_BPE_NUM_MERGES = 20
+
+
+def _bpe_ids_oracle() -> str:
+    """Expected (doc_id, token_ids) computed by an INDEPENDENT pure-Python
+    Sennrich-recipe reference (train: max summed weight, lexicographic
+    (a, b) tiebreak, min_freq 2, leftmost greedy apply; encode:
+    rank-priority merges; vocab: freq desc / token asc, ids from 1 —
+    the `operators/bpe.py` contract), emitted as a literal VALUES table.
+    The same pinned-golden pattern as the geoscan fit entries: the
+    distributed trainer/encoder must reproduce the reference exactly."""
+    from collections import Counter
+
+    end = "</w>"
+    wc: Counter = Counter()
+    for _, t in _BPE_DOCS:
+        for w in t.split():
+            wc[w.lower()] += 1
+
+    def apply(syms: list, a: str, b: str) -> list:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    state = {w: list(w) + [end] for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_NUM_MERGES):
+        pc: Counter = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        top = max(pc.values())
+        if top < 2:  # min_freq
+            break
+        best = min(p for p, c in pc.items() if c == top)
+        merges.append(best)
+        state = {w: apply(s, *best) for w, s in state.items()}
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode(w: str) -> list:
+        syms = list(w) + [end]
+        while len(syms) > 1:
+            cand = [
+                ranks[(syms[i], syms[i + 1])]
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            a, b = merges[min(cand)]
+            syms = apply(syms, a, b)
+        return syms
+
+    seg = {d: [s for w in t.split() for s in encode(w.lower())] for d, t in _BPE_DOCS}
+    freq: Counter = Counter(tok for toks in seg.values() for tok in toks)
+    vocab = {
+        tok: i + 1
+        for i, tok in enumerate(
+            sorted(freq, key=lambda t: (-freq[t], t))
+        )
+    }
+    rows = ",\n      ".join(
+        f"({d}, [{', '.join(str(vocab[t]) for t in seg[d])}])"
+        for d, _ in _BPE_DOCS
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, token_ids
+    FROM (VALUES
+      {rows}) AS t(doc_id, token_ids)
+    """
+
+
+@register("bpe_tokens_to_ids", sql=_bpe_ids_oracle)
+def bpe_tokens_to_ids(spark, sf_dir):
+    """End-to-end distributed tokenizer golden (r07 rotation): train BPE
+    merges on the pinned mini-corpus (`train_bpe` — one corpus shuffle +
+    vocabulary-sized merge rounds), segment (`bpe_segment`, map-only
+    Arrow-batched), build the frequency-ranked vocab and map to ids
+    (`tokens_to_ids`, broadcast vocab join). The oracle is a literal
+    table generated by an independent Python Sennrich reference — every
+    stage must agree exactly."""
+    from geoscan_fraud_spark.operators.bpe import (
+        bpe_segment,
+        build_vocab,
+        tokens_to_ids,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    merges = train_bpe(word_counts(docs), num_merges=_BPE_NUM_MERGES)
+    seg = bpe_segment(docs, merges)
+    return tokens_to_ids(seg, build_vocab(seg))
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -510,3 +510,97 @@ def compact_index(
             os.rename(d, os.path.join(old, f"{prefix}{i}"))
     shutil.rmtree(old)
     return len(fold)
+
+
+def expire_index(
+    spark: SparkSession,
+    index_path: str,
+    min_batch_id: int,
+) -> dict:
+    """Retention policy for an incremental-dedup store: remove every
+    signature that entered before batch ``min_batch_id`` — the
+    reference's online-store TTL (`02_geofraud_fraud.py:286`, a 7-day
+    `expireAfterSeconds` on model state) applied to corpus dedup state.
+    After expiry, re-ingested copies of aged-out documents are admitted
+    again — the intended semantics when a corpus has a freshness
+    horizon (pair with `streaming/scoring.profile_sink` +
+    `profiling.profile_drift` to monitor what re-enters).
+
+    Returns ``{"batches_removed": n, "base_rows_removed": m}``.
+
+    Mechanics: whole ``batch_id=N`` partitions with ``0 <= N <
+    min_batch_id`` are deleted outright; a compacted ``batch_id=-1``
+    base is age-filtered on its ``src_batch`` column (written by
+    `compact_index` since r07 — each folded row keeps its origin batch).
+    A base WITHOUT ``src_batch`` (pre-r07 compaction) cannot be aged and
+    raises — its rows' origins are unrecoverable; rebuild the store or
+    accept the base as immortal. Rows folded from such a legacy base by
+    a NEWER compaction carry ``src_batch=-1``: unknown origin expires
+    with the oldest data (``-1 < min_batch_id`` always) — the
+    freshness-conservative reading of "older than the horizon".
+
+    Crash-safety ordering matches `compact_index`: the filtered base is
+    written to scratch and swapped in with two renames before any batch
+    dir is deleted — for a dedup index transient duplicates are
+    idempotent, transiently missing rows are not (here rows are MEANT to
+    go missing; the swap just keeps unexpired rows always visible). The
+    replay guard is untouched: surviving partitions keep their ids, so
+    a replayed batch N still reads strictly-earlier state. Single-writer
+    rule: run between stream restarts."""
+    if min_batch_id < 0:
+        raise ValueError(f"min_batch_id must be >= 0, got {min_batch_id}")
+    prefix = "batch_id="
+    for leftover in ("__old__", "__compact__"):
+        p = index_path.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} exists — a previous compaction/expiry crashed "
+                f"mid-swap; recover per the compact_index docstring first"
+            )
+    try:
+        ids = sorted(
+            int(d[len(prefix):])
+            for d in os.listdir(index_path)
+            if d.startswith(prefix)
+        )
+    except FileNotFoundError:
+        raise ValueError(f"{index_path} does not exist")
+    if not ids:
+        raise ValueError(
+            f"{index_path} has no batch_id=* partitions — not an "
+            f"incremental-store layout"
+        )
+    expire = [i for i in ids if 0 <= i < min_batch_id]
+    base = os.path.join(index_path, f"{prefix}-1")
+    base_rows_removed = 0
+    old = index_path.rstrip("/") + ".__old__"
+
+    if -1 in ids:
+        bdf = spark.read.parquet(base)
+        if "src_batch" not in bdf.columns:
+            raise ValueError(
+                f"{base} has no src_batch column (pre-r07 compaction) — "
+                f"its rows' origin batches are unrecoverable, so it "
+                f"cannot be aged; rebuild the store to apply retention"
+            )
+        keep = bdf.filter(F.col("src_batch") >= min_batch_id)
+        n_before = bdf.count()
+        n_keep = keep.count()
+        base_rows_removed = n_before - n_keep
+        if base_rows_removed > 0:
+            tmp = index_path.rstrip("/") + ".__compact__"
+            keep.write.mode("overwrite").parquet(tmp)
+            os.makedirs(old, exist_ok=True)
+            os.rename(base, os.path.join(old, f"{prefix}-1"))
+            os.rename(tmp, base)
+
+    if expire:
+        os.makedirs(old, exist_ok=True)
+        for i in expire:
+            os.rename(
+                os.path.join(index_path, f"{prefix}{i}"),
+                os.path.join(old, f"{prefix}{i}"),
+            )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    return {"batches_removed": len(expire), "base_rows_removed": base_rows_removed}

@@ -256,6 +256,32 @@ def main():
             _bpe_merges[sf_dir] = train_bpe(word_counts(docs), num_merges=20)
         return bpe_segment(docs, _bpe_merges[sf_dir])
 
+    def bench_lm_bigram(spark, sf_dir):
+        """Interpolated bigram LM: fit on the corpus, score every doc
+        (three broadcast joins, one per-doc agg)."""
+        from geoscan_fraud_spark.operators.text import (
+            bigram_perplexity_score,
+            fit_bigram_lm,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        bg, ug, oov = fit_bigram_lm(docs)
+        return bigram_perplexity_score(docs, bg, ug, oov)
+
+    def bench_dsir(spark, sf_dir):
+        """DSIR importance resampling: fit target+raw unigram LMs, score
+        log importance ratios over the corpus (one broadcast join), draw
+        k by log-space A-ES. Times the full fit+score+draw cycle."""
+        from pyspark.sql import functions as F
+
+        from geoscan_fraud_spark.operators.dsir import dsir_sample
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        target = docs.filter(F.col("doc_id") % 17 == 0)
+        return dsir_sample(docs, target, k=1000, length_normalize=True)
+
     _prep_state: dict[str, object] = {}
 
     def bench_prepared_ingest(spark, sf_dir):
@@ -342,6 +368,8 @@ def main():
         "lm_perplexity": QUERIES["lm_perplexity"],
         "bpe_segment": bench_bpe_segment,
         "prepared_ingest_stream": bench_prepared_ingest,
+        "dsir_sample": bench_dsir,
+        "lm_bigram": bench_lm_bigram,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

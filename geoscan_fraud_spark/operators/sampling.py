@@ -100,6 +100,53 @@ def weighted_sample(
     )
 
 
+def weighted_sample_log(
+    df: DataFrame,
+    log_weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """`weighted_sample` taking LOG weights — the numerically safe form
+    when weights span hundreds of orders of magnitude (importance ratios
+    of document likelihoods, `operators/dsir.py`, are exp(Σ log-ratios)
+    and overflow/underflow a double long before they overflow a log).
+
+    Same A-ES scheme in log space: key u^(1/w) is ranked by
+    log key = log(u)·exp(-(lw - max(lw))) — the max-normalization is
+    valid because A-ES is scale-invariant (scaling every weight by c
+    maps log keys through the monotone x -> x/c, preserving the ranking
+    distribution), and it enters the plan as a broadcast one-row
+    aggregate (no job at build — the lazy-scalar pattern). Rows whose
+    normalized weight still underflows to 0 rank -inf (zero mass, same
+    as `weighted_sample`'s w<=0 exclusion). NULL log-weights are
+    excluded. Ties break by id; same TakeOrderedAndProject shape."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(_U_SCALE)
+    mx = df.agg(F.max(F.col(log_weight_col).cast("double")).alias("__mx"))
+    logkey = F.log(u) * F.exp(
+        -(F.col(log_weight_col).cast("double") - F.col("__mx"))
+    )
+    return (
+        df.filter(F.col(log_weight_col).isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .withColumn("__logkey", logkey)
+        .orderBy(F.col("__logkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__logkey", "__mx")
+    )
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     weight_col: str,

@@ -534,6 +534,184 @@ def perplexity_score(
     )
 
 
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> tuple[DataFrame, DataFrame, float]:
+    """Train an interpolation-ready bigram language model: returns
+    ``(bigrams, unigrams, oov_logp)`` where
+
+      - ``bigrams`` is (w1, w2, p_big) with the add-alpha conditional
+        ``p_big = (c(w1,w2) + alpha) / (c1(w1) + alpha * (V + 1))``,
+      - ``unigrams`` is (t, p_uni, ctx_denom) carrying both the add-alpha
+        unigram probability and each token's CONTEXT denominator
+        ``c1(t) + alpha * (V + 1)`` (needed to smooth unseen bigrams
+        after a known context word),
+      - ``oov_logp`` is the unigram OOV log-mass (also the default
+        context denominator for unknown context words is
+        ``alpha * (V + 1)``, derivable from it).
+
+    One rung up the CCNet ladder from `fit_unigram_lm` (Wenzek et al.
+    train 5-gram KenLM; a smoothed bigram captures local word order —
+    shuffled-word salad scores near its unigram perplexity under a
+    unigram LM but collapses under a bigram one). Bigram pairs are built
+    MAP-SIDE from each document's token array (adjacent zip — no
+    cross-document pairs, no corpus shuffle beyond the two count
+    aggregations, both vocabulary/bigram-table-sized outputs). Both
+    relations are broadcast-joinable at scoring time
+    (`bigram_perplexity_score`)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    tok = df.select(F.explode(toks).alias("t")).filter(F.col("t") != "")
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n, v = int(totals["n"] or 0), int(totals["v"] or 0)
+    import math
+
+    uni_denom = float(n) + float(alpha) * (v + 1)
+    oov_logp = math.log(float(alpha) / uni_denom)
+
+    # adjacent pairs map-side: zip the token array with its own tail
+    clean = F.filter(toks, lambda t: t != "")
+    pairs = F.zip_with(
+        clean,
+        F.slice(clean, 2, F.greatest(F.size(clean) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    unigrams = uni.select(
+        "t",
+        ((F.col("c") + F.lit(float(alpha))) / F.lit(uni_denom)).alias("p_uni"),
+        (F.col("c").cast("double") + F.lit(float(alpha) * (v + 1))).alias(
+            "ctx_denom"
+        ),
+    )
+    bigrams = (
+        big.join(
+            F.broadcast(
+                unigrams.select(F.col("t").alias("w1"), "ctx_denom")
+            ),
+            "w1",
+        )
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12") + F.lit(float(alpha))) / F.col("ctx_denom")
+            ).alias("p_big"),
+        )
+    )
+    return bigrams, unigrams, oov_logp
+
+
+def bigram_perplexity_score(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    oov_logp: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_tokens, nll, ppl) under the interpolated bigram model:
+
+        P(t_i | t_{i-1}) = lam * P_big(t_i | t_{i-1})
+                         + (1 - lam) * P_uni(t_i)
+
+    with the first token scored by its unigram probability. Unseen
+    bigrams after a KNOWN context smooth to ``alpha / ctx_denom(w1)``;
+    an UNKNOWN context word's denominator is ``alpha * (V + 1)``
+    (recovered from ``exp(oov_logp)``: ``alpha / uni_denom`` relates the
+    two — the caller passes the same ``alpha``). Unknown current tokens
+    take the unigram OOV mass.
+
+    Plan: the (prev, cur) pairs are built map-side from the token array
+    (first token paired with NULL context), then THREE broadcast joins —
+    bigram table on (w1, w2), context on w1, unigram on w2 — and one
+    per-doc aggregation; the corpus never shuffles for any join.
+    ``nll``/``ppl`` round to 6. Empty documents score NULL."""
+    import math
+
+    # alpha*(V+1) = alpha / exp(oov_logp) * alpha / uni_denom ... simpler:
+    # oov_logp = log(alpha / uni_denom) and uni_denom = n + alpha*(V+1);
+    # for an unknown context c1 = 0 so ctx_denom = alpha*(V+1). We cannot
+    # recover V from oov alone, so carry it via the unigrams relation:
+    # ctx_denom - c = alpha*(V+1) for any row; grab it as a one-row
+    # broadcast scalar (lazy, no job at build).
+    # derive alpha*(V+1) lazily: ctx_denom - c is the same constant on
+    # every row; c was not kept, but ctx_denom = c + alpha*(V+1) and
+    # p_uni = (c + alpha)/uni_denom with uni_denom = alpha/exp(oov_logp),
+    # so c = p_uni * uni_denom - alpha
+    uni_denom = float(alpha) / math.exp(float(oov_logp))
+    a_v1 = unigrams.select(
+        F.min(
+            F.col("ctx_denom")
+            - (F.col("p_uni") * F.lit(uni_denom) - F.lit(float(alpha)))
+        ).alias("a_v1")
+    )
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prevs, toks, lambda p, c: F.struct(p.alias("w1"), c.alias("w2"))
+    )
+    tok = (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        # empty doc -> one (null, null) pair from the zip padding; drop it
+        # so empty documents score NULL, matching perplexity_score
+        .filter(F.col("w2").isNotNull())
+    )
+    scored = (
+        tok.join(F.broadcast(bigrams), ["w1", "w2"], "left_outer")
+        .join(
+            F.broadcast(
+                unigrams.select(
+                    F.col("t").alias("w1"), F.col("ctx_denom").alias("cd1")
+                )
+            ),
+            "w1",
+            "left_outer",
+        )
+        .join(
+            F.broadcast(
+                unigrams.select(F.col("t").alias("w2"), "p_uni")
+            ),
+            "w2",
+            "left_outer",
+        )
+        .crossJoin(F.broadcast(a_v1))
+    )
+    p_uni = F.coalesce(F.col("p_uni"), F.lit(math.exp(float(oov_logp))))
+    p_big = F.coalesce(
+        F.col("p_big"),
+        F.lit(float(alpha)) / F.coalesce(F.col("cd1"), F.col("a_v1")),
+    )
+    logp = F.when(F.col("w1").isNull(), F.log(p_uni)).otherwise(
+        F.log(F.lit(float(lam)) * p_big + F.lit(1.0 - float(lam)) * p_uni)
+    )
+    agg = scored.select(id_col, logp.alias("lp")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), (-F.avg("lp")).alias("__nll")
+    )
+    return df.select(id_col).join(agg, id_col, "left_outer").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.round(F.col("__nll"), 6).alias("nll"),
+        F.round(F.exp(F.col("__nll")), 6).alias("ppl"),
+    )
+
+
 #: accent-folding table for Latin-1/Latin-Extended-A letters — the cases
 #: web text actually contains; a full Unicode NFD pass needs ICU, which
 #: the hot path avoids (F.translate is a codegen'd char map).

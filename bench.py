@@ -388,6 +388,10 @@ def main():
     # whole of the reported noise_ratio. It still executes every query
     # (so per-query minima from the recorded passes are steady-state) but
     # is excluded from per_run_totals, minima, and noise_ratio.
+    # Headline passes run CONSECUTIVELY (r07): interleaving the extras —
+    # which include a 10+ s streaming cycle with store writes — between
+    # headline passes contaminated the next pass's cache/GC state and
+    # kept per-run totals noisy even after the warm-up discard.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     per_run_totals: list[float] = []
     timings: dict[str, float] = {}
@@ -404,6 +408,8 @@ def main():
                 timings[name] = dt
         if not warmup:
             per_run_totals.append(round(run_total, 3))
+    for r in range(runs + 1):
+        warmup = r == 0
         for name, fn in extras.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()

@@ -297,6 +297,57 @@ def jaccard_verified_pairs(
     )
 
 
+def _component_winners_drop(
+    df: DataFrame,
+    cc: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep: str,
+    keep_score_col: str | None,
+) -> DataFrame:
+    """One-column (id) relation of CC members that LOSE under the
+    representative policy: 'min_id' keeps the component-minimum id (the
+    label itself — no extra join), 'longest' keeps the member with the
+    longest text, 'score' the member with the highest ``keep_score_col``;
+    both break ties by min id, and NULL stats rank below every real
+    value. The stat join touches only CC members (documents in any
+    duplicate cluster — a tiny fraction of the corpus), never the full
+    relation."""
+    if keep == "min_id":
+        return cc.filter(F.col("id") != F.col("component")).select("id")
+    if keep == "longest":
+        stat = F.length(F.col(text_col)).cast("double")
+    elif keep == "score":
+        if keep_score_col is None:
+            raise ValueError("keep='score' requires keep_score_col")
+        stat = F.col(keep_score_col).cast("double")
+    else:
+        raise ValueError(
+            f"keep must be 'min_id', 'longest' or 'score', got {keep!r}"
+        )
+    stats = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(stat, F.lit(float("-inf"))).alias("__stat"),
+    )
+    m = cc.join(stats, "id")
+    winners = (
+        m.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__stat")).alias("ns"), F.col("id").alias("id")
+                )
+            ).alias("w")
+        )
+        .select("component", F.col("w.id").alias("__wid"))
+    )
+    return (
+        m.join(winners, "component")
+        .filter(F.col("id") != F.col("__wid"))
+        .select("id")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -308,10 +359,24 @@ def minhash_dedup(
     sig_hash: str = "xxhash64",
     precollapse_exact: bool = True,
     max_bucket: int | None = None,
+    keep: str = "min_id",
+    keep_score_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup dedup: keep one representative (min id) per duplicate
-    cluster; the cluster is the connected component over verified pairs
-    (A near B near C collapses to one doc even if A!~C).
+    """Near-dup dedup: keep one representative per duplicate cluster; the
+    cluster is the connected component over verified pairs (A near B
+    near C collapses to one doc even if A!~C).
+
+    ``keep`` picks the representative (r07): ``'min_id'`` (default — the
+    deterministic baseline every oracle replays), ``'longest'`` (max
+    text length — the common curation preference: near-dups usually
+    differ by truncation, keep the fullest copy), or ``'score'`` (max
+    ``keep_score_col``, e.g. a `quality_model` p_good — keep the
+    highest-quality member). Ties break by min id. With
+    ``precollapse_exact`` on, VALUE-IDENTICAL copies still collapse to
+    their min-id member first — a no-op for 'longest' (equal texts have
+    equal lengths) but under 'score' exact copies with different scores
+    resolve to the min id; pass ``precollapse_exact=False`` when scores
+    must arbitrate between byte-identical documents.
 
     ``precollapse_exact`` (default on) collapses value-identical texts
     to their min-id representative BEFORE the LSH self-join — the
@@ -373,11 +438,13 @@ def minhash_dedup(
         ).localCheckpoint(eager=True)
         pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
         cc = connected_components(pairs, "id_a", "id_b")
-        # survivors = representatives not collapsed by CC; everything
-        # else (CC-dropped reps AND the exact copies that never entered
-        # the pipeline) falls out of the closing semi-join
+        # survivors = representatives not dropped by the policy;
+        # everything else (policy-dropped reps AND the exact copies that
+        # never entered the pipeline) falls out of the closing semi-join
         kept = rep_ids.join(
-            cc.filter(F.col("id") != F.col("component")).select("id"),
+            _component_winners_drop(
+                df, cc, id_col, text_col, keep, keep_score_col
+            ),
             "id",
             "left_anti",
         )
@@ -394,9 +461,9 @@ def minhash_dedup(
     ).localCheckpoint(eager=True)
     pairs = jaccard_verified_pairs(df, cand, text_col, id_col, n, threshold)
     cc = connected_components(pairs, "id_a", "id_b")
-    drop = cc.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    drop = _component_winners_drop(
+        df, cc, id_col, text_col, keep, keep_score_col
+    ).select(F.col("id").alias(id_col))
     return df.join(drop, id_col, "left_anti")
 
 

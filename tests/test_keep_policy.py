@@ -1,0 +1,85 @@
+"""minhash_dedup representative policy (keep=min_id/longest/score)."""
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.dedup import minhash_dedup
+
+
+def _corpus(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    longer = base + " extra tail words here"
+    other = " ".join(f"z{i}" for i in range(25))
+    rows = [
+        (1, base, 0.2),
+        (2, longer, 0.9),   # near-dup of 1, longer and higher-scored
+        (3, other, 0.5),    # distinct
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, q double")
+
+
+def test_keep_min_id_default(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(_corpus(spark), threshold=0.5).collect()
+    )
+    assert kept == [1, 3]
+
+
+@pytest.mark.parametrize("precollapse", [True, False])
+def test_keep_longest(spark, precollapse):
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            _corpus(spark),
+            threshold=0.5,
+            keep="longest",
+            precollapse_exact=precollapse,
+        ).collect()
+    )
+    assert kept == [2, 3]  # the longer near-dup wins its cluster
+
+
+def test_keep_score(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            _corpus(spark), threshold=0.5, keep="score", keep_score_col="q"
+        ).collect()
+    )
+    assert kept == [2, 3]  # q=0.9 beats q=0.2
+
+
+def test_keep_score_requires_col(spark):
+    with pytest.raises(ValueError, match="keep_score_col"):
+        minhash_dedup(_corpus(spark), threshold=0.5, keep="score").collect()
+
+
+def test_keep_longest_with_exact_copies(spark):
+    """Exact copies pre-collapse to min id; the policy then arbitrates
+    between distinct texts — the copy group is represented either way."""
+    base = " ".join(f"w{i}" for i in range(30))
+    longer = base + " extra tail words"
+    rows = [
+        (1, base), (2, base),          # exact copies
+        (3, longer),                   # longer near-dup
+        (4, "unrelated " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(df, threshold=0.5, keep="longest").collect()
+    )
+    assert kept == [3, 4]
+
+
+def test_keep_ties_break_by_min_id(spark):
+    a = " ".join(f"w{i}" for i in range(30))
+    b = a.replace("w29", "v29")  # same length, near-dup
+    df = spark.createDataFrame(
+        [(5, a), (9, b)], "doc_id long, text string"
+    )
+    kept = [
+        r["doc_id"]
+        for r in minhash_dedup(df, threshold=0.5, keep="longest").collect()
+    ]
+    assert kept == [5]

@@ -82,6 +82,8 @@ def prepare_training_corpus(
     dedup_threshold: float = 0.8,
     dedup_num_hashes: int = 64,
     dedup_bands: int = 16,
+    dedup_keep: str = "min_id",
+    dedup_keep_score_col: str | None = None,
     decontam_n: int = 8,
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split-v1",
@@ -115,6 +117,12 @@ def prepare_training_corpus(
     (`fit_unigram_lm(lazy=True)` — totals fold in as a broadcast
     one-row relation), so constructing the pipeline triggers NO job;
     everything materializes when the returned DataFrames are acted on.
+
+    ``dedup_keep`` / ``dedup_keep_score_col`` pass through to
+    `minhash_dedup`'s representative policy ('min_id' | 'longest' |
+    'score'); a score column must be present on ``docs`` itself (the
+    audit-only columns this pipeline derives are not visible to the
+    dedup stage).
 
     ``quality_model`` + ``min_p_good`` add the learned gate: a fitted
     `operators/quality_model.fit_quality_classifier` pipeline scores
@@ -177,6 +185,8 @@ def prepare_training_corpus(
         num_hashes=dedup_num_hashes,
         bands=dedup_bands,
         threshold=dedup_threshold,
+        keep=dedup_keep,
+        keep_score_col=dedup_keep_score_col,
     )
 
     if benchmark is not None:

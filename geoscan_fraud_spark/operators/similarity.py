@@ -556,26 +556,40 @@ def semantic_dedup(
     max_bucket: int | None = None,
     impl: str = "blas",
     nprobe: int = 1,
+    keep: str = "min_id",
+    keep_score_col: str | None = None,
 ) -> DataFrame:
     """Surviving ids after SemDeDup-style semantic deduplication: cluster
     -> within-cluster cosine pairs (`semantic_pairs`) -> connected
-    components -> keep the minimum id per component.
+    components -> keep one representative per component.
 
     Returns a one-column DataFrame of ``id_col`` (the survivor set;
     semi-join it back to recover full rows — same contract as
     `minhash_dedup`). Eager: connected components iterates to fixpoint
     (O(log n) rounds, each checkpointed — `operators/components.py`).
     ``impl`` and ``nprobe`` (multi-probe boundary recall) as in
-    `semantic_pairs`.
+    `semantic_pairs`. ``keep`` (r07, shared with `minhash_dedup`):
+    ``'min_id'`` (default — the oracle semantics) or ``'score'`` (max
+    ``keep_score_col`` from ``df`` — e.g. a quality-model p_good — with
+    min-id tiebreak); ``'longest'`` needs a text column and is a
+    minhash-side policy.
     """
     from geoscan_fraud_spark.operators.components import connected_components
+    from geoscan_fraud_spark.operators.dedup import _component_winners_drop
 
+    if keep == "longest":
+        raise ValueError(
+            "keep='longest' is text-based — use minhash_dedup, or pass "
+            "keep='score' with a length column"
+        )
     pairs = semantic_pairs(
         df, threshold, n_clusters, emb_col, id_col, seed, centroids,
         max_bucket, impl, nprobe,
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    dropped = comp.filter(F.col("id") != F.col("component")).select("id")
+    dropped = _component_winners_drop(
+        df, comp, id_col, emb_col, keep, keep_score_col
+    )
     return df.select(F.col(id_col)).join(
         dropped, F.col(id_col) == dropped.id, "left_anti"
     )

@@ -72,6 +72,46 @@ def test_keep_longest_with_exact_copies(spark):
     assert kept == [3, 4]
 
 
+def test_semantic_dedup_keep_score(spark):
+    """semantic_dedup keep='score': the higher-scored member of a
+    semantic cluster survives instead of the min id."""
+    from geoscan_fraud_spark.operators.similarity import semantic_dedup
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    v = [float(x) for x in rng.randn(8)]
+    near = [x * 1.000001 for x in v]
+    other = [float(x) for x in rng.randn(8)]
+    df = spark.createDataFrame(
+        [(1, v, 0.1), (2, near, 0.9), (3, other, 0.5)],
+        "vec_id long, embedding array<double>, q double",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.98, n_clusters=2, keep="score", keep_score_col="q"
+        ).collect()
+    )
+    assert kept == [2, 3]
+    with pytest.raises(ValueError, match="longest"):
+        semantic_dedup(df, keep="longest")
+
+
+def test_pipeline_dedup_keep_passthrough(spark):
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    base = " ".join(f"w{i}" for i in range(30))
+    longer = base + " extra tail words here"
+    other = " ".join(f"z{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, base), (2, longer), (3, other)], "doc_id long, text string"
+    )
+    out = prepare_training_corpus(docs, dedup_threshold=0.5, dedup_keep="longest")
+    kept = sorted(r["doc_id"] for r in out["corpus"].collect())
+    assert kept == [2, 3]
+
+
 def test_keep_ties_break_by_min_id(spark):
     a = " ".join(f"w{i}" for i in range(30))
     b = a.replace("w29", "v29")  # same length, near-dup

@@ -1,0 +1,61 @@
+"""URL/domain provenance ops (operators/web.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.web import (
+    extract_url_features,
+    filter_blocked_domains,
+)
+
+
+URLS = [
+    (1, "https://www.example.com/a/b/c?x=1"),
+    (2, "http://blog.news.co.uk/politics/today"),
+    (3, "https://ads.tracker.com/pixel"),
+    (4, "ftp://files.example.org"),
+    (5, "https://tracker.com/"),
+    (6, "https://example.com"),
+    (7, "https://user:pw@deep.sub.domain.example.com:8443/p"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(URLS, "doc_id long, url string")
+
+
+def test_extract_url_features(spark):
+    out = {r["doc_id"]: r.asDict() for r in extract_url_features(_df(spark)).collect()}
+    assert out[1]["host"] == "www.example.com"
+    assert out[1]["domain"] == "example.com"
+    assert out[1]["path_depth"] == 3
+    assert out[2]["domain"] == "news.co.uk"  # ccSLD-aware
+    assert out[4]["host"] == "files.example.org"
+    assert out[6]["path_depth"] == 0
+    assert out[7]["host"] == "deep.sub.domain.example.com"  # creds+port stripped
+    assert out[7]["domain"] == "example.com"
+
+
+def test_filter_blocked_domains_subdomain_match_and_zero_shuffle(spark):
+    survived = filter_blocked_domains(_df(spark), ["tracker.com"])
+    kept = sorted(r["doc_id"] for r in survived.collect())
+    assert kept == [1, 2, 4, 6, 7]  # 3 (subdomain) and 5 (exact) dropped
+    blocked = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(
+            _df(spark), ["tracker.com"], invert=True
+        ).collect()
+    )
+    assert blocked == [3, 5]
+    # the list path is a pure map-only filter: no exchange, no join
+    plan = survived._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_filter_blocked_domains_dataframe_blocklist(spark):
+    bl = spark.createDataFrame([("example.com",)], ["d"])
+    survived = filter_blocked_domains(_df(spark), bl)
+    kept = sorted(r["doc_id"] for r in survived.collect())
+    assert kept == [2, 3, 4, 5]  # every *.example.com page dropped (.org kept)
+    # the blocklist side of the ancestor join broadcasts
+    plan = survived._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -59,6 +59,7 @@ def weighted_sample(
     k: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    keep_key: bool = False,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement: k rows, each row's
     inclusion probability proportional to ``weight_col`` (Efraimidis-
@@ -77,7 +78,16 @@ def weighted_sample(
     driver holds O(partitions · k) keys. For k beyond driver memory use
     stratified/mixture sampling (`operators/packing.py`) instead.
 
-    Rows with weight <= 0 or NULL are excluded (zero mass)."""
+    Rows with weight <= 0 or NULL are excluded (zero mass).
+
+    ``keep_key=True`` retains the A-ES priority as ``__aes_key`` —
+    what makes per-batch samples MERGEABLE (`merge_weighted_samples`):
+    the key is a pure function of (id, seed, weight), so the global
+    top-k over a partitioned corpus equals the top-k of the per-batch
+    top-k's. The profiling-sketch property (`operators/profiling.py`)
+    applied to sampling: a streaming pipeline keeps one k-row sample
+    per batch and rolls up an EXACT corpus-level sample with no
+    rescan."""
     u = (
         F.conv(
             F.substring(
@@ -91,12 +101,31 @@ def weighted_sample(
         + F.lit(1)
     ) / F.lit(_U_SCALE)
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
-    return (
+    out = (
         df.filter(F.col(weight_col).cast("double") > 0)
-        .withColumn("__key", key)
-        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .withColumn("__aes_key", key)
+        .orderBy(F.col("__aes_key").desc(), F.col(id_col))
         .limit(k)
-        .drop("__key")
+    )
+    return out if keep_key else out.drop("__aes_key")
+
+
+def merge_weighted_samples(samples: list[DataFrame], k: int, id_col: str = "doc_id") -> DataFrame:
+    """Merge per-batch `weighted_sample(..., keep_key=True)` outputs into
+    the exact global k-sample: union the (tiny) per-batch samples and
+    take the key top-k again. Correct because every A-ES key is computed
+    independently per row — a row outside its batch's top-k can never be
+    in the global top-k (k per batch >= global k). Ids must be unique
+    across batches (same contract as the incremental stores)."""
+    if not samples:
+        raise ValueError("samples must be non-empty")
+    u = samples[0]
+    for s in samples[1:]:
+        u = u.unionByName(s)
+    return (
+        u.orderBy(F.col("__aes_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__aes_key")
     )
 
 

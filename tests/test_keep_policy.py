@@ -112,6 +112,30 @@ def test_pipeline_dedup_keep_passthrough(spark):
     assert kept == [2, 3]
 
 
+def test_merge_weighted_samples_equals_global(spark):
+    """Per-batch top-k samples (keys kept) merge into EXACTLY the global
+    sample — the mergeable-sketch property for A-ES sampling."""
+    from geoscan_fraud_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample,
+    )
+
+    rows = [(i, 0.5 + (i * 41 % 89) / 7.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    direct = sorted(r["doc_id"] for r in weighted_sample(df, "w", 30).collect())
+    batches = [
+        weighted_sample(
+            df.filter(F.col("doc_id") % 3 == b), "w", 30, keep_key=True
+        )
+        for b in range(3)
+    ]
+    merged = sorted(
+        r["doc_id"] for r in merge_weighted_samples(batches, 30).collect()
+    )
+    assert merged == direct
+    assert "__aes_key" not in merge_weighted_samples(batches, 30).columns
+
+
 def test_keep_ties_break_by_min_id(spark):
     a = " ".join(f"w{i}" for i in range(30))
     b = a.replace("w29", "v29")  # same length, near-dup

@@ -257,3 +257,99 @@ def profile_drift(
         ).alias("vocab_novel_b"),
     )
     return out.drop("__g") if not keys else out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable per-token frequency estimates (r07)
+# ---------------------------------------------------------------------------
+
+
+def countmin_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """(row, col, c): a count-min sketch of the corpus token frequencies
+    in SPARSE RELATIONAL form — the heavy-hitter complement to the HLL
+    vocabulary sketch (`profile_corpus` answers "how many distinct
+    tokens"; this answers "roughly how often does token X occur" for ANY
+    later-chosen X, in ``depth * width`` cells regardless of corpus
+    size).
+
+    Relational trick: a count-min cell is just a grouped count over
+    (hash row, hash column), so the sketch build is one explode + ONE
+    groupBy with map-side combine — no custom aggregation state, no UDF
+    — and the persisted sketch is at most depth*width tiny rows. Merge =
+    union + re-sum (`merge_countmin`), exact, associative. Estimates
+    (`countmin_estimate`) take the MIN over the depth rows: always >=
+    the true count, over by at most ~2N/width with probability
+    1 - 2^-depth (the standard CM bound; N = total token occurrences).
+    Hash family: xxhash64(token, row ^ seed) — per-row independent."""
+    cells = []
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    for r in range(depth):
+        cells.append(
+            tok.select(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.xxhash64(F.col("t"), F.lit(r ^ seed)), F.lit(width)
+                ).alias("col"),
+            )
+        )
+    u = cells[0]
+    for c in cells[1:]:
+        u = u.unionByName(c)
+    return u.groupBy("row", "col").agg(F.count(F.lit(1)).alias("c"))
+
+
+def merge_countmin(sketches: list[DataFrame]) -> DataFrame:
+    """Union sparse count-min relations (same depth/width/seed) and
+    re-sum cells — the merged sketch is IDENTICAL to one built over the
+    concatenated corpora (counts are additive per cell)."""
+    if not sketches:
+        raise ValueError("sketches must be non-empty")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "col").agg(F.sum("c").alias("c"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    tokens: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """(token, est): point frequency estimates for ``tokens`` from a
+    sparse count-min relation. The probe set is a literal relation
+    (tokens the caller is asking about — bounded), exploded into its
+    (row, col) cells and joined against the sketch; absent cells count
+    0. ``depth/width/seed`` must match the build."""
+    spark = sketch.sparkSession
+    probes = spark.createDataFrame([(t,) for t in tokens], ["token"])
+    cells = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col("token"), F.lit(r ^ seed)),
+                            F.lit(width),
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    joined = cells.join(F.broadcast(sketch), ["row", "col"], "left_outer")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
+    )

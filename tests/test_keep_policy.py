@@ -147,3 +147,49 @@ def test_keep_ties_break_by_min_id(spark):
         for r in minhash_dedup(df, threshold=0.5, keep="longest").collect()
     ]
     assert kept == [5]
+
+
+def test_countmin_profile_bounds_and_merge(spark):
+    """Count-min estimates are never under the true count, over by at
+    most the standard bound, and per-batch sketches merge into exactly
+    the global sketch."""
+    from geoscan_fraud_spark.operators.profiling import (
+        countmin_estimate,
+        countmin_profile,
+        merge_countmin,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(200)
+    ]
+    # plant a heavy hitter
+    rows += [(1000 + i, "heavy heavy heavy common") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    truth = {}
+    for _, t in rows:
+        for w in t.split():
+            truth[w] = truth.get(w, 0) + 1
+    n_total = sum(truth.values())
+
+    sk = countmin_profile(df, width=2048)
+    probe = ["heavy", "common", "tok0", "tok199", "absent_token"]
+    est = {r["token"]: r["est"] for r in countmin_estimate(sk, probe, width=2048).collect()}
+    for t in probe:
+        true = truth.get(t, 0)
+        assert est[t] >= true, t                      # never under
+        assert est[t] <= true + 4 * n_total / 2048, t  # loose CM bound
+
+    halves = [
+        countmin_profile(df.filter(F.col("doc_id") % 2 == b), width=2048)
+        for b in (0, 1)
+    ]
+    merged = {
+        (r["row"], r["col"]): r["c"] for r in merge_countmin(halves).collect()
+    }
+    direct = {(r["row"], r["col"]): r["c"] for r in sk.collect()}
+    assert merged == direct

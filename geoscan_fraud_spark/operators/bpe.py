@@ -303,3 +303,46 @@ def tokens_to_ids(
             ).alias("token_ids")
         )
     )
+
+
+def ids_to_text(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """(id, text): decode `tokens_to_ids` output back to text — the
+    inverse tail of the tokenizer pipeline (inspect a packed batch,
+    audit what a model actually trains on).
+
+    BPE symbols concatenate back losslessly because the END marker
+    (``</w>``) survives inside the tokens: joining every symbol and
+    replacing the marker with a space reconstructs the word sequence
+    exactly (up to `bpe_segment`'s own lowercase/whitespace
+    normalization — pinned by the round-trip test). ``UNK_ID`` decodes
+    as ``unk_token``. Same plan shape as `tokens_to_ids`: posexplode ->
+    broadcast vocab join -> one per-doc reassembly shuffle."""
+    tok = encoded.select(
+        F.col(id_col), F.posexplode(F.col(ids_col)).alias("pos", "token_id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "token_id", "left_outer").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token"), F.lit(unk_token)).alias("tok"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.trim(
+            F.regexp_replace(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                ),
+                F.lit("\\Q" + END + "\\E"),
+                F.lit(" "),
+            )
+        ).alias("text")
+    )

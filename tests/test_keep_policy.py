@@ -193,3 +193,39 @@ def test_countmin_profile_bounds_and_merge(spark):
     }
     direct = {(r["row"], r["col"]): r["c"] for r in sk.collect()}
     assert merged == direct
+
+
+def test_bpe_ids_round_trip_to_text(spark):
+    """text -> segment -> ids -> ids_to_text reconstructs the
+    (lowercased, space-normalized) input exactly; UNK ids decode to the
+    unk token."""
+    from geoscan_fraud_spark.operators.bpe import (
+        bpe_segment,
+        build_vocab,
+        ids_to_text,
+        tokens_to_ids,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Low lower lowest  tide"),
+            (1, "the wide river runs wider"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(word_counts(docs), num_merges=15)
+    seg = bpe_segment(docs, merges)
+    vocab = build_vocab(seg)
+    ids = tokens_to_ids(seg, vocab)
+    back = {r["doc_id"]: r["text"] for r in ids_to_text(ids, vocab).collect()}
+    assert back[0] == "low lower lowest tide"
+    assert back[1] == "the wide river runs wider"
+
+    # an UNK id decodes visibly
+    mangled = ids.withColumn(
+        "token_ids", F.concat(F.col("token_ids"), F.array(F.lit(0)))
+    )
+    out = {r["doc_id"]: r["text"] for r in ids_to_text(mangled, vocab).collect()}
+    assert out[0].endswith("<unk>")

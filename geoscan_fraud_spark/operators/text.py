@@ -620,6 +620,7 @@ def bigram_perplexity_score(
     id_col: str = "doc_id",
     lam: float = 0.7,
     alpha: float = 0.5,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """(id, n_tokens, nll, ppl) under the interpolated bigram model:
 
@@ -637,7 +638,13 @@ def bigram_perplexity_score(
     (first token paired with NULL context), then THREE broadcast joins —
     bigram table on (w1, w2), context on w1, unigram on w2 — and one
     per-doc aggregation; the corpus never shuffles for any join.
-    ``nll``/``ppl`` round to 6. Empty documents score NULL."""
+    ``broadcast_model=True`` assumes the CCNet calling convention: the
+    model is trained on a curated REFERENCE corpus, so its bigram table
+    is bounded. A model trained on a web-scale corpus has billions of
+    distinct bigrams — pass ``broadcast_model=False`` there and the
+    pair join falls back to a shuffle join (one corpus shuffle, the
+    honest cost of a corpus-sized model). ``nll``/``ppl`` round to 6.
+    Empty documents score NULL."""
     import math
 
     # alpha*(V+1) = alpha / exp(oov_logp) * alpha / uni_denom ... simpler:
@@ -673,10 +680,11 @@ def bigram_perplexity_score(
         # so empty documents score NULL, matching perplexity_score
         .filter(F.col("w2").isNotNull())
     )
+    hint = F.broadcast if broadcast_model else (lambda d: d)
     scored = (
-        tok.join(F.broadcast(bigrams), ["w1", "w2"], "left_outer")
+        tok.join(hint(bigrams), ["w1", "w2"], "left_outer")
         .join(
-            F.broadcast(
+            hint(
                 unigrams.select(
                     F.col("t").alias("w1"), F.col("ctx_denom").alias("cd1")
                 )
@@ -685,9 +693,7 @@ def bigram_perplexity_score(
             "left_outer",
         )
         .join(
-            F.broadcast(
-                unigrams.select(F.col("t").alias("w2"), "p_uni")
-            ),
+            hint(unigrams.select(F.col("t").alias("w2"), "p_uni")),
             "w2",
             "left_outer",
         )

@@ -112,3 +112,27 @@ def test_bigram_score_plan_is_broadcast(spark, sf_dir):
     # every corpus-side join broadcasts a model-sized relation
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_unbroadcast_model_matches(spark):
+    """broadcast_model=False (the web-scale-model escape) must produce
+    identical values through the shuffle-join plan."""
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a cat ran")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "zz qq")], "doc_id long, text string"
+    )
+    bg, ug, oov = fit_bigram_lm(train)
+    a = {
+        r["doc_id"]: r["nll"]
+        for r in bigram_perplexity_score(score, bg, ug, oov).collect()
+    }
+    b = {
+        r["doc_id"]: r["nll"]
+        for r in bigram_perplexity_score(
+            score, bg, ug, oov, broadcast_model=False
+        ).collect()
+    }
+    assert a == b

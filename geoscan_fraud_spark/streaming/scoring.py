@@ -342,6 +342,56 @@ def embedding_ingest_sink(
     )
 
 
+def countmin_sink(
+    sketch_path: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+):
+    """`writeStream.foreachBatch(...)` sink appending one count-min
+    sketch (sparse (row, col, c) cells — `profiling.countmin_profile`)
+    per micro-batch. Rollup at any horizon is `merge_countmin` over the
+    persisted cells grouped however the reader likes (all batches, a
+    time window after `expire`-style pruning of batch dirs): cells are
+    additive, so the merged sketch equals a from-scratch build. Same
+    idempotent batch_id=N overwrite contract as `profile_sink`."""
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from geoscan_fraud_spark.operators.profiling import countmin_profile
+
+        countmin_profile(batch_df, text_col, depth, width, seed).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return inner
+
+
+def sample_sink(
+    sample_path: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+):
+    """`writeStream.foreachBatch(...)` sink keeping a weighted k-sample
+    per micro-batch WITH its A-ES keys (`sampling.weighted_sample
+    keep_key=True`), so the persisted per-batch samples roll up into
+    the EXACT corpus-level sample via `merge_weighted_samples` — a
+    running "show me k representative documents" view over an unbounded
+    stream in k rows per batch of state. Ids must be unique across
+    batches (the ingest contract). Idempotent batch_id=N overwrites."""
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from geoscan_fraud_spark.operators.sampling import weighted_sample
+
+        weighted_sample(
+            batch_df, weight_col, k, id_col, seed, keep_key=True
+        ).write.mode("overwrite").parquet(f"{sample_path}/batch_id={batch_id}")
+
+    return inner
+
+
 def profile_sink(
     profile_path: str,
     group_cols: list[str] | None = None,

@@ -315,6 +315,28 @@ def with_ttl_filter(df: DataFrame, ts_col: str, ttl_seconds: int = 604_800) -> D
     )
 
 
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+) -> DataFrame:
+    """Raw-text corpus source: (path, text) rows from plain text files.
+
+    ``whole_files=False`` (default): one row PER LINE via the native
+    `text` source plus `input_file_name()` — splittable, streams
+    arbitrarily large files, the right shape for line-oriented corpora.
+    ``whole_files=True``: one row per FILE (`wholetext` option) — the
+    document-per-file convention; each file must fit an executor's
+    memory, the documented cost of the whole-file contract. Both are
+    map-only scans; project the path away when unneeded so column
+    pruning drops the metadata. (NB: `wholetext` must go through the
+    `.text()` kwarg — the `.option()` string form is silently ignored
+    by the text source.)"""
+    return spark.read.text(path, wholetext=whole_files).select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

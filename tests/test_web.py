@@ -59,3 +59,51 @@ def test_filter_blocked_domains_dataframe_blocklist(spark):
     # the blocklist side of the ancestor join broadcasts
     plan = survived._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_read_text_files_lines_and_whole(spark, tmp_path):
+    from geoscan_fraud_spark.sources.io import read_text_files
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo doc body")
+
+    lines = read_text_files(spark, str(d))
+    got = sorted(r["text"] for r in lines.collect())
+    assert got == ["line one", "line two", "solo doc body"]
+    assert all(r["path"].endswith((".txt",)) for r in lines.collect())
+
+    whole = read_text_files(spark, str(d), whole_files=True)
+    by_file = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in whole.collect()}
+    assert by_file["a.txt"] == "line one\nline two\n"
+    assert by_file["b.txt"] == "solo doc body"
+
+
+def test_url_parse_matches_urllib_oracle(spark):
+    """Property check: the native-regexp host extraction agrees with
+    urllib.parse on a battery of URL shapes (the independent oracle)."""
+    from urllib.parse import urlsplit
+
+    from geoscan_fraud_spark.operators.web import url_parts
+
+    urls = [
+        "https://example.com",
+        "https://example.com/",
+        "http://a.b.example.com/path/x?q=1#f",
+        "https://user@host.example.org/p",
+        "https://user:pw@host.example.org:8080/p/q",
+        "ftp://files.example.net/dir/file.txt",
+        "http://localhost:3000/api",
+        "https://xn--bcher-kva.example/",
+        "http://192.168.0.1/admin",
+        "https://EXAMPLE.COM/Upper/Case",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = {
+        r["i"]: r["p"]["host"]
+        for r in df.select("i", url_parts(F.col("url")).alias("p")).collect()
+    }
+    for i, u in enumerate(urls):
+        expected = (urlsplit(u).hostname or "").lower()
+        assert got[i] == expected, u

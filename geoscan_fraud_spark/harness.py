@@ -150,16 +150,12 @@ def p_derived_column(spark, sf_dir):
     )
 
 
-@register(
-    "p_isnull_left_outer",
-    sql="""
-    SELECT c.c_custkey, c.c_name
-    FROM customer c LEFT OUTER JOIN (
-      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0) o
-      ON c.c_custkey = o.o_custkey
-    WHERE o.o_custkey IS NULL
-    """,
-)
+# P5 (left_outer + IS NULL) was a registered entry through r06; it is the
+# literal FORM of the same anti-join the hash-green `j3_anti_join` and
+# `flagship_event_anomalies` evidence (the two forms' row-for-row
+# equivalence is additionally pinned in test_flagship.py), so the slot
+# under the driver's 50-entry cap now funds `dsir_importance_weights`
+# (round-7 second rotation).
 def p_isnull_left_outer(spark, sf_dir):
     """P5 — the literal left_outer + IS NULL idiom of `02:62-68`:
     customers with no high-value order (non-empty at every sf)."""

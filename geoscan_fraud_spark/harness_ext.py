@@ -36,15 +36,11 @@ def win_rank_per_user(spark, sf_dir):
     )
 
 
-@register(
-    "win_lag_delta",
-    sql="""
-    SELECT user_id, event_id,
-           value - lag(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS delta
-    FROM events
-    """,
-)
+# win_lag_delta was a registered entry through r06; per-user lag window
+# algebra is driver-evidenced by the hash-green `sessionize` (whose
+# oracle replays lag + running sum over the same (user_id, ts) window in
+# DuckDB), so the slot under the driver's 50-entry cap now funds
+# `lm_bigram` (round-7 second rotation).
 def win_lag_delta(spark, sf_dir):
     """W5 extension — inter-event value delta per user (lag)."""
     ev = _t(spark, sf_dir, "events")

@@ -1155,6 +1155,141 @@ def _lm_perplexity_oracle(alpha: float = _LM_ALPHA) -> str:
     """
 
 
+def _dsir_oracle(alpha: float = _LM_ALPHA) -> str:
+    """DSIR importance weights as DuckDB SQL: two add-alpha unigram LMs
+    (target = doc_id % 17 == 0 slice, raw = whole corpus), per-doc
+    log-ratio sum with per-side OOV masses — the `lm_perplexity` replay
+    pattern applied twice."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, u.t FROM documents,
+             unnest(string_split(trim(text), ' ')) AS u(t)
+      WHERE length(u.t) > 0),
+    tcnt AS (
+      SELECT t, count(*) AS c FROM tok WHERE doc_id % 17 = 0 GROUP BY t),
+    ttot AS (SELECT coalesce(sum(c), 0) AS n, count(*) AS v FROM tcnt),
+    tlm AS (
+      SELECT t, ln((c + {alpha}) / (n + {alpha} * (v + 1))) AS lp
+      FROM tcnt, ttot),
+    toov AS (SELECT ln({alpha} / (n + {alpha} * (v + 1))) AS lp FROM ttot),
+    rcnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    rtot AS (SELECT coalesce(sum(c), 0) AS n, count(*) AS v FROM rcnt),
+    rlm AS (
+      SELECT t, ln((c + {alpha}) / (n + {alpha} * (v + 1))) AS lp
+      FROM rcnt, rtot),
+    roov AS (SELECT ln({alpha} / (n + {alpha} * (v + 1))) AS lp FROM rtot),
+    sc AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             sum(coalesce(tl.lp, (SELECT lp FROM toov))
+                 - coalesce(rl.lp, (SELECT lp FROM roov))) AS lw
+      FROM tok
+      LEFT JOIN tlm tl ON tok.t = tl.t
+      LEFT JOIN rlm rl ON tok.t = rl.t
+      GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(coalesce(sc.lw, 0.0), 6) AS log_weight
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("dsir_importance_weights", sql=_dsir_oracle())
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py, Xie et al. 2023): log
+    likelihood-ratio of every document between a target-slice unigram LM
+    and the raw-corpus LM — the importance weight the resampling draw
+    uses. Scoring is ONE broadcast join against the full-outer-merged
+    vocabulary; the corpus never shuffles for it. (The draw itself is
+    seeded top-k — `weighted_sample_log` — evidenced by the hash-green
+    `weighted_sample` entry.)"""
+    from geoscan_fraud_spark.operators.dsir import importance_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    t_lm, t_oov = tx.fit_unigram_lm(target, alpha=_LM_ALPHA)
+    r_lm, r_oov = tx.fit_unigram_lm(docs, alpha=_LM_ALPHA)
+    return importance_weights(docs, t_lm, t_oov, r_lm, r_oov).orderBy("doc_id")
+
+
+def _bigram_oracle(alpha: float = _LM_ALPHA, lam: float = 0.7) -> str:
+    """Interpolated bigram scoring as DuckDB SQL: train on the
+    doc_id % 10 != 0 slice, score every document. Pairs come from a
+    per-doc index comprehension (first token has NULL context); the
+    interpolation P = lam*P_big + (1-lam)*P_uni mirrors
+    `bigram_perplexity_score` term for term, with the stored-constant
+    unknown-context denominator alpha*(V+1)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> length(x) > 0)
+               AS tok
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             [struct_pack(
+                w1 := CASE WHEN i = 0 THEN NULL ELSE tok[i] END,
+                w2 := tok[i + 1]) for i in range(0, len(tok))] AS prs
+      FROM t WHERE len(tok) > 0),
+    e AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+      FROM (SELECT doc_id, unnest(prs) AS pr FROM p)),
+    uni AS (
+      SELECT u.t AS t, count(*) AS c
+      FROM t, unnest(tok) AS u(t) WHERE doc_id % 10 != 0 GROUP BY u.t),
+    tot AS (SELECT coalesce(sum(c), 0) AS n, count(*) AS v FROM uni),
+    univ AS (
+      SELECT t,
+             (c + {alpha}) / (n + {alpha} * (v + 1)) AS p,
+             c + {alpha} * (v + 1) AS cd
+      FROM uni, tot),
+    const AS (
+      SELECT {alpha} * (v + 1) AS av1,
+             {alpha} / (n + {alpha} * (v + 1)) AS p_oov
+      FROM tot),
+    big AS (
+      SELECT w1, w2, count(*) AS c12 FROM e
+      WHERE doc_id % 10 != 0 AND w1 IS NOT NULL GROUP BY w1, w2),
+    sc AS (
+      SELECT e.doc_id, count(*) AS n_tokens,
+             -avg(CASE WHEN e.w1 IS NULL
+                  THEN ln(coalesce(u2.p, c0.p_oov))
+                  ELSE ln({lam} * ((coalesce(b.c12, 0) + {alpha})
+                                   / coalesce(u1.cd, c0.av1))
+                          + {1.0 - lam} * coalesce(u2.p, c0.p_oov)) END)
+               AS nll
+      FROM e
+      LEFT JOIN big b ON e.w1 = b.w1 AND e.w2 = b.w2
+      LEFT JOIN univ u1 ON e.w1 = u1.t
+      LEFT JOIN univ u2 ON e.w2 = u2.t
+      CROSS JOIN const c0
+      GROUP BY e.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(sc.nll, 6) AS nll,
+           ROUND(exp(sc.nll), 6) AS ppl
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("lm_bigram", sql=_bigram_oracle())
+def lm_bigram(spark, sf_dir):
+    """Interpolated bigram-LM scoring (operators/text.py::fit_bigram_lm /
+    bigram_perplexity_score): add-alpha conditional bigrams interpolated
+    with the unigram (P = 0.7·P_big + 0.3·P_uni), trained on the
+    doc_id % 10 != 0 slice, scoring EVERY document (held-out docs
+    exercise the unknown-context and OOV paths). Pairs build map-side
+    from each doc's token array; scoring is three broadcast joins + one
+    per-doc agg — the corpus never shuffles for the model."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bg, ug, oov = tx.fit_bigram_lm(train, alpha=_LM_ALPHA)
+    return tx.bigram_perplexity_score(
+        docs, bg, ug, oov, alpha=_LM_ALPHA
+    ).orderBy("doc_id")
+
+
 @register("lm_perplexity", sql=_lm_perplexity_oracle())
 def lm_perplexity(spark, sf_dir):
     """Unigram-LM perplexity scoring (operators/text.py): train an

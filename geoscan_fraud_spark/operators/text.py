@@ -544,10 +544,13 @@ def fit_bigram_lm(
 
       - ``bigrams`` is (w1, w2, p_big) with the add-alpha conditional
         ``p_big = (c(w1,w2) + alpha) / (c1(w1) + alpha * (V + 1))``,
-      - ``unigrams`` is (t, p_uni, ctx_denom) carrying both the add-alpha
-        unigram probability and each token's CONTEXT denominator
+      - ``unigrams`` is (t, p_uni, ctx_denom, av1) carrying the
+        add-alpha unigram probability, each token's CONTEXT denominator
         ``c1(t) + alpha * (V + 1)`` (needed to smooth unseen bigrams
-        after a known context word),
+        after a known context word), and the constant
+        ``av1 = alpha * (V + 1)`` (the unknown-context denominator —
+        stored exactly so the scorer never reconstructs it through
+        float arithmetic),
       - ``oov_logp`` is the unigram OOV log-mass (also the default
         context denominator for unknown context words is
         ``alpha * (V + 1)``, derivable from it).
@@ -592,6 +595,7 @@ def fit_bigram_lm(
         (F.col("c").cast("double") + F.lit(float(alpha) * (v + 1))).alias(
             "ctx_denom"
         ),
+        F.lit(float(alpha) * (v + 1)).alias("av1"),
     )
     bigrams = (
         big.join(
@@ -653,17 +657,22 @@ def bigram_perplexity_score(
     # recover V from oov alone, so carry it via the unigrams relation:
     # ctx_denom - c = alpha*(V+1) for any row; grab it as a one-row
     # broadcast scalar (lazy, no job at build).
-    # derive alpha*(V+1) lazily: ctx_denom - c is the same constant on
-    # every row; c was not kept, but ctx_denom = c + alpha*(V+1) and
-    # p_uni = (c + alpha)/uni_denom with uni_denom = alpha/exp(oov_logp),
-    # so c = p_uni * uni_denom - alpha
-    uni_denom = float(alpha) / math.exp(float(oov_logp))
-    a_v1 = unigrams.select(
-        F.min(
-            F.col("ctx_denom")
-            - (F.col("p_uni") * F.lit(uni_denom) - F.lit(float(alpha)))
-        ).alias("a_v1")
-    )
+    if "av1" in unigrams.columns:
+        # the constant was stored exactly at fit time
+        a_v1 = unigrams.select(F.min("av1").alias("a_v1"))
+    else:
+        # legacy model without the stored constant: reconstruct
+        # alpha*(V+1) from ctx_denom - c, recovering c from
+        # p_uni = (c + alpha)/uni_denom with uni_denom = alpha/exp(oov)
+        # (carries ~1e-9 float noise — fine for filtering, not for
+        # hash-exact replays)
+        uni_denom = float(alpha) / math.exp(float(oov_logp))
+        a_v1 = unigrams.select(
+            F.min(
+                F.col("ctx_denom")
+                - (F.col("p_uni") * F.lit(uni_denom) - F.lit(float(alpha)))
+            ).alias("a_v1")
+        )
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     prevs = F.concat(

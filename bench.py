@@ -84,13 +84,16 @@ def main():
     QUERIES = dict(QUERIES)
     QUERIES["dedup_minhash_xxhash64"] = bench_minhash_xxhash64
     QUERIES["dedup_simhash_h3"] = bench_simhash_h3
-    # u4 rotated out of the 50-slot driver registry in r07; the bench
-    # keeps timing it so headline totals stay comparable across rounds
-    # (the `if q in QUERIES` filter above already dropped it — restore
-    # its original slot before ttl_window_filter)
-    from geoscan_fraud_spark.harness import u4_explode_tokens
+    # u4/u7 rotated out of the 50-slot driver registry in r07; the bench
+    # keeps timing them so headline totals stay comparable across rounds
+    # (the `if q in QUERIES` filter above already dropped them — restore
+    # their original slots)
+    from geoscan_fraud_spark.harness import u4_explode_tokens, u7_haversine
 
     QUERIES["u4_explode_tokens"] = u4_explode_tokens
+    QUERIES["u7_haversine"] = u7_haversine
+    if "u7_haversine" not in headline:
+        headline.insert(headline.index("a8_percentiles"), "u7_haversine")
     if "u4_explode_tokens" not in headline:
         headline.insert(headline.index("ttl_window_filter"), "u4_explode_tokens")
     # the registry entry now runs a pinned mini-fixture (oracle-able);

@@ -136,8 +136,9 @@ def p_project_filter_alias(spark, sf_dir):
 # P3/U6 (withColumn + log) was a registered entry through r06; the
 # identical algebra — arithmetic/ln derived columns — is driver-evidenced
 # by the hash-green `u3_tfidf_relational` (log-ratio TF-IDF columns) and
-# `u7_haversine` (trig column chain), so the slot under the driver's
-# 50-entry cap now funds `token_entropy` (round-7 rotation).
+# `flagship_event_anomalies` (floor/divide bucket arithmetic), so the
+# slot under the driver's 50-entry cap now funds `token_entropy`
+# (round-7 rotation).
 def p_derived_column(spark, sf_dir):
     """P3 withColumn + U6 log (IEEE-exact arithmetic unrounded; ln rounded)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -540,9 +541,10 @@ def setop_unionbyname(spark, sf_dir):
 
 # U4 (explode) was a registered entry through r06; explode+count algebra
 # is driver-evidenced by the hash-green `vocab_token_frequencies` (the
-# same explode -> groupBy count over documents) and `u2_sample_explode`
-# (explode of struct arrays + dotted access), so the slot under the
-# driver's 50-entry cap now funds `text_repetition` (round-7 rotation).
+# same explode -> groupBy count over documents) and `chunk_documents` /
+# `bpe_tokens_to_ids` (posexplode of struct/slice arrays), so the slot
+# under the driver's 50-entry cap now funds `text_repetition` (round-7
+# rotation).
 def u4_explode_tokens(spark, sf_dir):
     """U4 — explode (`01:189`) on the documents fixture."""
     d = _t(spark, sf_dir, "documents")
@@ -647,19 +649,12 @@ def u1_cell_id(spark, sf_dir):
     )
 
 
-@register(
-    "u7_haversine",
-    sql=f"""
-    WITH pts AS ({_COORD_SQL})
-    SELECT a.event_id,
-           ROUND(2.0 * 6371000.0 * ASIN(SQRT(
-             POW(SIN(RADIANS(b.latitude - a.latitude) / 2), 2)
-             + COS(RADIANS(a.latitude)) * COS(RADIANS(b.latitude))
-               * POW(SIN(RADIANS(b.longitude - a.longitude) / 2), 2))), 2)
-             AS dist_m
-    FROM pts a JOIN pts b ON b.event_id = a.event_id + 1
-    """,
-)
+# U7 (native haversine) was a registered entry through r06; the same
+# trig expression is load-bearing INSIDE the hash-green
+# `geoscan_distributed_fit` golden (epsilon_pairs keeps only pairs with
+# haversine < eps — a wrong distance would change the pinned cluster
+# assignment), so the slot under the driver's 50-entry cap now funds
+# `countmin_sketch` (round-7 third rotation).
 def u7_haversine(spark, sf_dir):
     """U7 — native haversine (`01:20`), rounded (libm last-ulp tolerance)."""
     pts = _events_coords(spark, sf_dir)

@@ -161,26 +161,14 @@ def generation_latest_snapshot(spark, sf_dir):
 _RES7_STEP = 1220.629759 / 111320.0
 
 
-@register(
-    "u2_sample_explode",
-    sql=f"""
-    WITH pts AS (
-      SELECT event_id, user_id,
-             40.5 + (value - FLOOR(value / 200.0) * 200.0) / 1000.0 AS latitude,
-             -74.3 + (value - FLOOR(value / 157.0) * 157.0) / 800.0 AS longitude
-      FROM events),
-    cells AS (
-      SELECT printf('%02X%07X%07X', 7,
-               CAST(FLOOR((latitude + 90.0) / {_RES7_STEP!r}) AS BIGINT),
-               CAST(FLOOR((longitude + 180.0) / {_RES7_STEP!r}) AS BIGINT)) AS h3,
-             latitude, longitude
-      FROM pts)
-    SELECT h3, latitude, longitude FROM (
-      SELECT *, row_number() OVER (PARTITION BY h3
-                 ORDER BY latitude, longitude) AS rn FROM cells)
-    WHERE rn <= 10
-    """,
-)
+# U2 (the reference's per-cell sample pipeline shape: collect struct
+# arrays, slice, explode, dotted access) was a registered entry through
+# r06; the struct-array explode + dotted-field algebra is
+# driver-evidenced by the hash-green `chunk_documents` (slice +
+# posexplode replayed in DuckDB) and `bpe_tokens_to_ids` (posexplode +
+# struct-sorted reassembly), and the deterministic-sample semantics stay
+# pinned by test_ext.py — so the slot under the driver's 50-entry cap
+# now funds `url_features` (round-7 third rotation).
 def u2_sample_explode(spark, sf_dir):
     """U2 + P1 parity — the reference's per-cell sample pipeline shape
     (`01:174-191`): collect coordinate structs per cell, take <=10, explode,

@@ -1155,6 +1155,125 @@ def _lm_perplexity_oracle(alpha: float = _LM_ALPHA) -> str:
     """
 
 
+def _url_features_oracle() -> str:
+    """URL parsing + ccSLD-aware registered-domain + path depth as DuckDB
+    SQL over URLs BOTH engines derive identically from the documents
+    fixture (scheme/userinfo/ccSLD/path-depth variety keyed off doc_id) —
+    the host regexp is RE2/Java-portable by construction."""
+    from geoscan_fraud_spark.operators.web import _HOST_RE, CC_SLDS
+
+    slds = "[" + ",".join(f"'{s}'" for s in CC_SLDS) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN doc_id % 5 = 0 THEN 'u:p@' ELSE '' END
+             || source
+             || CASE WHEN doc_id % 2 = 0 THEN '.example.com'
+                     ELSE '.shop.co.uk' END
+             || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+                     WHEN 2 THEN '/a/b' ELSE '/a/b/c?x=1' END AS url
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)', 1) AS path
+      FROM d),
+    lab AS (
+      SELECT doc_id, host, path, string_split(host, '.') AS labels
+      FROM h),
+    dom AS (
+      SELECT doc_id, host, path,
+             CASE WHEN len(labels) <= 2 THEN host
+                  WHEN list_contains({slds},
+                         array_to_string(labels[len(labels)-1:len(labels)], '.'))
+                  THEN array_to_string(labels[len(labels)-2:len(labels)], '.')
+                  ELSE array_to_string(labels[len(labels)-1:len(labels)], '.')
+             END AS domain
+      FROM lab)
+    SELECT doc_id, host, domain,
+           CAST(CASE WHEN path IS NULL OR path = '' THEN 0
+                ELSE len(list_filter(string_split(path, '/'),
+                                     x -> length(x) > 0)) END AS INT)
+             AS path_depth
+    FROM dom
+    ORDER BY doc_id
+    """
+
+
+@register("url_features", sql=_url_features_oracle())
+def url_features(spark, sf_dir):
+    """URL provenance features (operators/web.py — the C4/RefinedWeb
+    pre-text filter): host (scheme/userinfo/port stripped), ccSLD-aware
+    registered domain, path depth — all map-only native regexp/list
+    algebra. The URLs are derived deterministically from the documents
+    fixture with scheme/userinfo/ccSLD/path variety so every branch of
+    the parser is exercised and replayed."""
+    from geoscan_fraud_spark.operators.web import extract_url_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+            F.col("source"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".example.com")).otherwise(
+                F.lit(".shop.co.uk")
+            ),
+            F.element_at(
+                F.array(F.lit(""), F.lit("/"), F.lit("/a/b"), F.lit("/a/b/c?x=1")),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+        ).alias("url"),
+    )
+    return extract_url_features(d).orderBy("doc_id")
+
+
+_CM_DEPTH, _CM_WIDTH, _CM_SEED = 4, 256, 42
+
+
+def _countmin_oracle() -> str:
+    """The count-min sketch CELLS as DuckDB SQL: same md5-slice hash
+    family (portable 60-bit bigint), same (row, col) cells, same grouped
+    counts — every cell of the sketch must match."""
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS row, "
+        f"('0x' || substr(md5(t || '|{r ^ _CM_SEED}'), 1, 15))::BIGINT "
+        f"% {_CM_WIDTH} AS col FROM tok"
+        for r in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT u.t FROM documents,
+             unnest(string_split(trim(text), ' ')) AS u(t)
+      WHERE length(u.t) > 0),
+    cells AS (
+      {rows})
+    SELECT row, col, count(*) AS c FROM cells GROUP BY row, col
+    ORDER BY row, col
+    """
+
+
+@register("countmin_sketch", sql=_countmin_oracle())
+def countmin_sketch(spark, sf_dir):
+    """Count-min corpus frequency sketch (operators/profiling.py) in the
+    oracle-portable md5 hash family: the registered relation is the
+    SKETCH ITSELF — depth x width grouped-count cells — so the driver
+    value-hashes every cell against DuckDB's independent build. The
+    xxhash64 family stays the JVM-native production default; merge and
+    estimate paths are pytest-pinned."""
+    from geoscan_fraud_spark.operators.profiling import countmin_profile
+
+    return countmin_profile(
+        _t(spark, sf_dir, "documents"),
+        depth=_CM_DEPTH,
+        width=_CM_WIDTH,
+        seed=_CM_SEED,
+        hash_fn="md5",
+    ).orderBy("row", "col")
+
+
 def _dsir_oracle(alpha: float = _LM_ALPHA) -> str:
     """DSIR importance weights as DuckDB SQL: two add-alpha unigram LMs
     (target = doc_id % 17 == 0 slice, raw = whole corpus), per-doc

@@ -270,6 +270,7 @@ def countmin_profile(
     depth: int = 4,
     width: int = 1024,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(row, col, c): a count-min sketch of the corpus token frequencies
     in SPARSE RELATIONAL form — the heavy-hitter complement to the HLL
@@ -286,7 +287,10 @@ def countmin_profile(
     (`countmin_estimate`) take the MIN over the depth rows: always >=
     the true count, over by at most ~2N/width with probability
     1 - 2^-depth (the standard CM bound; N = total token occurrences).
-    Hash family: xxhash64(token, row ^ seed) — per-row independent."""
+    Hash family (``hash_fn``): 'xxhash64' (JVM-native default —
+    xxhash64(token, row ^ seed)) or 'md5' (the oracle-portable 60-bit
+    md5-slice family every portable dedup path uses — same cells in any
+    engine with md5)."""
     cells = []
     tok = df.select(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t")
@@ -295,15 +299,32 @@ def countmin_profile(
         cells.append(
             tok.select(
                 F.lit(r).alias("row"),
-                F.pmod(
-                    F.xxhash64(F.col("t"), F.lit(r ^ seed)), F.lit(width)
-                ).alias("col"),
+                _cm_col(F.col("t"), r, width, seed, hash_fn).alias("col"),
             )
         )
     u = cells[0]
     for c in cells[1:]:
         u = u.unionByName(c)
     return u.groupBy("row", "col").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _cm_col(t, r: int, width: int, seed: int, hash_fn: str):
+    """Count-min column index for hash row ``r`` — shared by build and
+    probe so the two can never drift."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(t, F.lit(r ^ seed)), F.lit(width))
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(t, F.lit(f"|{r ^ seed}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        )
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
 def merge_countmin(sketches: list[DataFrame]) -> DataFrame:
@@ -324,12 +345,13 @@ def countmin_estimate(
     depth: int = 4,
     width: int = 1024,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(token, est): point frequency estimates for ``tokens`` from a
     sparse count-min relation. The probe set is a literal relation
     (tokens the caller is asking about — bounded), exploded into its
     (row, col) cells and joined against the sketch; absent cells count
-    0. ``depth/width/seed`` must match the build."""
+    0. ``depth/width/seed/hash_fn`` must match the build."""
     spark = sketch.sparkSession
     probes = spark.createDataFrame([(t,) for t in tokens], ["token"])
     cells = probes.select(
@@ -339,9 +361,8 @@ def countmin_estimate(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        F.pmod(
-                            F.xxhash64(F.col("token"), F.lit(r ^ seed)),
-                            F.lit(width),
+                        _cm_col(
+                            F.col("token"), r, width, seed, hash_fn
                         ).alias("col"),
                     )
                     for r in range(depth)

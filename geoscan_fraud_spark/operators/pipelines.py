@@ -88,6 +88,8 @@ def prepare_training_corpus(
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split-v1",
     normalize_signatures: bool = False,
+    url_col: str | None = None,
+    domain_blocklist=None,
     lm_reference: DataFrame | None = None,
     max_nll: float | None = None,
     quality_model=None,
@@ -118,6 +120,13 @@ def prepare_training_corpus(
     one-row relation), so constructing the pipeline triggers NO job;
     everything materializes when the returned DataFrames are acted on.
 
+    ``url_col`` + ``domain_blocklist`` prepend the C4-style provenance
+    stage (`operators/web.filter_blocked_domains`, subdomain-aware):
+    blocklisted-domain docs drop BEFORE any text heuristic runs — the
+    cheapest rejection is the one that never reads the text. Blocked
+    docs appear in the audit surface with ``reject_reason='domain'``
+    and in the report as the ``provenance_passed`` stage.
+
     ``dedup_keep`` / ``dedup_keep_score_col`` pass through to
     `minhash_dedup`'s representative policy ('min_id' | 'longest' |
     'score'); a score column must be present on ``docs`` itself (the
@@ -131,6 +140,20 @@ def prepare_training_corpus(
     ``"quality_model"``. The classifier sees the same (optionally
     normalized) text as every other signal.
     """
+    if (url_col is None) != (domain_blocklist is None):
+        raise ValueError("pass url_col and domain_blocklist together")
+    blocked_ids = None
+    survivors = docs
+    if url_col is not None:
+        from geoscan_fraud_spark.operators.web import filter_blocked_domains
+
+        blocked_ids = filter_blocked_domains(
+            docs, domain_blocklist, url_col, id_col, invert=True
+        ).select(id_col)
+        survivors = filter_blocked_domains(
+            docs, domain_blocklist, url_col, id_col
+        )
+
     sig_col = text_col
     base = docs
     if normalize_signatures:
@@ -174,6 +197,20 @@ def prepare_training_corpus(
         if min_p_good is not None:
             rules["quality_model"] = F.col("p_good") >= min_p_good
     annotated = annotate_filter_reasons(annotated, rules)
+    if blocked_ids is not None:
+        # provenance rejection takes precedence over every text rule in
+        # the audit surface (it fired first in the pipeline)
+        b = blocked_ids.withColumn("__blocked", F.lit(True))
+        annotated = (
+            annotated.join(b, id_col, "left_outer")
+            .withColumn(
+                "reject_reason",
+                F.when(F.col("__blocked"), F.lit("domain")).otherwise(
+                    F.col("reject_reason")
+                ),
+            )
+            .drop("__blocked")
+        )
     passed = annotated.filter(F.col("reject_reason").isNull()).select(
         *docs.columns, *([sig_col] if normalize_signatures else [])
     )
@@ -214,9 +251,11 @@ def prepare_training_corpus(
             F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
         )
 
+    report = _count("input", docs)
+    if blocked_ids is not None:
+        report = report.unionByName(_count("provenance_passed", survivors))
     report = (
-        _count("input", docs)
-        .unionByName(_count("quality_passed", passed))
+        report.unionByName(_count("quality_passed", passed))
         .unionByName(_count("after_dedup", deduped))
         .unionByName(_count("after_decontam", clean))
     )

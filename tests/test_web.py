@@ -107,3 +107,60 @@ def test_url_parse_matches_urllib_oracle(spark):
     for i, u in enumerate(urls):
         expected = (urlsplit(u).hostname or "").lower()
         assert got[i] == expected, u
+
+
+def test_cap_domain_share(spark):
+    """One domain at 60% of the corpus shrinks to the cap; small domains
+    are untouched; selection is partition-stable."""
+    from geoscan_fraud_spark.operators.web import cap_domain_share
+
+    rows = [(i, "big.com") for i in range(60)] + [
+        (100 + i, f"d{i % 8}.org") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_domain_share(df, "domain", max_share=0.3)
+    by_dom = {}
+    for r in out.collect():
+        by_dom[r["domain"]] = by_dom.get(r["domain"], 0) + 1
+    assert by_dom["big.com"] == 30  # ceil(0.3 * 100)
+    assert sum(v for k, v in by_dom.items() if k != "big.com") == 40
+
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_domain_share(df.repartition(7), "domain", 0.3).collect()
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="max_share"):
+        cap_domain_share(df, "domain", 0.0)
+
+
+def test_pipeline_domain_blocklist_stage(spark):
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    good = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, good, "https://ok.example.com/a"),
+        (2, " ".join(f"z{i}" for i in range(25)), "https://ads.tracker.com/p"),
+        (3, " ".join(f"y{i}" for i in range(25)), "https://tracker.com/"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = prepare_training_corpus(
+        docs,
+        dedup_threshold=0.5,
+        url_col="url",
+        domain_blocklist=["tracker.com"],
+    )
+    kept = sorted(r["doc_id"] for r in out["corpus"].collect())
+    assert kept == [1]
+    reasons = {
+        r["doc_id"]: r["reject_reason"] for r in out["annotated"].collect()
+    }
+    assert reasons[2] == "domain" and reasons[3] == "domain"
+    assert reasons[1] is None
+    stages = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert stages["input"] == 3 and stages["provenance_passed"] == 1
+
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, url_col="url")

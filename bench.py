@@ -347,8 +347,19 @@ def main():
         q.awaitTermination(600)
         return spark.read.parquet(f"{work}/out")
 
+    def bench_remove_spans(spark, sf_dir):
+        """ExactSubstr repeated-span removal (Lee et al. 2021) over the
+        documents table: gram-frequency count + marking join + per-doc
+        native span merge. keep='first' is the paper's semantics."""
+        from geoscan_fraud_spark.operators.spans import remove_repeated_spans
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        return remove_repeated_spans(docs, min_len=8, keep="first")
+
     extras = {
         "decontaminate": bench_decontaminate,
+        "remove_repeated_spans": bench_remove_spans,
         "pack_documents": bench_pack_documents,
         "sample_mixture": bench_sample_mixture,
         # round-5/6 operators (VERDICT r05 #5): the three are registered

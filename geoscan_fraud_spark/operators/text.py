@@ -534,6 +534,61 @@ def perplexity_score(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    ppl_col: str = "ppl",
+    by: "str | None" = None,
+    cuts: tuple = (1 / 3.0, 2 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): bucket
+    documents by perplexity percentile — per ``by`` group (CCNet cuts
+    per language) or globally — lower perplexity = more
+    in-distribution = ``head``. Appends a ``ppl_bucket`` column; rows
+    with NULL perplexity (empty docs) get a NULL bucket.
+
+    Two shuffles total and neither moves the corpus twice: one groupBy
+    computing the cut points (by default `percentile_approx` — a
+    mergeable KLL-style sketch whose partials combine map-side, the only
+    percentile that scales; ``exact=True`` switches to exact
+    `percentile` for oracle parity, which collects each group's values
+    into its aggregation buffer — fine for boundary tables, never for
+    per-doc state), then a BROADCAST join of the per-group boundary row
+    back onto the scored corpus — the labeling itself is map-only.
+    Boundary convention: bucket i is ppl <= cut_i, final bucket is the
+    remainder; ties at a cut land in the lower (better) bucket.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(cuts)} cuts / {len(labels)} labels"
+        )
+    group = [by] if by is not None else []
+    pcts = F.array(*[F.lit(float(c)) for c in cuts])
+    if exact:
+        bounds_agg = F.percentile(F.col(ppl_col), pcts).alias("__cuts")
+    else:
+        bounds_agg = F.percentile_approx(
+            F.col(ppl_col), pcts, F.lit(accuracy)
+        ).alias("__cuts")
+    bounds = scored.filter(F.col(ppl_col).isNotNull()).groupBy(*group).agg(
+        bounds_agg
+    )
+    if group:
+        out = scored.join(F.broadcast(bounds), group, "left_outer")
+    else:
+        out = scored.crossJoin(F.broadcast(bounds))
+    label = F.lit(labels[-1])
+    for i in range(len(cuts) - 1, -1, -1):
+        label = F.when(
+            F.col(ppl_col) <= F.element_at(F.col("__cuts"), i + 1),
+            F.lit(labels[i]),
+        ).otherwise(label)
+    label = F.when(F.col(ppl_col).isNull(), F.lit(None)).otherwise(label)
+    return out.select(*scored.columns, label.alias("ppl_bucket"))
+
+
 def fit_bigram_lm(
     df: DataFrame,
     text_col: str = "text",

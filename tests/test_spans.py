@@ -1,0 +1,216 @@
+"""Repeated-span removal (ExactSubstr, Lee et al. 2021) and CCNet
+perplexity buckets — both against independent Python value oracles."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.spans import (
+    remove_repeated_spans,
+    repeated_gram_starts,
+)
+from geoscan_fraud_spark.operators.text import (
+    fit_unigram_lm,
+    perplexity_buckets,
+    perplexity_score,
+)
+from geoscan_fraud_spark.plans.audit import formatted_plan, plan_summary
+
+
+def py_remove(docs, L, min_count, keep):
+    """Brute-force reference: enumerate every L-gram, count, mark, merge."""
+    toks = {i: [t for t in re.split(r"\s+", txt) if t] for i, txt in docs}
+    occ = []
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(0, len(ts) - L + 1):
+            occ.append((i, p, tuple(ts[p : p + L])))
+    cnt = Counter(g for _, _, g in occ)
+    first = {}
+    for i, p, g in occ:  # occ is (id, pos)-ordered by construction
+        if g not in first:
+            first[g] = (i, p)
+    marked = defaultdict(set)
+    for i, p, g in occ:
+        if cnt[g] > min_count and not (keep == "first" and first[g] == (i, p)):
+            marked[i].update(range(p, p + L))
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in marked[i]]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def _corpus(seed, n_docs=10, vocab_size=12, share_every=2, shared_len=12):
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(vocab_size)]
+    shared = " ".join(rng.choice(vocab) for _ in range(shared_len))
+    docs = []
+    for i in range(n_docs):
+        pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
+        post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
+        body = (
+            shared
+            if i % share_every == 0
+            else " ".join(rng.choice(vocab) for _ in range(10))
+        )
+        docs.append((i, " ".join(x for x in [pre, body, post] if x)))
+    docs.append((100, "short doc"))  # shorter than min_len: zero grams
+    docs.append((101, docs[0][1]))  # verbatim full duplicate
+    return docs
+
+
+def _run(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    return {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["removed_tokens"])
+        for r in remove_repeated_spans(df, **kw).collect()
+    }
+
+
+@pytest.mark.parametrize("keep", ["none", "first"])
+def test_remove_repeated_spans_matches_bruteforce(spark, keep):
+    docs = _corpus(7)
+    got = _run(spark, docs, min_len=5, keep=keep)
+    exp = py_remove(docs, 5, 1, keep)
+    assert got == exp
+    # something was actually removed (the fixture plants cross-doc repeats)
+    assert sum(v[2] for v in got.values()) > 0
+
+
+def test_keep_first_preserves_corpus_first_occurrence(spark):
+    docs = _corpus(11)
+    got = _run(spark, docs, min_len=5, keep="first")
+    # doc 0 holds the first occurrence of the shared paragraph AND is
+    # verbatim-duplicated as doc 101: doc 0 survives untouched, 101 empties
+    assert got[0][2] == 0
+    assert got[101][0] == ""
+    assert got[101][2] == got[101][1]
+
+
+def test_keep_none_drops_all_occurrences(spark):
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e f y"),  # shares the 6-gram 'a b c d e f'
+        (3, "p q r s t u v w"),  # unique
+    ]
+    got = _run(spark, docs, min_len=6, keep="none")
+    exp = py_remove(docs, 6, 1, "none")
+    assert got == exp
+    assert got[1][2] > 0 and got[2][2] > 0
+    assert got[3] == ("p q r s t u v w", 8, 0)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_remove_repeated_spans_fuzz(spark, seed):
+    """Seeded random corpora over a tiny vocab (forces incidental repeats
+    and overlapping spans) must match the brute-force reference exactly."""
+    rng = random.Random(seed)
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(["a", "b", "c", "d"])
+                for _ in range(rng.randint(0, 30))
+            ),
+        )
+        for i in range(25)
+    ]
+    for keep in ("none", "first"):
+        assert _run(spark, docs, min_len=4, keep=keep) == py_remove(
+            docs, 4, 1, keep
+        )
+
+
+def test_min_count_threshold(spark):
+    docs = _corpus(13, n_docs=9, share_every=3)  # shared appears in docs 0,3,6 (+101 copy of 0)
+    # threshold above the occurrence count -> nothing removed
+    got = _run(spark, docs, min_len=5, min_count=50, keep="none")
+    assert all(v[2] == 0 for v in got.values())
+    exp = py_remove(docs, 5, 3, "none")
+    assert _run(spark, docs, min_len=5, min_count=3, keep="none") == exp
+
+
+def test_repeated_gram_starts_validates_keep():
+    with pytest.raises(ValueError, match="keep"):
+        repeated_gram_starts(None, keep="both")
+
+
+def test_spans_plan_shape(spark, sf_dir):
+    """Native end-to-end: no Python eval, no cartesian/nested-loop join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_repeated_spans(docs, min_len=8, keep="first")
+    s = plan_summary(out)
+    assert s["python_eval"] == 0
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_buckets_exact_matches_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(3)
+    rows = [(i, "g%d" % (i % 3), float(rng.uniform(1, 100))) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, ppl double")
+    got = {
+        (r["doc_id"]): r["ppl_bucket"]
+        for r in perplexity_buckets(df, by="lang", exact=True).collect()
+    }
+    by_lang = defaultdict(list)
+    for i, g, p in rows:
+        by_lang[g].append(p)
+    for i, g, p in rows:
+        lo, hi = np.percentile(by_lang[g], [100 / 3.0, 200 / 3.0])
+        exp = "head" if p <= lo else ("middle" if p <= hi else "tail")
+        assert got[i] == exp, (i, g, p, lo, hi, got[i], exp)
+
+
+def test_perplexity_buckets_global_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)],
+        "doc_id int, ppl double",
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, exact=True).collect()
+    }
+    assert got == {1: "head", 2: "middle", 3: "tail", 4: None}
+
+
+def test_perplexity_buckets_approx_close_to_exact(spark):
+    rng = random.Random(5)
+    rows = [(i, float(rng.gauss(50, 10))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id int, ppl double")
+    exact = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, exact=True).collect()
+    }
+    approx = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, exact=False).collect()
+    }
+    agree = sum(1 for k in exact if exact[k] == approx[k])
+    assert agree / len(exact) > 0.98
+
+
+def test_perplexity_buckets_broadcast_plan(spark, sf_dir):
+    """The boundary join must broadcast — the corpus side never shuffles
+    for the labeling."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm, oov = fit_unigram_lm(docs)
+    scored = perplexity_score(docs, lm, oov)
+    out = perplexity_buckets(scored)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_validates_labels():
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(None, cuts=(0.5,), labels=("a", "b", "c"))

@@ -13,16 +13,14 @@ from geoscan_fraud_spark.harness import _events_coords, _t, register
 from geoscan_fraud_spark.operators.sampling import spatial_downsample
 
 
-@register(
-    "win_rank_per_user",
-    sql="""
-    SELECT user_id, event_id, ts, rnk FROM (
-      SELECT user_id, event_id, ts,
-             CAST(row_number() OVER (PARTITION BY user_id
-                                     ORDER BY ts DESC, event_id) AS BIGINT) AS rnk
-      FROM events) WHERE rnk <= 3
-    """,
-)
+# win_rank_per_user was a registered entry through r07's third rotation;
+# per-user window-partitioning algebra stays driver-evidenced by the
+# hash-green `sessionize` (lag + running sum over the identical
+# Window.partitionBy(user_id).orderBy(ts) machinery) and top-k ordering
+# by `w1_topk_desc`; the row_number semantics themselves stay pinned
+# against a pandas rank in tests/test_ext.py. The slot under the
+# driver's 50-entry cap
+# now funds `remove_repeated_spans` (round-7 fourth rotation).
 def win_rank_per_user(spark, sf_dir):
     """W5 extension — top-3 latest events per user (per-user sequence
     analytics; the window key is the high-cardinality user id, so the
@@ -77,13 +75,13 @@ def rollup_counts(spark, sf_dir):
     )
 
 
-@register(
-    "distinct_users_exact",
-    sql="""
-    SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
-    GROUP BY event_type
-    """,
-)
+# distinct_users_exact was a registered entry through r07's third
+# rotation; distinct-aggregation algebra stays driver-evidenced by the
+# hash-green `dedup_minhash` (whose DuckDB replay contains the LSH
+# candidate `.distinct()`) and `u3_tfidf_relational` (per-term distinct
+# document frequency); the exact counts themselves stay pinned against
+# pandas nunique in tests/test_ext.py. The slot under the driver's
+# 50-entry cap now funds `ppl_buckets` (round-7 fourth rotation).
 def distinct_users_exact(spark, sf_dir):
     """Exact distinct (oracle); `distinct_users_approx` is the 100 TB
     variant (HLL sketch, single pass, no per-key state explosion)."""

@@ -1423,3 +1423,99 @@ def lm_perplexity(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 10 != 0)
     lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
     return tx.perplexity_score(docs, lm, oov).orderBy("doc_id")
+
+
+_SPAN_L = 8
+
+
+def _spans_oracle(L: int = _SPAN_L) -> str:
+    """ExactSubstr repeated-span removal as DuckDB SQL — an INDEPENDENT
+    mechanism: the oracle counts gram STRINGS directly (list slices
+    joined on chr(31)) where the engine counts xxhash64 fingerprints,
+    replays first-occurrence exemption as a row_number window, and does
+    token removal via a NOT EXISTS interval probe instead of the
+    engine's native merged-interval fold. Every value (rebuilt text,
+    token counts) must agree exactly."""
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(trim(text), ' '), x -> x <> '') AS ts
+               FROM documents),
+    p AS (SELECT doc_id, ts,
+                 unnest(range(0, greatest(len(ts) - {L} + 1, 0))) AS pos FROM t),
+    g AS (SELECT doc_id, pos,
+                 array_to_string(ts[pos + 1 : pos + {L}], chr(31)) AS gm FROM p),
+    cnt AS (SELECT gm, count(*) AS c FROM g GROUP BY 1),
+    r AS (SELECT doc_id, pos, gm,
+                 row_number() OVER (PARTITION BY gm ORDER BY doc_id, pos) AS rn
+          FROM g),
+    marked AS (SELECT r.doc_id, r.pos FROM r JOIN cnt USING (gm)
+               WHERE cnt.c > 1 AND r.rn > 1),
+    tokpos AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS tpos FROM t),
+    tok AS (SELECT doc_id, ts[tpos + 1] AS tok, tpos FROM tokpos),
+    kept AS (SELECT tok.doc_id, tok.tok, tok.tpos FROM tok
+             WHERE NOT EXISTS (
+               SELECT 1 FROM marked m WHERE m.doc_id = tok.doc_id
+                 AND tok.tpos >= m.pos AND tok.tpos < m.pos + {L})),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text,
+                   count(*) AS n_kept FROM kept GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(reb.text, '') AS text,
+           CAST(len(t.ts) AS INTEGER) AS n_tokens,
+           CAST(len(t.ts) - coalesce(reb.n_kept, 0) AS INTEGER) AS removed_tokens
+    FROM t LEFT JOIN reb USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("remove_repeated_spans", sql=_spans_oracle())
+def remove_repeated_spans(spark, sf_dir):
+    """ExactSubstr repeated-span removal (operators/spans.py, Lee et al.
+    2021 arXiv:2107.06499; round-7 fourth rotation, slot from the folded
+    `win_rank_per_user`): every maximal token span of >= 8 tokens that
+    occurs more than once corpus-wide is deleted in place, the
+    corpus-FIRST occurrence (by (doc_id, pos)) exempted — the paper's
+    remove-all-but-one semantics. The engine's suffix-array replacement
+    is a gram-frequency pass: map-side slice+hash inventory, one
+    8-byte-key count shuffle, marking join, native per-doc interval
+    merge. The oracle recomputes everything from gram strings."""
+    from geoscan_fraud_spark.operators.spans import remove_repeated_spans as rrs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rrs(docs, min_len=_SPAN_L, keep="first").orderBy("doc_id")
+
+
+def _ppl_buckets_oracle() -> str:
+    """CCNet head/middle/tail on top of the unigram-LM scores: DuckDB
+    quantile_cont replays Spark's exact `percentile` (both linear
+    interpolation at q*(n-1)); both engines bucket the SAME rounded
+    (6 dp) perplexities, so the cuts agree to the bit unless a doc sits
+    exactly on an interpolated boundary (impossible here: (n-1)/3 is not
+    integral for the 500-doc fixture and cuts interpolate strictly
+    between distinct rounded samples)."""
+    return f"""
+    WITH base AS ({_lm_perplexity_oracle()}),
+    c AS (SELECT quantile_cont(ppl, [1.0/3.0, 2.0/3.0]) AS q FROM base)
+    SELECT b.doc_id, b.ppl,
+           CASE WHEN b.ppl IS NULL THEN NULL
+                WHEN b.ppl <= c.q[1] THEN 'head'
+                WHEN b.ppl <= c.q[2] THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM base b, c
+    ORDER BY b.doc_id
+    """
+
+
+@register("ppl_buckets", sql=_ppl_buckets_oracle())
+def ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (operators/text.py
+    ::perplexity_buckets; Wenzek et al. 2020 §4.4; round-7 fourth
+    rotation, slot from the folded `distinct_users_exact`): unigram-LM
+    scores from the same train slice as `lm_perplexity`, split at the
+    exact 1/3 and 2/3 percentiles (exact=True — the oracle-parity path;
+    production uses the mergeable `percentile_approx` sketch default),
+    boundary row broadcast back so labeling is map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
+    scored = tx.perplexity_score(docs, lm, oov).select("doc_id", "ppl")
+    return tx.perplexity_buckets(scored, exact=True).orderBy("doc_id")

@@ -60,3 +60,49 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_win_rank_per_user_matches_pandas(spark, sf_dir):
+    """Folded r07: win_rank_per_user left the driver registry (slot funds
+    remove_repeated_spans); its per-user row_number semantics stay pinned
+    here against an independent pandas rank."""
+    from geoscan_fraud_spark.harness_ext import win_rank_per_user
+
+    got = {
+        (r["user_id"], r["event_id"]): r["rnk"]
+        for r in win_rank_per_user(spark, sf_dir).collect()
+    }
+    ev = load_fixture(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    ).toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, True])
+    ev["rnk"] = ev.groupby("user_id").cumcount() + 1
+    exp = {
+        (r.user_id, r.event_id): r.rnk
+        for r in ev[ev["rnk"] <= 3].itertuples()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_distinct_users_exact_matches_pandas(spark, sf_dir):
+    """Folded r07: distinct_users_exact left the driver registry (slot
+    funds ppl_buckets); exact distinct counts stay pinned against pandas
+    nunique, and the HLL twin stays within its rsd."""
+    from geoscan_fraud_spark.harness_ext import (
+        distinct_users_approx,
+        distinct_users_exact,
+    )
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in distinct_users_exact(spark, sf_dir).collect()
+    }
+    ev = load_fixture(spark, sf_dir, "events").select("event_type", "user_id").toPandas()
+    exp = ev.groupby("event_type")["user_id"].nunique().to_dict()
+    assert got == exp and len(got) > 0
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in distinct_users_approx(spark, sf_dir).collect()
+    }
+    for k, v in exp.items():
+        assert abs(approx[k] - v) <= max(3, 0.1 * v)

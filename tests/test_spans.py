@@ -214,3 +214,28 @@ def test_perplexity_buckets_broadcast_plan(spark, sf_dir):
 def test_perplexity_buckets_validates_labels():
     with pytest.raises(ValueError, match="labels"):
         perplexity_buckets(None, cuts=(0.5,), labels=("a", "b", "c"))
+
+
+def test_spans_flood_no_quadratic_stage(spark):
+    """Unlike LSH near-dup, span removal has NO pairwise candidate stage:
+    a 400x-duplicated document costs O(copies * grams) marked rows, not
+    O(copies^2) pairs. The flood must stay linear AND correct: with
+    keep='first' exactly one copy survives intact, every other copy
+    empties; unique docs are untouched."""
+    boiler = " ".join(f"b{k}" for k in range(20))
+    docs = [(j, boiler) for j in range(400)]
+    docs += [(1000 + j, " ".join(f"u{j}_{k}" for k in range(20))) for j in range(5)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    from geoscan_fraud_spark.operators.spans import repeated_gram_starts
+
+    # linear marking: every copy contributes exactly its gram count
+    n_marked = repeated_gram_starts(df, min_len=8, keep="first").count()
+    grams_per_copy = 20 - 8 + 1
+    assert n_marked == (400 - 1) * grams_per_copy  # first copy exempt
+    out = {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in remove_repeated_spans(df, min_len=8, keep="first").collect()
+    }
+    assert out[0] == (boiler, 0)
+    assert all(out[j] == ("", 20) for j in range(1, 400))
+    assert all(out[1000 + j][1] == 0 for j in range(5))

@@ -357,9 +357,25 @@ def main():
         docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
         return remove_repeated_spans(docs, min_len=8, keep="first")
 
+    def bench_token_shards(spark, sf_dir):
+        """Deterministic token-balanced shard assignment: md5-keyed range
+        shuffle + two-pass distributed prefix sum + floor-div labeling."""
+        from pyspark.sql import functions as F
+
+        from geoscan_fraud_spark.operators.shards import assign_token_shards
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = (
+            load_fixture(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+        )
+        return assign_token_shards(docs, shard_tokens=20_000)
+
     extras = {
         "decontaminate": bench_decontaminate,
         "remove_repeated_spans": bench_remove_spans,
+        "token_shards": bench_token_shards,
         "pack_documents": bench_pack_documents,
         "sample_mixture": bench_sample_mixture,
         # round-5/6 operators (VERDICT r05 #5): the three are registered

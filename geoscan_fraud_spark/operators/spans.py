@@ -95,22 +95,31 @@ def repeated_gram_starts(
         ).alias("g"),
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
 
-    agg = [F.count(F.lit(1)).alias("cnt")]
-    if keep == "first":
-        agg.append(
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ")
-        )
-    hot = grams.groupBy("gh").agg(*agg).filter(F.col("cnt") > min_count)
+    # counts and first occurrences via ONE window over the gram hash —
+    # NOT a groupBy + self-join back: the aggregate branch and the join
+    # branch would shuffle different row shapes below their exchanges
+    # (partial-agg rows vs raw grams), so Catalyst cannot ReusedExchange
+    # them and the token-explode — the corpus-sized stage — would run
+    # TWICE. The window shuffles the gram inventory once and evaluates
+    # both aggregates over the whole-partition frame. (A flooded gram
+    # concentrates its occurrences in one task either way — identical
+    # skew to the join formulation, and the output stays linear in
+    # occurrences; see the flood test.)
+    from pyspark.sql import Window
 
-    marked = grams.join(hot, "gh")
+    w = Window.partitionBy("gh")
+    marked = grams.withColumn("cnt", F.count(F.lit(1)).over(w))
     if keep == "first":
-        marked = marked.filter(
+        marked = marked.withColumn(
+            "first_occ",
+            F.min(F.struct(F.col(id_col), F.col("pos"))).over(w),
+        ).filter(
             ~(
                 (F.col(id_col) == F.col(f"first_occ.{id_col}"))
                 & (F.col("pos") == F.col("first_occ.pos"))
             )
         )
-    return marked.select(id_col, "pos")
+    return marked.filter(F.col("cnt") > min_count).select(id_col, "pos")
 
 
 def merge_start_spans(starts_col, span_len: int):

@@ -335,3 +335,26 @@ def test_dedup_lines_literal_separator_with_regex_metachar(spark):
     # '.' must split into ['alpha','beta'] / ['beta','gamma'], NOT between
     # every character; 'beta' is claimed by doc 1
     assert got == {1: "alpha.beta", 2: "gamma"}
+
+
+def test_dedup_lines_paragraph_granularity(spark):
+    """sep='\\n\\n' turns the C4 line dedup into RefinedWeb-style
+    paragraph dedup: a paragraph repeated across documents survives only
+    at its first (doc_id, position) occurrence; intra-doc paragraph
+    order is preserved for the survivors."""
+    from geoscan_fraud_spark.operators.dedup import dedup_lines
+
+    boiler = "subscribe to our newsletter today"
+    docs = [
+        (1, f"unique one\n\n{boiler}\n\nunique two"),
+        (2, f"{boiler}\n\nfresh content here"),
+        (3, "all original\n\nnothing shared"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, sep="\n\n", keep_empty_docs=True).collect()
+    }
+    assert out[1] == f"unique one\n\n{boiler}\n\nunique two"
+    assert out[2] == "fresh content here"
+    assert out[3] == "all original\n\nnothing shared"

@@ -239,3 +239,36 @@ def test_spans_flood_no_quadratic_stage(spark):
     assert out[0] == (boiler, 0)
     assert all(out[j] == ("", 20) for j in range(1, 400))
     assert all(out[1000 + j][1] == 0 for j in range(5))
+
+
+def test_merge_start_spans_property(spark):
+    """The native interval-merge fold == a Python reference over 300
+    random start lists (duplicates, bursts, gaps) evaluated in ONE job."""
+    from geoscan_fraud_spark.operators.spans import merge_start_spans
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 25)
+        starts = [rng.randint(0, 60) for _ in range(n)]
+        rows.append((i, starts))
+    span_len = 5
+
+    def py_merge(starts):
+        out = []
+        for x in sorted(starts):
+            if out and x <= out[-1][1]:
+                out[-1] = (out[-1][0], x + span_len)
+            else:
+                out.append((x, x + span_len))
+        return [{"s": s, "e": e} for s, e in out]
+
+    df = spark.createDataFrame(rows, "row_id int, starts array<int>")
+    got = {
+        r["row_id"]: [iv.asDict() for iv in r["m"]]
+        for r in df.select(
+            "row_id", merge_start_spans(F.col("starts"), span_len).alias("m")
+        ).collect()
+    }
+    exp = {i: py_merge(s) for i, s in rows}
+    assert got == exp

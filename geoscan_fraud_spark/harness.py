@@ -324,13 +324,15 @@ def a1_groupby_count(spark, sf_dir):
     return _t(spark, sf_dir, "events").groupBy("event_type").count().withColumnRenamed("count", "cnt")
 
 
-@register(
-    "a2_collect_sorted",
-    sql="""
-    SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
-    FROM events GROUP BY user_id
-    """,
-)
+# a2_collect_sorted was a registered entry through r07's fourth rotation;
+# deterministic sorted-collect algebra is now driver-evidenced INSIDE two
+# hash-green entries — `remove_repeated_spans` (collect_list of marked
+# positions, array_sort inside the interval-merge fold) and
+# `bpe_ids_roundtrip` (the literal array_sort(collect_list(struct))
+# reassembly idiom in `ids_to_text`) — and the entry's own semantics
+# stay pinned against pandas in tests/test_ext.py. The slot under the
+# driver's 50-entry cap now funds `bpe_ids_roundtrip` (round-7 fifth
+# rotation).
 def a2_collect_sorted(spark, sf_dir):
     """A2 — collect_list made deterministic: collect_set → sort → join.
 

@@ -1519,3 +1519,51 @@ def ppl_buckets(spark, sf_dir):
     lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
     scored = tx.perplexity_score(docs, lm, oov).select("doc_id", "ppl")
     return tx.perplexity_buckets(scored, exact=True).orderBy("doc_id")
+
+
+def _bpe_decode_oracle() -> str:
+    """Expected (doc_id, text) for the decode round trip, from the SAME
+    independent Python Sennrich reference as `_bpe_ids_oracle`: joining
+    a word's BPE symbols and replacing the end marker with a space
+    reconstructs the lowercased word sequence exactly, so the literal
+    expectation is simply each pinned doc's normalized text — the
+    distributed train -> segment -> ids -> decode chain must land back
+    on it bit-for-bit."""
+    rows = ",\n      ".join(
+        "({}, '{}')".format(d, " ".join(t.lower().split()).replace("'", "''"))
+        for d, t in _BPE_DOCS
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+    FROM (VALUES
+      {rows}) AS t(doc_id, text)
+    ORDER BY doc_id
+    """
+
+
+@register("bpe_ids_roundtrip", sql=_bpe_decode_oracle)
+def bpe_ids_roundtrip(spark, sf_dir):
+    """Tokenizer decode golden (`operators/bpe.py::ids_to_text`; round-7
+    fifth rotation, slot from the folded `a2_collect_sorted` — whose
+    sorted-collect idiom is literally the reassembly aggregate here):
+    train BPE on the pinned mini-corpus, segment, map to ids, then
+    DECODE the ids back through the vocabulary. The oracle is the
+    normalized input text itself — a lossless round trip through all
+    four distributed stages, each of which would corrupt it if wrong
+    (train: bad merge order; segment: bad greedy apply; ids: vocab
+    collision; decode: misordered reassembly)."""
+    from geoscan_fraud_spark.operators.bpe import (
+        bpe_segment,
+        build_vocab,
+        ids_to_text,
+        tokens_to_ids,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    merges = train_bpe(word_counts(docs), num_merges=_BPE_NUM_MERGES)
+    seg = bpe_segment(docs, merges)
+    vocab = build_vocab(seg)
+    enc = tokens_to_ids(seg, vocab)
+    return ids_to_text(enc, vocab).orderBy("doc_id")

@@ -106,3 +106,22 @@ def test_distinct_users_exact_matches_pandas(spark, sf_dir):
     }
     for k, v in exp.items():
         assert abs(approx[k] - v) <= max(3, 0.1 * v)
+
+
+def test_a2_collect_sorted_matches_pandas(spark, sf_dir):
+    """Folded r07: a2_collect_sorted left the driver registry (slot funds
+    bpe_ids_roundtrip); its deterministic sorted-collect semantics stay
+    pinned against pandas."""
+    from geoscan_fraud_spark.harness import a2_collect_sorted
+
+    got = {
+        r["user_id"]: r["types"]
+        for r in a2_collect_sorted(spark, sf_dir).collect()
+    }
+    ev = load_fixture(spark, sf_dir, "events").select("user_id", "event_type").toPandas()
+    exp = (
+        ev.groupby("user_id")["event_type"]
+        .apply(lambda s: ",".join(sorted(set(s))))
+        .to_dict()
+    )
+    assert got == exp and len(got) > 0

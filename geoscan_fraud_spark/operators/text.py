@@ -236,6 +236,41 @@ def redact_pii(
     )
 
 
+def blocked_terms_fraction(terms, text_col: str = "text"):
+    """Fraction of a document's tokens that appear on a curated
+    blocklist (the C4 banned-wordlist stage): lowercase whitespace
+    tokens probed against a LITERAL array with `exists` — pure column
+    algebra, ZERO shuffle, the same curated-list design as
+    `operators/web.filter_blocked_domains`'s literal path (a list that
+    a human curates is broadcast-sized by construction; token-level
+    matching only — multi-word phrases need a substring rule).
+    Empty documents score 0.0."""
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        return F.lit(0.0)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    n_blocked = F.size(
+        F.filter(toks, lambda t: F.exists(lit_terms, lambda b: b == t))
+    )
+    return n_blocked.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def blocked_terms_rule(
+    terms, text_col: str = "text", max_fraction: float = 0.0
+):
+    """PASS-condition form of `blocked_terms_fraction` for
+    `annotate_filter_reasons` / `prepare_training_corpus(quality_rules=
+    {..., 'blocked_terms': blocked_terms_rule([...])})`: True when the
+    blocked-token share is at or under ``max_fraction`` (the default 0.0
+    is C4's any-occurrence-rejects)."""
+    return blocked_terms_fraction(terms, text_col) <= F.lit(
+        float(max_fraction)
+    )
+
+
 def annotate_filter_reasons(df: DataFrame, rules) -> DataFrame:
     """Quality filtering with an audit trail: adds `reject_reason` — the
     name of the FIRST failing rule (dict order = precedence), or NULL for

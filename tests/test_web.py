@@ -164,3 +164,63 @@ def test_pipeline_domain_blocklist_stage(spark):
 
     with pytest.raises(ValueError, match="together"):
         prepare_training_corpus(docs, url_col="url")
+
+
+def test_blocked_terms_rule(spark):
+    """C4-style banned-wordlist gate: native, zero-shuffle, case
+    insensitive; plugs into the audit pipeline as a named rule."""
+    from geoscan_fraud_spark.operators.pipelines import (
+        default_quality_rules,
+        prepare_training_corpus,
+    )
+    from geoscan_fraud_spark.operators.text import (
+        blocked_terms_fraction,
+        blocked_terms_rule,
+    )
+    from geoscan_fraud_spark.plans.audit import plan_summary
+
+    base = "perfectly ordinary sentence with enough tokens to pass the gate"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " CASINO"),  # case-insensitive hit
+            (3, base + " casino casino jackpot"),
+            (4, ""),  # empty: fraction 0.0, rejected by length not terms
+        ],
+        "doc_id int, text string",
+    )
+    fr = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id",
+            blocked_terms_fraction(["casino", "jackpot"]).alias("f"),
+        ).collect()
+    }
+    assert fr[1] == 0.0 and fr[4] == 0.0
+    assert fr[2] == pytest.approx(1 / 11) and fr[3] == pytest.approx(3 / 13)
+
+    rules = dict(default_quality_rules())
+    rules["blocked_terms"] = blocked_terms_rule(["casino", "jackpot"])
+    out = prepare_training_corpus(docs, quality_rules=rules)
+    reasons = {
+        r["doc_id"]: r["reject_reason"] for r in out["annotated"].collect()
+    }
+    assert reasons[1] is None
+    assert reasons[2] == "blocked_terms" and reasons[3] == "blocked_terms"
+    assert reasons[4] == "too_short"
+    # allow a tolerated share
+    loose = dict(default_quality_rules())
+    loose["blocked_terms"] = blocked_terms_rule(
+        ["casino", "jackpot"], max_fraction=0.1
+    )
+    r2 = prepare_training_corpus(docs, quality_rules=loose)
+    reasons2 = {
+        r["doc_id"]: r["reject_reason"] for r in r2["annotated"].collect()
+    }
+    assert reasons2[2] is None and reasons2[3] == "blocked_terms"
+    # the fraction is pure column algebra: no shuffle, no python
+    probe = docs.select(blocked_terms_fraction(["casino"]).alias("f"))
+    s = plan_summary(probe)
+    assert s["shuffles"] == 0 and s["python_eval"] == 0
+    # empty blocklist is a constant pass
+    assert docs.filter(~blocked_terms_rule([])).count() == 0

@@ -51,6 +51,35 @@ from pyspark.sql import functions as F
 _US = "\x1f"  # unit separator: joiner whitespace-split tokens cannot contain
 
 
+def _gram_inventory(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, gh): every ``min_len``-gram occurrence, hashed map-side
+    (slice + xxhash64 over unit-separator-joined tokens)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    # docs shorter than min_len emit no grams (sequence(0, negative)
+    # would count DOWN, not return empty — guard explicitly)
+    starts = F.when(
+        n >= F.lit(min_len), F.sequence(F.lit(0), n - F.lit(min_len))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(_US, F.slice(toks, i + 1, min_len))
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
 def repeated_gram_starts(
     df: DataFrame,
     text_col: str = "text",
@@ -72,28 +101,7 @@ def repeated_gram_starts(
     """
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
-    toks = F.split(F.col(text_col), r"\s+")
-    toks = F.filter(toks, lambda t: t != "")
-    n = F.size(toks)
-    # docs shorter than min_len emit no grams (sequence(0, negative) would
-    # count DOWN, not return empty — guard explicitly)
-    starts = F.when(
-        n >= F.lit(min_len), F.sequence(F.lit(0), n - F.lit(min_len))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(
-                        F.concat_ws(_US, F.slice(toks, i + 1, min_len))
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    grams = _gram_inventory(df, text_col, id_col, min_len)
 
     # counts and first occurrences via ONE window over the gram hash —
     # NOT a groupBy + self-join back: the aggregate branch and the join
@@ -178,6 +186,20 @@ def remove_repeated_spans(
     marked = repeated_gram_starts(
         df, text_col, id_col, min_len=min_len, min_count=min_count, keep=keep
     )
+    return _rebuild_without_spans(df, marked, text_col, id_col, min_len)
+
+
+def _rebuild_without_spans(
+    df: DataFrame,
+    marked: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int,
+) -> DataFrame:
+    """(id, text, n_tokens, removed_tokens) for EVERY input doc, with the
+    tokens covered by any marked (id, pos) window deleted: one
+    collect_list shuffle over the marked rows, broadcast-joined back,
+    then native interval-merge + indexed token filter inside the row."""
     per_doc = marked.groupBy(id_col).agg(
         F.collect_list("pos").alias("__starts")
     )
@@ -204,3 +226,79 @@ def remove_repeated_spans(
         F.size(toks).alias("n_tokens"),
         (F.size(toks) - F.size(kept)).alias("removed_tokens"),
     )
+
+
+def span_gram_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+) -> DataFrame:
+    """(gh, cnt) gram-frequency rows for a batch — the persistable state
+    of incremental ExactSubstr. Counts are over the batch's RAW text
+    (pre-removal): the one-shot semantics count every occurrence ever
+    ingested, including ones later deleted from an output document, so
+    the store must too. ~16 bytes per distinct gram per batch; roll up
+    across batches with a group-sum (`merge_span_index`)."""
+    return (
+        _gram_inventory(df, text_col, id_col, min_len)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_span_index(index: DataFrame) -> DataFrame:
+    """Fold multiple batches' (gh, cnt) rows into one row per gram —
+    counts are plain sums, so per-batch indexes merge exactly (the same
+    mergeable-rollup property as the profiling sketches)."""
+    return index.groupBy("gh").agg(F.sum("cnt").alias("cnt"))
+
+
+def remove_spans_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Incremental ExactSubstr: delete from ``batch`` every >= min_len
+    token span whose gram totals (store + this batch) exceed
+    ``min_count``, exempting occurrences that are the GLOBAL first —
+    i.e. the gram is absent from the store AND this is its first
+    (id, pos) within the batch. keep='first' is the only semantics that
+    makes sense incrementally (earlier batches are immutable — their
+    copies cannot be retro-deleted), and with ``min_count=1`` the
+    batch-by-batch outputs are EXACTLY the one-shot
+    `remove_repeated_spans(keep='first')` outputs over the concatenated
+    corpus, provided ids arrive in increasing order (arrival-order
+    firsts, the same convention as `incremental_ingest_sink`); the
+    equivalence is pinned in tests. With ``min_count > 1`` a gram that
+    only crosses the threshold in a LATER batch under-removes earlier
+    copies — the inherent cost of not seeing the future.
+
+    Plan shape per batch: the batch gram inventory shuffles once by gram
+    hash (window: batch count + batch first), the store side arrives
+    already gram-keyed (one shuffle of (gh, cnt) rows — signature-sized,
+    not corpus-sized), and the rebuild is the shared broadcast-join +
+    interval fold."""
+    from pyspark.sql import Window
+
+    grams = _gram_inventory(batch, text_col, id_col, min_len)
+    w = Window.partitionBy("gh")
+    g = grams.withColumn("batch_cnt", F.count(F.lit(1)).over(w)).withColumn(
+        "batch_first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    )
+    idx = merge_span_index(index.select("gh", "cnt")).withColumnRenamed(
+        "cnt", "store_cnt"
+    )
+    j = g.join(idx, "gh", "left_outer")
+    total = F.coalesce(F.col("store_cnt"), F.lit(0)) + F.col("batch_cnt")
+    is_global_first = F.col("store_cnt").isNull() & (
+        (F.col(id_col) == F.col(f"batch_first.{id_col}"))
+        & (F.col("pos") == F.col("batch_first.pos"))
+    )
+    marked = j.filter(
+        (total > F.lit(int(min_count))) & ~is_global_first
+    ).select(id_col, "pos")
+    return _rebuild_without_spans(batch, marked, text_col, id_col, min_len)

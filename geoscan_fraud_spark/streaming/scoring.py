@@ -541,3 +541,61 @@ def prepared_ingest_sink(
         empty_schema,
         optional_index_cols=["bands"],
     )
+
+
+def span_ingest_sink(
+    index_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    min_count: int = 1,
+):
+    """Incremental ExactSubstr at ingest: each micro-batch has its
+    repeated >= ``min_len`` token spans deleted against the persisted
+    gram-count store (`operators/spans.remove_spans_against_index` —
+    keep='first' semantics, exact one-shot equivalence at
+    ``min_count=1``), rewritten docs land in ``out_path`` and the RAW
+    batch's gram counts (pre-removal — the one-shot totals count every
+    occurrence ever ingested) append to ``index_path``.
+
+    Same retry contract as `incremental_ingest_sink`: both writes are
+    `batch_id=N` overwrites and the store read filters to STRICTLY
+    EARLIER batches (partition-pruned), so a replayed micro-batch
+    rewrites itself identically instead of marking its own spans as
+    already-ingested duplicates. Store cost: ~16 bytes per distinct
+    gram per batch; the per-batch read is a partition-pruned scan +
+    group-sum over gram hashes (signature-sized, the corpus stays
+    cold)."""
+    from geoscan_fraud_spark.operators.spans import (
+        remove_spans_against_index,
+        span_gram_index,
+    )
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            raw = spark.read.parquet(index_path)
+            idx = raw.filter(F.col("batch_id") < batch_id).select("gh", "cnt")
+        except AnalysisException:
+            # bootstrap only: the index path does not exist yet; any
+            # other failure (corruption, schema drift) must surface
+            idx = spark.createDataFrame([], "gh long, cnt bigint")
+        cleaned = remove_spans_against_index(
+            batch_df,
+            idx,
+            text_col=text_col,
+            id_col=id_col,
+            min_len=min_len,
+            min_count=min_count,
+        )
+        cleaned.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        span_gram_index(
+            batch_df, text_col=text_col, id_col=id_col, min_len=min_len
+        ).write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
+
+    return inner

@@ -272,3 +272,68 @@ def test_merge_start_spans_property(spark):
     }
     exp = {i: py_merge(s) for i, s in rows}
     assert got == exp
+
+
+def test_incremental_spans_equal_one_shot(spark):
+    """Batch-by-batch removal against the accumulating gram store must
+    equal the one-shot remove_repeated_spans(keep='first') over the full
+    corpus EXACTLY (min_count=1, ids arriving in increasing order)."""
+    from geoscan_fraud_spark.operators.spans import (
+        merge_span_index,
+        remove_spans_against_index,
+        span_gram_index,
+    )
+
+    docs = _corpus(19, n_docs=12)  # ids 0..11 + 100, 101
+    docs = sorted(docs)
+    full = spark.createDataFrame(docs, "doc_id int, text string")
+    one_shot = {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in remove_repeated_spans(full, min_len=5, keep="first").collect()
+    }
+
+    cut = len(docs) // 2
+    batches = [docs[:cut], docs[cut:]]
+    store = spark.createDataFrame([], "gh long, cnt bigint")
+    got = {}
+    for b in batches:
+        bdf = spark.createDataFrame(b, "doc_id int, text string")
+        out = remove_spans_against_index(bdf, store, min_len=5).collect()
+        got.update(
+            {r["doc_id"]: (r["text"], r["removed_tokens"]) for r in out}
+        )
+        store = merge_span_index(
+            store.unionByName(span_gram_index(bdf, min_len=5))
+        ).localCheckpoint(eager=True)
+    assert got == one_shot
+    assert sum(v[1] for v in got.values()) > 0
+
+
+def test_span_ingest_sink_idempotent_and_equivalent(spark, tmp_path):
+    """The foreachBatch sink: two batches through the store == one-shot;
+    replaying a committed batch rewrites it identically (the strictly-
+    earlier store read ignores the batch's own delta)."""
+    from geoscan_fraud_spark.streaming.scoring import span_ingest_sink
+
+    docs = sorted(_corpus(23, n_docs=10))
+    full = spark.createDataFrame(docs, "doc_id int, text string")
+    one_shot = {
+        r["doc_id"]: r["text"]
+        for r in remove_repeated_spans(full, min_len=5, keep="first").collect()
+    }
+    idx, out = str(tmp_path / "gidx"), str(tmp_path / "gout")
+    sink = span_ingest_sink(idx, out, min_len=5)
+    cut = len(docs) // 2
+    b0 = spark.createDataFrame(docs[:cut], "doc_id int, text string")
+    b1 = spark.createDataFrame(docs[cut:], "doc_id int, text string")
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == one_shot
+    sink(b1, 1)  # crash-replay of the last batch
+    again = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert again == one_shot

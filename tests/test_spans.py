@@ -337,3 +337,36 @@ def test_span_ingest_sink_idempotent_and_equivalent(spark, tmp_path):
         r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
     }
     assert again == one_shot
+
+
+def test_span_store_compaction_preserves_decisions(spark, tmp_path):
+    """`compact_index` (written for the signature store) works unchanged
+    on the gram-count store: folding old batch_id partitions into the
+    batch_id=-1 base must not change a later batch's rewrite, and the
+    kept-unfolded newest batch keeps the crash-replay guard intact."""
+    from geoscan_fraud_spark.sources.io import compact_index
+    from geoscan_fraud_spark.streaming.scoring import span_ingest_sink
+
+    docs = sorted(_corpus(29, n_docs=12))
+    idx, out = str(tmp_path / "gidx"), str(tmp_path / "gout")
+    sink = span_ingest_sink(idx, out, min_len=5)
+    thirds = [docs[:5], docs[5:10], docs[10:]]
+    for i, b in enumerate(thirds[:2]):
+        sink(spark.createDataFrame(b, "doc_id int, text string"), i)
+
+    b2 = spark.createDataFrame(thirds[2], "doc_id int, text string")
+    sink(b2, 2)
+    before = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+
+    folded = compact_index(spark, idx, keep_last=1)
+    assert folded == 2  # batches 0 and 1 -> base; batch 2 kept unfolded
+
+    sink(b2, 2)  # crash-replay of the newest batch against the compacted store
+    after = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    assert after == before

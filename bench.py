@@ -372,10 +372,40 @@ def main():
         )
         return assign_token_shards(docs, shard_tokens=20_000)
 
+    _span_store: dict[str, object] = {}
+
+    def bench_span_incremental(spark, sf_dir):
+        """The RECURRING cost of incremental ExactSubstr: the gram-count
+        store is built once per bench process (in production a persisted
+        parquet store amortized over every ingest cycle); timed is one
+        batch rewritten against it — window + store join + rebuild."""
+        from pyspark.sql import functions as F
+
+        from geoscan_fraud_spark.operators.spans import (
+            remove_spans_against_index,
+            span_gram_index,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        if sf_dir not in _span_store:
+            _span_store[sf_dir] = span_gram_index(
+                docs, min_len=8
+            ).localCheckpoint(eager=True)
+        words = F.split(F.col("text"), r"\s+")
+        batch = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.filter(words, lambda w, i: (i % 17) != 3)
+            ).alias("text"),
+        )
+        return remove_spans_against_index(batch, _span_store[sf_dir], min_len=8)
+
     extras = {
         "decontaminate": bench_decontaminate,
         "remove_repeated_spans": bench_remove_spans,
         "token_shards": bench_token_shards,
+        "span_incremental_query": bench_span_incremental,
         "pack_documents": bench_pack_documents,
         "sample_mixture": bench_sample_mixture,
         # round-5/6 operators (VERDICT r05 #5): the three are registered

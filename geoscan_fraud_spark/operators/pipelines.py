@@ -14,7 +14,10 @@ removed; split assignment is map-only and last):
        reference corpus)
     2. exact + near dedup (minhash_dedup, guard defaults on)
     3. benchmark decontamination (broadcast n-gram probe)
-    4. deterministic train/val/test split (map-only salted hash)
+    4. (optional) ExactSubstr span removal — repeated token spans that
+       survived DOC-level dedup (cross-page boilerplate) deleted in
+       place, first occurrence kept; emptied docs drop
+    5. deterministic train/val/test split (map-only salted hash)
 
 Laziness: the returned DataFrames materialize when acted on, and the
 stage report is itself a DataFrame (one count aggregate per stage,
@@ -94,6 +97,8 @@ def prepare_training_corpus(
     max_nll: float | None = None,
     quality_model=None,
     min_p_good: float | None = None,
+    span_min_len: int | None = None,
+    span_min_count: int = 1,
 ) -> dict[str, DataFrame]:
     """Run the full preparation recipe; returns a dict of DataFrames:
 
@@ -139,6 +144,16 @@ def prepare_training_corpus(
     joins the audit columns; docs below the bound reject as
     ``"quality_model"``. The classifier sees the same (optionally
     normalized) text as every other signal.
+
+    ``span_min_len`` adds the substring-level pass (Lee et al. 2021,
+    `operators/spans.remove_repeated_spans` with keep='first'): token
+    spans of at least that length repeated ``span_min_count+1`` or more
+    times across the decontaminated corpus are deleted in place; docs
+    emptied entirely drop (reported as the ``after_spans`` stage). The
+    pass runs on the RAW text — exact-substring semantics want real
+    bytes, not the normalized decision shadow — and rewrites survivors
+    with single-space joins (the span operator's documented
+    normalization).
     """
     if (url_col is None) != (domain_blocklist is None):
         raise ValueError("pass url_col and domain_blocklist together")
@@ -241,6 +256,34 @@ def prepare_training_corpus(
         clean = deduped
     if normalize_signatures:
         clean = clean.drop(sig_col)
+    decontaminated = clean
+
+    if span_min_len is not None:
+        # substring-level pass AFTER doc-level dedup (the Lee et al.
+        # combination): repeated >= span_min_len token spans surviving
+        # the near-dup stage (boilerplate shared by otherwise-distinct
+        # pages) are deleted in place, first occurrence kept; docs whose
+        # every token was a repeat drop out. Runs on the REAL text
+        # (exact-substring semantics want raw bytes, not the normalized
+        # decision shadow). Note the rewrite re-joins surviving tokens
+        # with single spaces (remove_repeated_spans' documented
+        # normalization).
+        from geoscan_fraud_spark.operators.spans import remove_repeated_spans
+
+        rewritten = remove_repeated_spans(
+            clean.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            min_len=span_min_len,
+            min_count=span_min_count,
+            keep="first",
+        )
+        clean = clean.drop(text_col).join(
+            rewritten.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+                id_col, text_col
+            ),
+            id_col,
+        )
 
     corpus = assign_splits(
         clean, weights=split_weights, id_col=id_col, salt=split_salt
@@ -257,6 +300,8 @@ def prepare_training_corpus(
     report = (
         report.unionByName(_count("quality_passed", passed))
         .unionByName(_count("after_dedup", deduped))
-        .unionByName(_count("after_decontam", clean))
+        .unionByName(_count("after_decontam", decontaminated))
     )
+    if span_min_len is not None:
+        report = report.unionByName(_count("after_spans", clean))
     return {"annotated": annotated, "corpus": corpus, "report": report}

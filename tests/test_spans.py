@@ -370,3 +370,45 @@ def test_span_store_compaction_preserves_decisions(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/batch_id=2").collect()
     }
     assert after == before
+
+
+def test_pipeline_span_stage(spark):
+    """span_min_len composes into prepare_training_corpus: a boilerplate
+    paragraph shared by otherwise-distinct docs (below the near-dup
+    threshold) is excised from all but its first occurrence; a doc that
+    was nothing but the boilerplate drops, and the report gains the
+    after_spans stage."""
+    from geoscan_fraud_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+
+    rng = random.Random(31)
+    vocab = [f"w{k}" for k in range(200)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(12))
+    docs = []
+    for i in range(8):
+        body = " ".join(rng.choice(vocab) for _ in range(40))
+        docs.append((i, f"{body} {boiler}"))
+    docs.append((50, boiler))  # boilerplate-only page
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    out = prepare_training_corpus(df, span_min_len=6)
+    corpus = {r["doc_id"]: r["text"] for r in out["corpus"].collect()}
+    assert 50 not in corpus  # emptied by the span pass (boiler's first
+    # occurrence is in doc 0, which keeps it)
+    assert boiler in corpus[0]
+    for i in range(1, 8):
+        assert boiler not in corpus[i]
+        assert len(corpus[i].split()) == 40
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert report["after_spans"] == 8
+    assert report["after_decontam"] == 9  # counted before the span pass
+
+    # without the stage nothing is rewritten and no after_spans row exists
+    base = prepare_training_corpus(df)
+    assert boiler in {
+        r["doc_id"]: r["text"] for r in base["corpus"].collect()
+    }[3]
+    assert "after_spans" not in {
+        r["stage"] for r in base["report"].collect()
+    }

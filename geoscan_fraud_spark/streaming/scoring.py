@@ -599,3 +599,66 @@ def span_ingest_sink(
         ).write.mode("overwrite").parquet(f"{index_path}/batch_id={batch_id}")
 
     return inner
+
+
+def bloom_ingest_sink(
+    digest_path: str,
+    out_path: str,
+    key_col: str = "text",
+    expected_items: int = 1_000_000,
+    fpr: float = 0.01,
+):
+    """Exact-dedup at ingest with O(1) state (the Dolma mechanism): each
+    micro-batch drops rows whose ``key_col`` probes positive against the
+    OR of all prior batches' Bloom digests (`operators/bloomset`), plus
+    exact repeats within the batch (keyed min-id groupBy — the digest
+    cannot see intra-batch order); survivors land in ``out_path`` and
+    the batch's own digest (built over the RAW batch keys, so replays
+    and rejected rows stay represented) appends to ``digest_path``.
+
+    vs the MinHash signature store (`neardup_ingest_sink`): this guard
+    is EXACT-match only, but its state is ~1.2 bytes/key at 1% FPR flat
+    (a digest row per batch, OR-merged at read) and the probe is a
+    broadcast map pass — no store join at all. The documented cost is
+    one-sided: a false positive silently drops a genuinely NEW document
+    (at ~fpr); a seen key is never missed. Retry contract as ever:
+    batch_id=N overwrites + strictly-earlier digest read."""
+    from geoscan_fraud_spark.operators.bloomset import (
+        build_bloom,
+        merge_blooms,
+        probe_bloom,
+    )
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        prior = None
+        try:
+            rows = (
+                spark.read.parquet(digest_path)
+                .filter(F.col("batch_id") < batch_id)
+                .collect()
+            )
+            if rows:
+                prior = merge_blooms([bytes(r["bits"]) for r in rows])
+        except AnalysisException:
+            prior = None  # bootstrap: no digests yet
+
+        w_first = batch_df.groupBy(key_col).agg(
+            F.min(F.struct("*")).alias("__r")
+        ).select("__r.*")
+        if prior is not None:
+            probed = probe_bloom(
+                w_first, prior, key_col, expected_items, fpr
+            )
+            kept = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        else:
+            kept = w_first
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        digest = build_bloom(batch_df, key_col, expected_items, fpr)
+        spark.createDataFrame(
+            [(bytearray(digest),)], "bits binary"
+        ).write.mode("overwrite").parquet(f"{digest_path}/batch_id={batch_id}")
+
+    return inner

@@ -151,9 +151,9 @@ def prepare_training_corpus(
     times across the decontaminated corpus are deleted in place; docs
     emptied entirely drop (reported as the ``after_spans`` stage). The
     pass runs on the RAW text — exact-substring semantics want real
-    bytes, not the normalized decision shadow — and rewrites survivors
-    with single-space joins (the span operator's documented
-    normalization).
+    bytes, not the normalized decision shadow. Only documents a span
+    was actually removed from are rewritten (with the span operator's
+    single-space joins); untouched documents keep their original bytes.
     """
     if (url_col is None) != (domain_blocklist is None):
         raise ValueError("pass url_col and domain_blocklist together")
@@ -278,11 +278,28 @@ def prepare_training_corpus(
             min_count=span_min_count,
             keep="first",
         )
-        clean = clean.drop(text_col).join(
-            rewritten.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-                id_col, text_col
-            ),
-            id_col,
+        # only docs a span was actually removed from take the rewritten
+        # text — untouched docs keep their original bytes (the span
+        # operator re-joins tokens with single spaces, and flattening
+        # EVERY doc's whitespace corpus-wide would destroy paragraph
+        # structure downstream consumers rely on)
+        changed = rewritten.filter(F.col("removed_tokens") > 0)
+        emptied = changed.filter(
+            F.length(F.trim(F.col(text_col))) == 0
+        ).select(id_col)
+        clean = (
+            clean.join(emptied, id_col, "left_anti")
+            .join(
+                changed.select(
+                    id_col, F.col(text_col).alias("__span_text")
+                ),
+                id_col,
+                "left_outer",
+            )
+            .withColumn(
+                text_col, F.coalesce(F.col("__span_text"), F.col(text_col))
+            )
+            .drop("__span_text")
         )
 
     corpus = assign_splits(

@@ -160,8 +160,14 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    # manifest from the WRITTEN files, not from `assigned`: re-evaluating
+    # the assignment plan would run the offsets join + corpus-wide
+    # running-sum window a second time, where the read-back is a pruned
+    # columnar scan of two columns — and it counts what actually landed
+    spark = df.sparkSession
     return (
-        assigned.groupBy("shard")
+        spark.read.parquet(path)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"),

@@ -37,10 +37,12 @@ whitespace (matching `token_frequencies` / `fit_unigram_lm`), not BPE
 ids — run it after `bpe_segment` for token-exact parity; (2) rebuilt
 text is the surviving tokens joined by single spaces (original
 whitespace inside removed-adjacent regions is not preserved); (3) spans
-are detected through 64-bit hashes, so two DIFFERENT L-grams colliding
-in xxhash64 space could over-count — at 2^64 the expected collision at
-a trillion distinct grams is ~0.03 pairs, the standard fingerprinting
-trade every MinHash/SimHash stage here already makes.
+are detected through 64-bit hashes of the token-array slice (no
+join-separator a malicious token could forge), so two DIFFERENT
+L-grams colliding requires an actual xxhash64 collision — at 2^64 the
+expected collision at a trillion distinct grams is ~0.03 pairs, the
+standard fingerprinting trade every MinHash/SimHash stage here already
+makes.
 """
 
 from __future__ import annotations
@@ -48,14 +50,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_US = "\x1f"  # unit separator: joiner whitespace-split tokens cannot contain
-
 
 def _gram_inventory(
     df: DataFrame, text_col: str, id_col: str, min_len: int
 ) -> DataFrame:
     """(id, pos, gh): every ``min_len``-gram occurrence, hashed map-side
-    (slice + xxhash64 over unit-separator-joined tokens)."""
+    — xxhash64 over the token ARRAY slice itself (Spark's hash
+    expressions fold arrays element-wise with length framing), so no
+    join-separator exists for a pathological token to forge: two
+    distinct gram sequences can only collide at the 2^-64 hash level,
+    never structurally."""
     toks = F.split(F.col(text_col), r"\s+")
     toks = F.filter(toks, lambda t: t != "")
     n = F.size(toks)
@@ -71,9 +75,7 @@ def _gram_inventory(
                 starts,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.xxhash64(
-                        F.concat_ws(_US, F.slice(toks, i + 1, min_len))
-                    ).alias("gh"),
+                    F.xxhash64(F.slice(toks, i + 1, min_len)).alias("gh"),
                 ),
             )
         ).alias("g"),

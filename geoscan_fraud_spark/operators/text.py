@@ -599,6 +599,12 @@ def perplexity_buckets(
         raise ValueError(
             f"need len(cuts)+1 labels, got {len(cuts)} cuts / {len(labels)} labels"
         )
+    for reserved in ("__cuts", "__by"):
+        if reserved in scored.columns:
+            raise ValueError(
+                f"{reserved!r} is reserved by perplexity_buckets; rename "
+                "that column"
+            )
     group = [by] if by is not None else []
     pcts = F.array(*[F.lit(float(c)) for c in cuts])
     if exact:
@@ -611,7 +617,17 @@ def perplexity_buckets(
         bounds_agg
     )
     if group:
-        out = scored.join(F.broadcast(bounds), group, "left_outer")
+        # NULL-SAFE group match: an equi-join would silently drop the
+        # NULL-group bounds row and every NULL-group doc would fall
+        # through the label chain to the last bucket regardless of its
+        # perplexity — unknown-language docs systematically binned
+        # 'tail' under CCNet's per-language cuts
+        bounds = bounds.withColumnRenamed(by, "__by")
+        out = scored.join(
+            F.broadcast(bounds),
+            F.col(by).eqNullSafe(F.col("__by")),
+            "left_outer",
+        ).drop("__by")
     else:
         out = scored.crossJoin(F.broadcast(bounds))
     label = F.lit(labels[-1])

@@ -566,7 +566,16 @@ def span_ingest_sink(
     already-ingested duplicates. Store cost: ~16 bytes per distinct
     gram per batch; the per-batch read is a partition-pruned scan +
     group-sum over gram hashes (signature-sized, the corpus stays
-    cold)."""
+    cold).
+
+    Compaction caveat (this store COUNT-sums where the signature store
+    set-unions): `sources/io.compact_index` works on this layout, but
+    its crash-recovery contract tolerates transient DUPLICATE rows —
+    idempotent for signature matching, a 2x over-count here, which
+    biases toward deleting spans that were seen only once (quality-
+    conservative, data-lossy). After a compaction crash, complete the
+    manual recovery in compact_index's docstring BEFORE restarting this
+    stream; do not ingest through a half-swapped store."""
     from geoscan_fraud_spark.operators.spans import (
         remove_spans_against_index,
         span_gram_index,
@@ -605,14 +614,17 @@ def bloom_ingest_sink(
     digest_path: str,
     out_path: str,
     key_col: str = "text",
+    id_col: str = "doc_id",
     expected_items: int = 1_000_000,
     fpr: float = 0.01,
 ):
     """Exact-dedup at ingest with O(1) state (the Dolma mechanism): each
     micro-batch drops rows whose ``key_col`` probes positive against the
     OR of all prior batches' Bloom digests (`operators/bloomset`), plus
-    exact repeats within the batch (keyed min-id groupBy — the digest
-    cannot see intra-batch order); survivors land in ``out_path`` and
+    exact repeats within the batch (`operators/dedup.exact_dedup_agg`,
+    keep min ``id_col`` — the digest cannot see intra-batch order);
+    NULL keys are never dedupable and always pass; survivors land in
+    ``out_path`` and
     the batch's own digest (built over the RAW batch keys, so replays
     and rejected rows stay represented) appends to ``digest_path``.
 
@@ -645,14 +657,24 @@ def bloom_ingest_sink(
         except AnalysisException:
             prior = None  # bootstrap: no digests yet
 
-        w_first = batch_df.groupBy(key_col).agg(
-            F.min(F.struct("*")).alias("__r")
-        ).select("__r.*")
+        from geoscan_fraud_spark.operators.dedup import exact_dedup_agg
+
+        # within-batch: keep the min-id row per key; NULL keys are not
+        # dedupable and pass through untouched (exact_dedup_agg groups
+        # them under the '<null>' marker — exempt them from the group)
+        nulls = batch_df.filter(F.col(key_col).isNull())
+        w_first = exact_dedup_agg(
+            batch_df.filter(F.col(key_col).isNotNull()), [key_col], id_col
+        ).unionByName(nulls)
         if prior is not None:
             probed = probe_bloom(
                 w_first, prior, key_col, expected_items, fpr
             )
-            kept = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            # NULL-key rows probe NULL — coalesce keeps them (a NULL
+            # predicate would silently drop them from batch 1 onward)
+            kept = probed.filter(
+                ~F.coalesce(F.col("maybe_seen"), F.lit(False))
+            ).drop("maybe_seen")
         else:
             kept = w_first
         kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")

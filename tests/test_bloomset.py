@@ -110,3 +110,27 @@ def test_bloom_ingest_guard(spark, tmp_path):
     sink(b1, 1)  # crash-replay: strictly-earlier digest read keeps output stable
     again = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert again == kept
+
+
+def test_bloom_ingest_null_keys_pass_every_batch(spark, tmp_path):
+    """Review fix: NULL keys are never dedupable — they must survive in
+    EVERY batch, not just the bootstrap one, and within-batch dedup must
+    keep the MIN-ID row per key regardless of column order."""
+    from geoscan_fraud_spark.streaming.scoring import bloom_ingest_sink
+
+    idx, out = str(tmp_path / "b"), str(tmp_path / "d")
+    sink = bloom_ingest_sink(idx, out, key_col="text", id_col="doc_id",
+                             expected_items=100, fpr=0.001)
+    # column order deliberately (text, doc_id): min must still be by id
+    b0 = spark.createDataFrame(
+        [("same", 7), ("same", 3), (None, 1)], "text string, doc_id int"
+    )
+    b1 = spark.createDataFrame(
+        [("fresh", 10), (None, 11)], "text string, doc_id int"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    kept = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert (3, "same") in kept and (7, "same") not in kept  # min-id wins
+    assert (1, None) in kept and (11, None) in kept  # NULLs always pass
+    assert (10, "fresh") in kept

@@ -340,10 +340,13 @@ def test_span_ingest_sink_idempotent_and_equivalent(spark, tmp_path):
 
 
 def test_span_store_compaction_preserves_decisions(spark, tmp_path):
-    """`compact_index` (written for the signature store) works unchanged
-    on the gram-count store: folding old batch_id partitions into the
-    batch_id=-1 base must not change a later batch's rewrite, and the
-    kept-unfolded newest batch keeps the crash-replay guard intact."""
+    """`compact_index` (written for the signature store) folds the
+    gram-count store too: a completed fold must not change a later
+    batch's rewrite, and the kept-unfolded newest batch keeps the
+    crash-replay guard intact. (A fold that CRASHES mid-swap can leave
+    transient duplicate rows, which this count-summing store reads as
+    over-counts — recovery before restart is documented in
+    span_ingest_sink; only the completed-fold path is pinned here.)"""
     from geoscan_fraud_spark.sources.io import compact_index
     from geoscan_fraud_spark.streaming.scoring import span_ingest_sink
 
@@ -412,3 +415,46 @@ def test_pipeline_span_stage(spark):
     assert "after_spans" not in {
         r["stage"] for r in base["report"].collect()
     }
+
+
+def test_perplexity_buckets_null_group_gets_own_cuts(spark):
+    """Review fix: NULL `by` keys must match their own bounds row via a
+    null-safe join — not fall through to 'tail' unconditionally."""
+    rows = [
+        (1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+        (4, None, 1.0), (5, None, 2.0), (6, None, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, ppl double")
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(df, by="lang", exact=True).collect()
+    }
+    # the NULL group has its own terciles: 1.0 head, 2.0 middle, 30.0 tail
+    assert got[4] == "head" and got[5] == "middle" and got[6] == "tail"
+    assert got[1] == "head" and got[3] == "tail"
+
+
+def test_perplexity_buckets_reserved_columns(spark):
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id int, ppl double, __cuts double")
+    with pytest.raises(ValueError, match="__cuts"):
+        perplexity_buckets(df, exact=True)
+
+
+def test_pipeline_span_stage_preserves_untouched_bytes(spark):
+    """Review fix: docs without any removed span keep their ORIGINAL
+    text byte-for-byte (newlines included) — only changed docs are
+    rewritten with single-space joins."""
+    from geoscan_fraud_spark.operators.pipelines import prepare_training_corpus
+
+    boiler = "x1 x2 x3 x4 x5 x6"
+    pristine = "first paragraph here now\n\nsecond paragraph stays intact"
+    docs = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"one two three four five six {boiler}"),
+        (3, pristine),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = prepare_training_corpus(df, span_min_len=6)
+    corpus = {r["doc_id"]: r["text"] for r in out["corpus"].collect()}
+    assert corpus[3] == pristine  # untouched: original bytes, newlines intact
+    assert boiler in corpus[1] and boiler not in corpus[2]

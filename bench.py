@@ -430,6 +430,9 @@ def main():
         "prepared_ingest_stream": bench_prepared_ingest,
         "dsir_sample": bench_dsir,
         "lm_bigram": bench_lm_bigram,
+        # round-7: embedding-space decontamination (registered entry —
+        # map-only corpus probe against one broadcast benchmark row)
+        "semantic_decontam": QUERIES["semantic_decontam"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

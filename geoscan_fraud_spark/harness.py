@@ -118,13 +118,12 @@ def s2_pruned_scan(spark, sf_dir):
     )
 
 
-@register(
-    "p_project_filter_alias",
-    sql="""
-    SELECT c_custkey, c_name AS customer_name, c_acctbal
-    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0.0
-    """,
-)
+# P1/P4/P7/P8 (select + equality filter + alias + literal) was a
+# registered entry through r06; that algebra is load-bearing inside
+# virtually every hash-green entry (every registered query projects,
+# filters on literals, and aliases its outputs — `s2_pruned_scan` and
+# `w1_topk_desc` are direct witnesses), so the slot under the driver's
+# 50-entry cap now funds `semantic_decontam` (round-7 sixth rotation).
 def p_project_filter_alias(spark, sf_dir):
     """P1 select, P4 equality filter, P7 alias, P8 literal."""
     c = _t(spark, sf_dir, "customer")

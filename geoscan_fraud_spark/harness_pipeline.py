@@ -297,6 +297,58 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "semantic_decontam",
+    sql="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    para AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_transform(e, x -> x * (CASE WHEN x > 0 THEN 1.2 ELSE 1.0 END)) AS e
+             FROM c WHERE vec_id % 97 = 0),
+    corpus AS (SELECT * FROM c UNION ALL SELECT * FROM para),
+    b AS (SELECT e, sqrt(list_dot_product(e, e)) AS n FROM c
+          WHERE vec_id % 97 = 0 AND sqrt(list_dot_product(e, e)) > 0),
+    cc AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM corpus
+           WHERE sqrt(list_dot_product(e, e)) > 0)
+    SELECT cc.vec_id AS vec_id,
+           ROUND(MAX(list_dot_product(cc.e, b.e) / (cc.n * b.n)), 6) AS max_sim
+    FROM cc, b GROUP BY cc.vec_id
+    HAVING MAX(list_dot_product(cc.e, b.e) / (cc.n * b.n)) >= 0.9
+    ORDER BY vec_id
+    """,
+)
+def semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination hits (`operators/decontam.
+    semantic_contamination_hits`): benchmark = every 97th vector, corpus
+    = all vectors plus planted 'paraphrases' of the benchmark rows
+    (positive coordinates scaled 1.2x — cosine ~0.996, well above the
+    0.9 threshold while natural pairs top out ~0.35). Exercises both hit
+    tiers: exact benchmark copies at 1.0 and paraphrases at ~0.996. The
+    probe itself is map-only — the benchmark folds into one broadcast
+    row and the corpus never shuffles (the hit aggregation carries only
+    flagged rows)."""
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    para = e.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x * F.when(x > 0, F.lit(1.2)).otherwise(F.lit(1.0)),
+        ).alias("embedding"),
+    )
+    bench = e.filter(F.col("vec_id") % 97 == 0).select("embedding")
+    hits = semantic_contamination_hits(
+        e.unionByName(para),
+        bench,
+        threshold=0.9,
+        emb_col="embedding",
+        id_col="vec_id",
+    )
+    return hits.withColumn("max_sim", F.round("max_sim", 6)).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

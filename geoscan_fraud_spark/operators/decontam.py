@@ -68,3 +68,94 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+
+def semantic_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "emb",
+    id_col: str = "doc_id",
+    bench_emb_col: str | None = None,
+) -> DataFrame:
+    """(id, max_sim): corpus rows whose embedding is cosine-similar
+    (``>= threshold``) to ANY benchmark embedding — the paraphrase-level
+    complement of the n-gram probe above (an eval question rewritten in
+    different words shares no 8-gram but still lands next to the original
+    in embedding space).
+
+    100 TB shape, same contract as `contamination_hits`: the benchmark
+    side is SMALL (eval suites), so its vectors fold into ONE row — an
+    array of (vector, norm) structs — that broadcasts to every corpus
+    partition via a broadcast nested-loop join of a single row. The probe
+    is then entirely map-side: each corpus row computes its norm once and
+    a max over benchmark cosines; the corpus never shuffles, and only the
+    (rare) hits survive the filter. A thousand 64-dim benchmark vectors
+    is ~0.5 MB of broadcast state; for benchmark sets large enough that
+    the fold itself is a problem (millions of vectors), use the persisted
+    IVF index (`operators/similarity.ivf_index_query`) instead — this
+    operator is deliberately the exact, small-benchmark path.
+
+    Zero-norm vectors have no direction: they are dropped from the
+    benchmark fold and never flagged on the corpus side (guarded
+    explicitly — Spark orders NaN above every number, so an unguarded
+    0/0 would otherwise flag every zero-norm doc as contaminated).
+
+    Cosine algebra matches `dedup_embedding_lsh` (double-cast fold dot,
+    ``dot / (norm_a * norm_b)``) so results replay exactly in DuckDB via
+    ``list_dot_product``.
+    """
+    from geoscan_fraud_spark.operators.dedup import dot_expr, norm_expr
+
+    for reserved in ("__cn", "__bench"):
+        if reserved in corpus.columns:
+            raise ValueError(
+                f"corpus already has a {reserved!r} column — it is "
+                "reserved by semantic_contamination_hits; rename it"
+            )
+    bcol = bench_emb_col or emb_col
+    bench_row = (
+        benchmark.select(
+            F.struct(
+                F.transform(F.col(bcol), lambda x: x.cast("double")).alias("e"),
+                norm_expr(F.col(bcol)).alias("n"),
+            ).alias("s")
+        )
+        .filter(F.col("s.n") > 0)
+        .agg(F.collect_list("s").alias("__bench"))
+    )
+    probed = corpus.withColumn("__cn", norm_expr(F.col(emb_col))).crossJoin(
+        F.broadcast(bench_row)
+    )
+    sims = F.transform(
+        F.col("__bench"),
+        lambda s: dot_expr(F.col(emb_col), s["e"]) / (F.col("__cn") * s["n"]),
+    )
+    return (
+        probed.filter(F.col("__cn") > 0)
+        .select(F.col(id_col), F.array_max(sims).alias("max_sim"))
+        .filter(F.col("max_sim") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "emb",
+    id_col: str = "doc_id",
+    bench_emb_col: str | None = None,
+) -> DataFrame:
+    """Corpus minus rows within ``threshold`` cosine of any benchmark
+    embedding — anti-join on `semantic_contamination_hits`, so clean
+    documents stream through untouched (the anti-join's build side is
+    the tiny hit list, broadcast)."""
+    flagged = semantic_contamination_hits(
+        corpus, benchmark, threshold, emb_col, id_col, bench_emb_col
+    ).select(id_col)
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

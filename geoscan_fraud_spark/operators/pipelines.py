@@ -99,6 +99,10 @@ def prepare_training_corpus(
     min_p_good: float | None = None,
     span_min_len: int | None = None,
     span_min_count: int = 1,
+    benchmark_emb: DataFrame | None = None,
+    emb_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    bench_emb_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation recipe; returns a dict of DataFrames:
 
@@ -154,9 +158,24 @@ def prepare_training_corpus(
     bytes, not the normalized decision shadow. Only documents a span
     was actually removed from are rewritten (with the span operator's
     single-space joins); untouched documents keep their original bytes.
+    ``benchmark_emb`` + ``emb_col`` add the semantic decontamination
+    stage (`operators/decontam.semantic_decontaminate`) right after the
+    n-gram probe: documents whose ``emb_col`` embedding is within
+    ``semantic_threshold`` cosine of ANY benchmark embedding drop — the
+    paraphrase-level complement of the n-gram stage (a rewritten eval
+    question shares no 8-gram but still lands next to the original in
+    embedding space). ``docs`` must carry the embedding column; the
+    benchmark embeddings fold into one broadcast row, so the stage is
+    map-only on the corpus (reported as ``after_semantic_decontam``).
     """
     if (url_col is None) != (domain_blocklist is None):
         raise ValueError("pass url_col and domain_blocklist together")
+    if (benchmark_emb is None) != (emb_col is None):
+        raise ValueError("pass benchmark_emb and emb_col together")
+    if emb_col is not None and emb_col not in docs.columns:
+        raise ValueError(
+            f"emb_col {emb_col!r} is not a column of docs: {docs.columns}"
+        )
     blocked_ids = None
     survivors = docs
     if url_col is not None:
@@ -258,6 +277,22 @@ def prepare_training_corpus(
         clean = clean.drop(sig_col)
     decontaminated = clean
 
+    semantic_clean = None
+    if benchmark_emb is not None:
+        from geoscan_fraud_spark.operators.decontam import (
+            semantic_decontaminate,
+        )
+
+        clean = semantic_decontaminate(
+            clean,
+            benchmark_emb,
+            threshold=semantic_threshold,
+            emb_col=emb_col,
+            id_col=id_col,
+            bench_emb_col=bench_emb_col,
+        )
+        semantic_clean = clean
+
     if span_min_len is not None:
         # substring-level pass AFTER doc-level dedup (the Lee et al.
         # combination): repeated >= span_min_len token spans surviving
@@ -319,6 +354,10 @@ def prepare_training_corpus(
         .unionByName(_count("after_dedup", deduped))
         .unionByName(_count("after_decontam", decontaminated))
     )
+    if semantic_clean is not None:
+        report = report.unionByName(
+            _count("after_semantic_decontam", semantic_clean)
+        )
     if span_min_len is not None:
         report = report.unionByName(_count("after_spans", clean))
     return {"annotated": annotated, "corpus": corpus, "report": report}

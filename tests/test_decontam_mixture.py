@@ -358,3 +358,177 @@ def test_dedup_lines_paragraph_granularity(spark):
     assert out[1] == f"unique one\n\n{boiler}\n\nunique two"
     assert out[2] == "fresh content here"
     assert out[3] == "all original\n\nnothing shared"
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sem_corpus(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),      # exact copy of bench vector
+        (2, [1.2, 2.4, 3.0, 4.0]),      # near-paraphrase of bench vector
+        (3, [4.0, -3.0, 2.0, -1.0]),    # unrelated direction
+        (4, [0.0, 0.0, 0.0, 0.0]),      # zero norm: no direction
+    ]
+    return spark.createDataFrame(rows, "doc_id long, emb array<double>")
+
+
+def test_semantic_hits_flags_copy_and_paraphrase(spark, sem_corpus):
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    bench = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0],)], "emb array<double>"
+    )
+    hits = {
+        r["doc_id"]: r["max_sim"]
+        for r in semantic_contamination_hits(
+            sem_corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert set(hits) == {1, 2}
+    assert hits[1] == pytest.approx(1.0)
+    assert 0.9 < hits[2] < 1.0
+
+
+def test_semantic_decontaminate_keeps_clean_and_zero_norm(spark, sem_corpus):
+    from geoscan_fraud_spark.operators.decontam import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0],)], "emb array<double>"
+    )
+    kept = {
+        r["doc_id"]
+        for r in semantic_decontaminate(sem_corpus, bench, 0.9).collect()
+    }
+    assert kept == {3, 4}
+
+
+def test_semantic_hits_empty_and_zero_norm_benchmark(spark, sem_corpus):
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    empty = spark.createDataFrame([], "emb array<double>")
+    assert semantic_contamination_hits(sem_corpus, empty, 0.0).count() == 0
+    # a zero-norm benchmark vector has no direction: it must flag nothing
+    # (an unguarded 0/0 would produce NaN, which Spark orders ABOVE every
+    # threshold — the guard is load-bearing, not cosmetic)
+    zero = spark.createDataFrame([([0.0, 0.0, 0.0, 0.0],)], "emb array<double>")
+    assert semantic_contamination_hits(sem_corpus, zero, 0.5).count() == 0
+
+
+def test_semantic_hits_reserved_name_raises(spark, sem_corpus):
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    bench = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "emb array<double>")
+    bad = sem_corpus.withColumn("__cn", F.lit(1))
+    with pytest.raises(ValueError, match="__cn"):
+        semantic_contamination_hits(bad, bench, 0.9)
+
+
+def test_semantic_hits_matches_numpy_reference(spark, sf_dir):
+    """Value oracle vs numpy max-cosine over the embeddings fixture:
+    benchmark = every 7th vector, threshold low enough that natural
+    neighbours qualify too."""
+    import numpy as np
+
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    e = load_fixture(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 7 == 0).select("embedding")
+    got = {
+        r["vec_id"]: r["max_sim"]
+        for r in semantic_contamination_hits(
+            e, bench, threshold=0.25, emb_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    rows = e.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    bvecs = [v for k, v in vecs.items() if k % 7 == 0]
+    want = {}
+    for k, v in vecs.items():
+        n = np.linalg.norm(v)
+        if n == 0:
+            continue
+        ms = max(float(v @ b / (n * np.linalg.norm(b))) for b in bvecs)
+        if ms >= 0.25:
+            want[k] = ms
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_semantic_probe_corpus_never_shuffles(spark, sf_dir):
+    """The benchmark folds into one broadcast row (its own tiny agg
+    exchange); the corpus side is a map-only probe — the plan must show a
+    broadcast nested-loop join and NO shuffle of corpus rows (the only
+    Exchanges belong to the single-row benchmark fold)."""
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    e = load_fixture(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 7 == 0).select("embedding")
+    plan = (
+        semantic_contamination_hits(
+            e, bench, 0.9, emb_col="embedding", id_col="vec_id"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus-side rows never hit a shuffle: the only Exchanges are the
+    # single-row benchmark fold (partial agg -> single partition) and the
+    # broadcast of that one folded row
+    for line in plan.splitlines():
+        if (
+            "Exchange" in line
+            and "SinglePartition" not in line
+            and "BroadcastExchange" not in line
+        ):
+            raise AssertionError(f"unexpected corpus-side shuffle: {line}")
+
+
+def test_pipeline_semantic_decontam_stage(spark):
+    """`prepare_training_corpus(benchmark_emb=..., emb_col=...)` drops a
+    doc whose embedding sits next to a benchmark vector even though it
+    shares no n-gram with anything, and reports the stage."""
+    from geoscan_fraud_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (1, "a perfectly ordinary training document about cooking pasta", [1.0, 0.0, 0.0, 0.0]),
+        (2, "completely different words regarding bicycle maintenance today", [0.99, 0.1, 0.0, 0.0]),  # paraphrase of bench by embedding
+        (3, "yet another unrelated document mentioning garden flowers here", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, emb array<double>")
+    bench_emb = spark.createDataFrame([([1.0, 0.05, 0.0, 0.0],)], "emb array<double>")
+    out = prepare_training_corpus(
+        docs,
+        quality_rules={"nonempty": F.length("text") > 0},
+        benchmark_emb=bench_emb,
+        emb_col="emb",
+        semantic_threshold=0.98,
+    )
+    kept = {r["doc_id"] for r in out["corpus"].collect()}
+    assert kept == {3}  # docs 1 and 2 are cosine-close to the bench vector
+    rep = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert rep["after_semantic_decontam"] == 1
+    assert rep["after_decontam"] == 3
+
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, benchmark_emb=bench_emb)
+    with pytest.raises(ValueError, match="not a column"):
+        prepare_training_corpus(docs, benchmark_emb=bench_emb, emb_col="nope")

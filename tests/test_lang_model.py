@@ -1,0 +1,138 @@
+"""Trainable fastText-style language classifier (`operators/lang_model`)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.lang_model import (
+    LangModel,
+    char_ngrams,
+    fit_lang_classifier,
+    score_lang,
+)
+
+# function-word pools with deliberate cross-language overlap ("de", "la",
+# "es" appear in several languages) — the classifier must rely on n-gram
+# DISTRIBUTIONS, not single giveaway tokens
+POOLS = {
+    "en": "the of and to in is was for that with his on as he by at from she which have not this were are".split(),
+    "fr": "le la les de des et un une dans est pour que qui avec sur au il elle ne pas ce son mais par".split(),
+    "de": "der die das und ist von den im mit nicht ein eine auf als auch es an werden aus er sie nach".split(),
+    "es": "el la los las de y en un una que es por con para no se su al lo como mas pero sus este".split(),
+}
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rnd = random.Random(7)
+    rows, i = [], 0
+    for lang, pool in POOLS.items():
+        for _ in range(60):
+            rows.append(
+                (i, lang, " ".join(rnd.choice(pool) for _ in range(20)))
+            )
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+@pytest.fixture(scope="module")
+def model(labeled):
+    return fit_lang_classifier(labeled.filter(F.col("doc_id") % 5 != 0))
+
+
+def test_char_ngrams_values_and_short_text_guard(spark):
+    df = spark.createDataFrame([(1, "Ab c"), (2, "x"), (3, "")], "id long, t string")
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", char_ngrams(F.col("t")).alias("g")).collect()
+    }
+    # sizes (1, 2, 3), lowercased: 4 unigrams + 3 bigrams + 2 trigrams
+    assert got[1] == [
+        "a", "b", " ", "c",
+        "ab", "b ", " c",
+        "ab ", "b c",
+    ]
+    # 1-char doc: only the unigram — no phantom descending-sequence grams
+    assert got[2] == ["x"]
+    assert got[3] == []
+
+
+def test_held_out_accuracy(labeled, model):
+    test = labeled.filter(F.col("doc_id") % 5 == 0)
+    truth = {r["doc_id"]: r["lang"] for r in test.select("doc_id", "lang").collect()}
+    got = {r["doc_id"]: r["lang"] for r in score_lang(test, model).collect()}
+    acc = sum(1 for d in truth if got[d] == truth[d]) / len(truth)
+    assert acc >= 0.9, f"held-out accuracy {acc}"
+
+
+def test_distinct_scripts_classify_without_marker_words(spark):
+    """Char n-grams separate scripts trivially — real zh/ru snippets
+    train and classify with no whitespace tokenization at all (the
+    failure mode the heuristic lang_id needed a script guard for)."""
+    zh = ["这是一个中文句子关于天气", "今天的天气非常好我们去公园", "他喜欢读书和写字每天都练习"]
+    ru = ["это русское предложение о погоде", "сегодня хорошая погода мы идем в парк", "он любит читать книги каждый день"]
+    rows = []
+    i = 0
+    for lang, sents in (("zh", zh), ("ru", ru)):
+        for s in sents:
+            for rep in range(4):  # repeats with rotation for a tiny train set
+                rows.append((i, lang, s[rep:] + s[:rep]))
+                i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    m = fit_lang_classifier(df.filter(F.col("doc_id") % 4 != 0))
+    test = df.filter(F.col("doc_id") % 4 == 0)
+    truth = {r["doc_id"]: r["lang"] for r in test.collect()}
+    got = {r["doc_id"]: r["lang"] for r in score_lang(test, m).collect()}
+    assert got == truth
+
+
+def test_scoring_is_map_only(labeled, model):
+    plan = (
+        score_lang(labeled, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_persistence_round_trip(spark, labeled, model, tmp_path):
+    path = str(tmp_path / "lang_model")
+    model.save(path)
+    loaded = LangModel.load(spark, path)
+    assert loaded.labels == model.labels
+    a = sorted(
+        (r["doc_id"], r["lang"], r["p_lang"])
+        for r in score_lang(labeled, model).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["lang"], r["p_lang"])
+        for r in score_lang(labeled, loaded).collect()
+    )
+    assert a == b
+
+
+def test_recipe_mismatch_fails_fast(spark, model, tmp_path):
+    import json
+    import os
+
+    path = str(tmp_path / "lang_model_bad")
+    model.save(path)
+    meta_file = os.path.join(path, "metadata", "labels.json")
+    with open(meta_file) as f:
+        meta = json.load(f)
+    meta["ngram_sizes"] = [4, 5]
+    with open(meta_file, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="recipe"):
+        LangModel.load(spark, path)
+
+
+def test_single_language_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "en", "more text")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        fit_lang_classifier(df)

@@ -103,6 +103,9 @@ def prepare_training_corpus(
     emb_col: str | None = None,
     semantic_threshold: float = 0.95,
     bench_emb_col: str | None = None,
+    lang_model=None,
+    allowed_langs: list[str] | None = None,
+    min_p_lang: float | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full preparation recipe; returns a dict of DataFrames:
 
@@ -167,6 +170,14 @@ def prepare_training_corpus(
     embedding space). ``docs`` must carry the embedding column; the
     benchmark embeddings fold into one broadcast row, so the stage is
     map-only on the corpus (reported as ``after_semantic_decontam``).
+
+    ``lang_model`` (a fitted `operators/lang_model.LangModel`) annotates
+    every document with ``lang`` + ``p_lang`` (map-only scoring);
+    ``allowed_langs`` turns that into the CCNet-style language gate —
+    docs classified outside the list reject as ``"language"``, and
+    ``min_p_lang`` additionally rejects low-confidence calls. The
+    classifier sees the same (optionally normalized) text as every other
+    signal.
     """
     if (url_col is None) != (domain_blocklist is None):
         raise ValueError("pass url_col and domain_blocklist together")
@@ -175,6 +186,10 @@ def prepare_training_corpus(
     if emb_col is not None and emb_col not in docs.columns:
         raise ValueError(
             f"emb_col {emb_col!r} is not a column of docs: {docs.columns}"
+        )
+    if (allowed_langs is not None or min_p_lang is not None) and lang_model is None:
+        raise ValueError(
+            "allowed_langs / min_p_lang require a fitted lang_model"
         )
     blocked_ids = None
     survivors = docs
@@ -230,6 +245,15 @@ def prepare_training_corpus(
         annotated = annotated.join(pg, id_col)
         if min_p_good is not None:
             rules["quality_model"] = F.col("p_good") >= min_p_good
+    if lang_model is not None:
+        from geoscan_fraud_spark.operators.lang_model import score_lang
+
+        lg = score_lang(base, lang_model, sig_col, id_col)
+        annotated = annotated.join(lg, id_col)
+        if allowed_langs is not None:
+            rules["language"] = F.col("lang").isin(list(allowed_langs))
+        if min_p_lang is not None:
+            rules["lang_confidence"] = F.col("p_lang") >= min_p_lang
     annotated = annotate_filter_reasons(annotated, rules)
     if blocked_ids is not None:
         # provenance rejection takes precedence over every text rule in

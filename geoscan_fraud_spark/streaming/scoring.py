@@ -433,6 +433,12 @@ def prepared_ingest_sink(
     bands: int = 16,
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    benchmark_emb: DataFrame | None = None,
+    emb_col: str | None = None,
+    semantic_threshold: float = 0.95,
+    bench_emb_col: str | None = None,
 ):
     """The streaming counterpart of
     `operators/pipelines.prepare_training_corpus`: each micro-batch runs
@@ -442,6 +448,14 @@ def prepared_ingest_sink(
     offline-fitted ``quality_model`` + ``min_p_good``, scored map-only
     per batch) and the survivors dedup against the
     persisted MinHash store exactly as `neardup_ingest_sink`.
+
+    ``benchmark`` adds the n-gram decontamination stage and
+    ``benchmark_emb`` + ``emb_col`` the semantic (embedding-space) one,
+    both applied to the dedup survivors — same order as the batch
+    pipeline. Each is a STATIC relation probed per micro-batch as a
+    broadcast map pass (grams deduped + broadcast; embeddings folded
+    into one broadcast row), so the decontamination gates add no
+    stream-side shuffle and no cross-batch state.
 
     ``normalize_signatures`` mirrors the batch pipeline: gates and
     signatures see `normalize_text` output while the stored corpus keeps
@@ -468,6 +482,8 @@ def prepared_ingest_sink(
 
     if (lm is None) != (oov_logp is None):
         raise ValueError("pass lm and oov_logp together")
+    if (benchmark_emb is None) != (emb_col is None):
+        raise ValueError("pass benchmark_emb and emb_col together")
 
     def _sig(df):
         return (
@@ -513,11 +529,40 @@ def prepared_ingest_sink(
             threshold=threshold,
             sig_hash=sig_hash,
         )
-        if not normalize_signatures:
-            return kept
-        # survivors decided on the normalized shadow; stored rows keep
-        # the RAW text
-        return passed.join(kept.select(id_col), id_col, "left_semi")
+        if normalize_signatures:
+            # survivors decided on the normalized shadow; stored rows
+            # keep the RAW text
+            kept = passed.join(kept.select(id_col), id_col, "left_semi")
+        if benchmark is not None:
+            from geoscan_fraud_spark.operators.decontam import decontaminate
+
+            clean_ids = decontaminate(
+                _sig(kept),
+                _sig(benchmark),
+                n=decontam_n,
+                text_col=text_col,
+                id_col=id_col,
+            ).select(id_col)
+            kept = kept.join(clean_ids, id_col, "left_semi")
+        if benchmark_emb is not None:
+            from geoscan_fraud_spark.operators.decontam import (
+                semantic_decontaminate,
+            )
+
+            if emb_col not in kept.columns:
+                raise ValueError(
+                    f"emb_col {emb_col!r} is not a column of the "
+                    f"streamed batch: {kept.columns}"
+                )
+            kept = semantic_decontaminate(
+                kept,
+                benchmark_emb,
+                threshold=semantic_threshold,
+                emb_col=emb_col,
+                id_col=id_col,
+                bench_emb_col=bench_emb_col,
+            )
+        return kept
 
     def index_fn(kept):
         return minhash_index(

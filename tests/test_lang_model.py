@@ -136,3 +136,36 @@ def test_single_language_rejected(spark):
     )
     with pytest.raises(ValueError, match="at least 2"):
         fit_lang_classifier(df)
+
+
+def test_pipeline_language_gate(spark, labeled):
+    """`prepare_training_corpus(lang_model=..., allowed_langs=...)`
+    rejects docs classified outside the target languages with reason
+    'language', annotates lang/p_lang on the audit surface, and keeps
+    target-language docs."""
+    from geoscan_fraud_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+
+    model = fit_lang_classifier(labeled)
+    rnd = random.Random(11)
+    rows = [
+        (1000 + i, " ".join(rnd.choice(POOLS[lang]) for _ in range(25)))
+        for i, lang in enumerate(["en", "en", "fr", "de"])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        docs,
+        quality_rules={"nonempty": F.length("text") > 0},
+        lang_model=model,
+        allowed_langs=["en"],
+    )
+    ann = {r["doc_id"]: (r["lang"], r["reject_reason"]) for r in out["annotated"].collect()}
+    assert set(ann) == {1000, 1001, 1002, 1003}
+    kept = {r["doc_id"] for r in out["corpus"].collect()}
+    # the two en docs survive; fr/de reject as 'language'
+    assert kept == {1000, 1001}
+    assert ann[1002][1] == "language" and ann[1003][1] == "language"
+
+    with pytest.raises(ValueError, match="lang_model"):
+        prepare_training_corpus(docs, allowed_langs=["en"])

@@ -371,3 +371,80 @@ def test_sample_sink_rollup_equals_global_sample(spark, tmp_path):
     )
     direct = sorted(r["doc_id"] for r in weighted_sample(df, "w", 20).collect())
     assert merged == direct
+
+
+def test_prepared_ingest_sink_decontam_gates(spark, tmp_path):
+    """Streaming prepare with BOTH decontamination gates: a doc quoting
+    the benchmark drops at the n-gram stage, a paraphrase (no shared
+    gram, cosine-close embedding) drops at the semantic stage, clean
+    docs survive — and the gates add no cross-batch state (a later
+    batch sees the same static benchmark)."""
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.streaming.scoring import prepared_ingest_sink
+
+    bench_text = "the capital of france is paris and the capital of spain is madrid"
+    quote = "prefix words " + bench_text + " suffix words " + " ".join(
+        f"q{i}" for i in range(40)
+    )
+    clean = " ".join(f"c{i}" for i in range(60))
+    clean2 = " ".join(f"d{i}" for i in range(60))
+
+    benchmark = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+    bench_emb = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 0.0],)], "emb array<double>"
+    )
+
+    sink = prepared_ingest_sink(
+        str(tmp_path / "d_idx"),
+        str(tmp_path / "d_out"),
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        benchmark=benchmark,
+        decontam_n=8,
+        benchmark_emb=bench_emb,
+        emb_col="emb",
+        semantic_threshold=0.98,
+    )
+
+    b0 = spark.createDataFrame(
+        [
+            (1, clean, [0.0, 1.0, 0.0, 0.0]),
+            (2, quote, [0.0, 0.0, 1.0, 0.0]),        # n-gram contaminated
+            (3, clean2, [0.999, 0.02, 0.0, 0.0]),    # embedding paraphrase
+        ],
+        "doc_id long, text string, emb array<double>",
+    )
+    sink(b0, 0)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "d_out")).collect()
+    )
+    assert kept == [1]
+
+    # second batch: static benchmarks still apply; fresh clean doc lands
+    b1 = spark.createDataFrame(
+        [
+            (10, " ".join(f"e{i}" for i in range(60)), [0.0, 0.0, 0.0, 1.0]),
+            (11, "intro " + bench_text + " outro " + " ".join(f"f{i}" for i in range(40)), [0.5, 0.5, 0.5, 0.5]),
+        ],
+        "doc_id long, text string, emb array<double>",
+    )
+    sink(b1, 1)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "d_out")).collect()
+    )
+    assert kept == [1, 10]
+
+    # missing embedding column fails fast, mismatched options fail fast
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(20, clean)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="emb_col"):
+        sink(bad, 2)
+    with _pytest.raises(ValueError, match="together"):
+        prepared_ingest_sink(
+            str(tmp_path / "x_idx"), str(tmp_path / "x_out"), benchmark_emb=bench_emb
+        )

@@ -439,6 +439,9 @@ def prepared_ingest_sink(
     emb_col: str | None = None,
     semantic_threshold: float = 0.95,
     bench_emb_col: str | None = None,
+    lang_model=None,
+    allowed_langs: list[str] | None = None,
+    min_p_lang: float | None = None,
 ):
     """The streaming counterpart of
     `operators/pipelines.prepare_training_corpus`: each micro-batch runs
@@ -456,6 +459,11 @@ def prepared_ingest_sink(
     broadcast map pass (grams deduped + broadcast; embeddings folded
     into one broadcast row), so the decontamination gates add no
     stream-side shuffle and no cross-batch state.
+
+    ``lang_model`` + ``allowed_langs`` (+ ``min_p_lang``) add the
+    CCNet-style language gate alongside the quality rules — the
+    offline-fitted classifier scores each batch map-only, same as the
+    batch pipeline's gate.
 
     ``normalize_signatures`` mirrors the batch pipeline: gates and
     signatures see `normalize_text` output while the stored corpus keeps
@@ -484,6 +492,8 @@ def prepared_ingest_sink(
         raise ValueError("pass lm and oov_logp together")
     if (benchmark_emb is None) != (emb_col is None):
         raise ValueError("pass benchmark_emb and emb_col together")
+    if (allowed_langs is not None or min_p_lang is not None) and lang_model is None:
+        raise ValueError("allowed_langs / min_p_lang require a fitted lang_model")
 
     def _sig(df):
         return (
@@ -512,6 +522,15 @@ def prepared_ingest_sink(
             ann = ann.join(pg, id_col)
             if min_p_good is not None:
                 rules["quality_model"] = F.col("p_good") >= min_p_good
+        if lang_model is not None:
+            from geoscan_fraud_spark.operators.lang_model import score_lang
+
+            lg = score_lang(base, lang_model, text_col, id_col)
+            ann = ann.join(lg, id_col)
+            if allowed_langs is not None:
+                rules["language"] = F.col("lang").isin(list(allowed_langs))
+            if min_p_lang is not None:
+                rules["lang_confidence"] = F.col("p_lang") >= min_p_lang
         passed_ids = (
             annotate_filter_reasons(ann, rules)
             .filter(F.col("reject_reason").isNull())

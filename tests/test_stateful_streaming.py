@@ -448,3 +448,56 @@ def test_prepared_ingest_sink_decontam_gates(spark, tmp_path):
         prepared_ingest_sink(
             str(tmp_path / "x_idx"), str(tmp_path / "x_out"), benchmark_emb=bench_emb
         )
+
+
+def test_prepared_ingest_sink_language_gate(spark, tmp_path):
+    """The offline-fitted language classifier gates each micro-batch:
+    off-target-language docs never reach the store."""
+    import random as _random
+
+    from geoscan_fraud_spark.operators.lang_model import fit_lang_classifier
+    from geoscan_fraud_spark.streaming.scoring import prepared_ingest_sink
+
+    pools = {
+        "en": "the of and to in is was for that with his on as he by at".split(),
+        "fr": "le la les de des et un une dans est pour que qui avec sur".split(),
+    }
+    rnd = _random.Random(3)
+    labeled = spark.createDataFrame(
+        [
+            (i + 100 * li, lang, " ".join(rnd.choice(pool) for _ in range(25)))
+            for li, (lang, pool) in enumerate(pools.items())
+            for i in range(40)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    model = fit_lang_classifier(labeled)
+
+    sink = prepared_ingest_sink(
+        str(tmp_path / "l_idx"),
+        str(tmp_path / "l_out"),
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        lang_model=model,
+        allowed_langs=["en"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, " ".join(rnd.choice(pools["en"]) for _ in range(30))),
+            (2, " ".join(rnd.choice(pools["fr"]) for _ in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch, 0)
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "l_out")).collect()
+    )
+    assert kept == [1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lang_model"):
+        prepared_ingest_sink(
+            str(tmp_path / "y_idx"), str(tmp_path / "y_out"), allowed_langs=["en"]
+        )

@@ -110,9 +110,9 @@ def semantic_contamination_hits(
     ``dot / (norm_a * norm_b)``) so results replay exactly in DuckDB via
     ``list_dot_product``.
     """
-    from geoscan_fraud_spark.operators.dedup import dot_expr, norm_expr
+    from geoscan_fraud_spark.operators.dedup import norm_expr
 
-    for reserved in ("__cn", "__bench"):
+    for reserved in ("__ce", "__cn", "__bench"):
         if reserved in corpus.columns:
             raise ValueError(
                 f"corpus already has a {reserved!r} column — it is "
@@ -129,12 +129,27 @@ def semantic_contamination_hits(
         .filter(F.col("s.n") > 0)
         .agg(F.collect_list("s").alias("__bench"))
     )
-    probed = corpus.withColumn("__cn", norm_expr(F.col(emb_col))).crossJoin(
-        F.broadcast(bench_row)
+    # cast the corpus embedding to double ONCE PER ROW (dot_expr's own
+    # prescription: per-row work stays per-row, never per-pair — casting
+    # inside the sims lambda would re-run the O(d) transform once per
+    # benchmark vector)
+    probed = (
+        corpus.withColumn(
+            "__ce", F.transform(F.col(emb_col), lambda x: x.cast("double"))
+        )
+        .withColumn("__cn", norm_expr(F.col("__ce")))
+        .crossJoin(F.broadcast(bench_row))
     )
+    # both sides pre-cast -> the fold is dot_expr's exact algebra
+    # (left-to-right accumulation from 0.0), minus the redundant casts
     sims = F.transform(
         F.col("__bench"),
-        lambda s: dot_expr(F.col(emb_col), s["e"]) / (F.col("__cn") * s["n"]),
+        lambda s: F.aggregate(
+            F.zip_with(F.col("__ce"), s["e"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("__cn") * s["n"]),
     )
     return (
         probed.filter(F.col("__cn") > 0)

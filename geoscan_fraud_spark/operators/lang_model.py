@@ -45,18 +45,29 @@ def char_ngrams(text_col: Column) -> Column:
     """array<string> of lowercase character n-grams (sizes
     `LANG_NGRAM_SIZES`) — the fastText feature set as one native
     expression. Documents shorter than a size contribute no grams of
-    that size (guarded: Spark's `sequence(1, 0)` would otherwise count
-    DOWN and produce phantom positions)."""
-    txt = F.lower(F.trim(text_col))
+    that size.
 
-    # closure helper, NOT a default-arg lambda: F.transform dispatches on
-    # lambda arity, so `lambda i, n=n: ...` would receive the array INDEX
-    # as its second argument and silently shadow n
+    Built with `zip_with` over shifted copies of the char array — the
+    same construction (and for the same reason) as `dedup.word_grams`:
+    the obvious `transform(sequence(...), i -> substr(txt, i, n))`
+    inlines the lowercase/trim into the lambda, so Catalyst re-evaluates
+    the full normalization per POSITION — O(L²) per document on the
+    map-only scoring hot path."""
+    chars = F.filter(
+        F.split(F.lower(F.trim(text_col)), ""), lambda c: c != ""
+    )
+
     def grams_of_size(n: int) -> Column:
-        positions = F.when(
-            F.length(txt) >= n, F.sequence(F.lit(1), F.length(txt) - n + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(positions, lambda i: txt.substr(i, F.lit(n)))
+        g = chars
+        for j in range(1, n):
+            shifted = F.slice(
+                chars, j + 1, F.greatest(F.size(chars) - j, F.lit(0))
+            )
+            g = F.zip_with(g, shifted, lambda x, y: F.concat(x, y))
+        if n > 1:
+            # zip_with pads the shorter side with null -> null tail grams
+            g = F.filter(g, lambda x: x.isNotNull())
+        return g
 
     return F.concat(*[grams_of_size(n) for n in LANG_NGRAM_SIZES])
 
@@ -71,6 +82,16 @@ class LangModel:
         self.labels = list(labels)
 
     def save(self, path: str) -> None:
+        # label metadata is written with local-filesystem IO (the repo's
+        # model-persistence convention, `geoscan.GeoscanModel.save`);
+        # refuse remote URIs rather than split-braining the artifact
+        # (MLlib would write the pipeline remotely while labels.json
+        # landed in a bogus local dir)
+        if "://" in path:
+            raise ValueError(
+                "LangModel.save/load use local-filesystem metadata IO; "
+                f"pass a local path, got {path!r}"
+            )
         self.pipeline_model.write().overwrite().save(
             os.path.join(path, "pipeline")
         )
@@ -91,6 +112,11 @@ class LangModel:
     def load(cls, spark: SparkSession, path: str) -> "LangModel":
         from pyspark.ml import PipelineModel
 
+        if "://" in path:
+            raise ValueError(
+                "LangModel.save/load use local-filesystem metadata IO; "
+                f"pass a local path, got {path!r}"
+            )
         with open(os.path.join(path, "metadata", "labels.json")) as f:
             meta = json.load(f)
         if tuple(meta["ngram_sizes"]) != LANG_NGRAM_SIZES or (
@@ -123,6 +149,10 @@ def fit_lang_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
 
+    # NULL-labeled rows carry no supervision — drop them up front (they
+    # would otherwise reach LogisticRegression as NULL labels and crash
+    # the fit with an opaque executor error)
+    labeled = labeled.filter(F.col(label_col).isNotNull())
     labels = sorted(
         r[0]
         for r in labeled.select(label_col).distinct().collect()

@@ -191,6 +191,16 @@ def prepare_training_corpus(
         raise ValueError(
             "allowed_langs / min_p_lang require a fitted lang_model"
         )
+    if lang_model is not None:
+        # the gate joins lang/p_lang onto the audit surface — a docs
+        # column with either name would become ambiguous (the reserved-
+        # name convention, as normalize_signatures' __sig_text check)
+        for c in ("lang", "p_lang"):
+            if c in docs.columns:
+                raise ValueError(
+                    f"docs already has a {c!r} column — it is reserved "
+                    "by the lang_model gate; rename it"
+                )
     blocked_ids = None
     survivors = docs
     if url_col is not None:

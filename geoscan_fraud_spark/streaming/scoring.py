@@ -525,6 +525,12 @@ def prepared_ingest_sink(
         if lang_model is not None:
             from geoscan_fraud_spark.operators.lang_model import score_lang
 
+            for c in ("lang", "p_lang"):
+                if c in ann.columns:
+                    raise ValueError(
+                        f"streamed batch already has a {c!r} column — it "
+                        "is reserved by the lang_model gate; rename it"
+                    )
             lg = score_lang(base, lang_model, text_col, id_col)
             ann = ann.join(lg, id_col)
             if allowed_langs is not None:
@@ -553,16 +559,21 @@ def prepared_ingest_sink(
             # keep the RAW text
             kept = passed.join(kept.select(id_col), id_col, "left_semi")
         if benchmark is not None:
-            from geoscan_fraud_spark.operators.decontam import decontaminate
+            from geoscan_fraud_spark.operators.decontam import (
+                contamination_hits,
+            )
 
-            clean_ids = decontaminate(
+            # one anti-join against the tiny flagged-id list (running
+            # decontaminate() and re-joining its survivors would pay a
+            # second join per micro-batch for the same result)
+            flagged = contamination_hits(
                 _sig(kept),
                 _sig(benchmark),
                 n=decontam_n,
                 text_col=text_col,
                 id_col=id_col,
             ).select(id_col)
-            kept = kept.join(clean_ids, id_col, "left_semi")
+            kept = kept.join(F.broadcast(flagged), id_col, "left_anti")
         if benchmark_emb is not None:
             from geoscan_fraud_spark.operators.decontam import (
                 semantic_decontaminate,

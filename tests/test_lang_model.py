@@ -169,3 +169,35 @@ def test_pipeline_language_gate(spark, labeled):
 
     with pytest.raises(ValueError, match="lang_model"):
         prepare_training_corpus(docs, allowed_langs=["en"])
+
+
+def test_null_labels_ignored(spark, labeled):
+    """A NULL-labeled row carries no supervision — the fit drops it
+    instead of crashing LogisticRegression with a NULL label."""
+    noisy = labeled.unionByName(
+        spark.createDataFrame(
+            [(9999, None, "some unlabeled text here")],
+            "doc_id long, lang string, text string",
+        )
+    )
+    m = fit_lang_classifier(noisy.filter(F.col("doc_id") % 5 != 0))
+    assert m.labels == ["de", "en", "es", "fr"]
+
+
+def test_reserved_lang_columns_rejected_by_pipeline(spark, model):
+    from geoscan_fraud_spark.operators.pipelines import (
+        prepare_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        prepare_training_corpus(docs, lang_model=model)
+
+
+def test_remote_uri_persistence_refused(spark, model):
+    with pytest.raises(ValueError, match="local"):
+        model.save("s3://bucket/models/lang")
+    with pytest.raises(ValueError, match="local"):
+        LangModel.load(spark, "hdfs://nn/models/lang")

@@ -532,3 +532,51 @@ def test_pipeline_semantic_decontam_stage(spark):
         prepare_training_corpus(docs, benchmark_emb=bench_emb)
     with pytest.raises(ValueError, match="not a column"):
         prepare_training_corpus(docs, benchmark_emb=bench_emb, emb_col="nope")
+
+
+def test_semantic_hits_fuzz_matches_numpy(spark):
+    """Seeded fuzz: random corpora/benchmarks (mixed dims of work via
+    one 8-dim job, zero vectors planted on both sides, thresholds swept)
+    vs a numpy max-cosine reference."""
+    import random as _random
+
+    import numpy as np
+
+    from geoscan_fraud_spark.operators.decontam import (
+        semantic_contamination_hits,
+    )
+
+    rnd = _random.Random(123)
+    dim = 8
+    corpus_rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(120)
+    ] + [(900, [0.0] * dim)]
+    bench_rows = [
+        ([rnd.gauss(0, 1) for _ in range(dim)],) for _ in range(15)
+    ] + [([0.0] * dim,)]
+    # plant exact copies so every threshold has hits
+    bench_rows += [(corpus_rows[3][1],), (corpus_rows[7][1],)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, emb array<double>")
+    bench = spark.createDataFrame(bench_rows, "emb array<double>")
+
+    vecs = {i: np.array(v) for i, v in corpus_rows}
+    bvecs = [np.array(v[0]) for v in bench_rows if np.linalg.norm(v[0]) > 0]
+
+    for threshold in (0.5, 0.9, 0.999):
+        got = {
+            r["doc_id"]: r["max_sim"]
+            for r in semantic_contamination_hits(
+                corpus, bench, threshold=threshold
+            ).collect()
+        }
+        want = {}
+        for i, v in vecs.items():
+            n = np.linalg.norm(v)
+            if n == 0:
+                continue
+            ms = max(float(v @ b / (n * np.linalg.norm(b))) for b in bvecs)
+            if ms >= threshold:
+                want[i] = ms
+        assert set(got) == set(want), f"threshold {threshold}"
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)

@@ -201,3 +201,34 @@ def test_remote_uri_persistence_refused(spark, model):
         model.save("s3://bucket/models/lang")
     with pytest.raises(ValueError, match="local"):
         LangModel.load(spark, "hdfs://nn/models/lang")
+
+
+def test_char_ngrams_fuzz_matches_python_reference(spark):
+    """Seeded fuzz (one Spark job over 200 strings incl. unicode,
+    whitespace edges, and empties) vs a direct python n-gram
+    reference."""
+    rnd = random.Random(99)
+    alphabet = "abc XYZ  \t д文é0."
+    texts = [""] + [" ", "  \t "] + [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randint(1, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", char_ngrams(F.col("t")).alias("g")).collect()
+    }
+
+    def ref(text):
+        # Spark `trim` strips only ASCII spaces (not \t\n) — the fixed
+        # recipe the persisted models depend on, so mirror it exactly.
+        s = text.strip(" ").lower()
+        out = []
+        for n in (1, 2, 3):
+            out.extend(s[i : i + n] for i in range(len(s) - n + 1))
+        return out
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"mismatch on {t!r}"

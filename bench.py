@@ -401,6 +401,70 @@ def main():
         )
         return remove_spans_against_index(batch, _span_store[sf_dir], min_len=8)
 
+    _bm25_queries = [
+        ("q1", "spark join window"),
+        ("q2", "hash merge batch"),
+        ("q3", "vector stream scan query"),
+        ("q4", "customer table value"),
+        ("q5", "filter sort group order"),
+    ]
+
+    def bench_bm25_search(spark, sf_dir):
+        """One-shot relational BM25 top-k: exploded tokens semi-joined
+        against the broadcast query vocabulary BEFORE the posting
+        shuffle, lazy one-row (N, avgdl) broadcast."""
+        from geoscan_fraud_spark.operators.retrieval import bm25_topk
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        qs = spark.createDataFrame(_bm25_queries, "query_id string, query string")
+        return bm25_topk(docs, qs, k=10)
+
+    _bm25_index_state: dict[str, str] = {}
+
+    def bench_bm25_index_query(spark, sf_dir):
+        """The SERVING cost of sparse retrieval: the inverted index is
+        built once per bench process (amortized in production); timed is
+        the query path — driver-side bucket computation + a postings scan
+        statically pruned to the query terms' bucket directories."""
+        import tempfile
+
+        from geoscan_fraud_spark.operators.retrieval import (
+            text_index_query,
+            text_index_write,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        if sf_dir not in _bm25_index_state:
+            path = tempfile.mkdtemp(prefix="bm25_bench_idx_") + "/idx"
+            docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+            text_index_write(docs, path, n_buckets=32)
+            _bm25_index_state[sf_dir] = path
+        return text_index_query(spark, _bm25_index_state[sf_dir], _bm25_queries, k=10)
+
+    def bench_html_extract(spark, sf_dir):
+        """HTML -> text extraction: the documents fixture wrapped in
+        deterministic markup (tags, entities, a script block per doc),
+        then the full native regexp rule chain + token stats over the
+        extracted text."""
+        from pyspark.sql import functions as F
+
+        from geoscan_fraud_spark.operators.html import extract_html_text
+        from geoscan_fraud_spark.operators.text import token_stats
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        html = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body>"
+                      "<script>var x=1;</script><h1>Doc &amp; heading</h1><p>"),
+                F.regexp_replace(F.col("text"), r"\. ", ".</p>\n<p>"),
+                F.lit("</p><!-- footer --></body></html>"),
+            ).alias("html"),
+        )
+        return token_stats(extract_html_text(html, "html"), text_col="text")
+
     extras = {
         "decontaminate": bench_decontaminate,
         "remove_repeated_spans": bench_remove_spans,
@@ -433,6 +497,12 @@ def main():
         # round-7: embedding-space decontamination (registered entry —
         # map-only corpus probe against one broadcast benchmark row)
         "semantic_decontam": QUERIES["semantic_decontam"],
+        # round-7: sparse retrieval — one-shot BM25 and the persisted
+        # partition-pruned inverted-index serving path
+        "bm25_search": bench_bm25_search,
+        "bm25_index_query": bench_bm25_index_query,
+        # round-7: HTML ingest stage (map-only regexp chain)
+        "html_extract": bench_html_extract,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

@@ -1,0 +1,337 @@
+"""Sparse (BM25) retrieval + hybrid rank fusion — the lexical complement
+of the dense ANN family (`operators/similarity.py`).
+
+A training-data pipeline at 100 TB needs BOTH retrieval modalities:
+dense ANN for semantic neighbors (SemDeDup, semantic decontamination)
+and lexical top-k for corpus exploration, targeted quality audits
+("show me the documents that mention X"), and retrieval-based
+contamination checks that embeddings miss (rare named entities, code
+identifiers). This module supplies the lexical side with the same
+engineering contract the IVF family established:
+
+* `bm25_topk` — one-shot relational BM25 over a corpus: postings are
+  restricted to the query vocabulary MAP-SIDE (broadcast semi-join of
+  exploded tokens against the tiny query-term set) before the one
+  posting shuffle, so the aggregate's input is proportional to
+  query-term postings, never the corpus token count. Global stats
+  (N, avgdl) ride the plan as a lazy one-row broadcast — no driver
+  action at build (the interval-join lazy-median pattern,
+  `operators/asof.py`).
+* `text_index_write` / `text_index_query` — the serving path: postings
+  persisted PARTITIONED BY an engine-portable md5 term bucket, per-term
+  document frequencies beside them, corpus stats in JSON. A query
+  computes its terms' buckets driver-side and pushes a static
+  ``bucket IN (...)`` filter, so the scan prunes to the query's
+  partition directories — the `ivf_index_write` layout point
+  (`similarity.py:557`) applied to text.
+* `rrf_fuse` — reciprocal-rank fusion (Cormack et al. 2009) of any
+  number of (query_id, doc_id, rank) relations: the standard way to
+  combine the sparse and dense top-k lists without score calibration.
+
+Scoring uses the Lucene/Robertson BM25 form with the +1 idf floor (idf
+is never negative):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(q, d) = sum_t qtf * idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Repeated query terms contribute once per occurrence (the Lucene
+multiple-clause semantics), expressed as the per-(query,term) count
+``qtf``. Scores round to 6 decimals BEFORE ranking so the (score desc,
+doc_id asc) order — and therefore the top-k set — replays bit-stably in
+an external SQL oracle regardless of float summation order.
+
+Reference lineage: the tile TF-IDF relational recipe
+(`01_geofraud_clustering.py:380-413`) is the degenerate one-query case;
+this module generalizes it to ranked multi-query retrieval.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: md5-hex prefix length for the term bucket (60 bits, same slice as
+#: `operators/sampling.py`'s portable uniform)
+_BUCKET_HEX = 15
+
+
+def search_tokens(text_col) -> "F.Column":
+    """Whitespace tokens, lowercased, empties filtered — the retrieval
+    tokenization. Lowercasing (unlike `text.tokens`) because lexical
+    search should not split the postings of "The"/"the"."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the Spark bucket expression — MUST stay in
+    lockstep with `_term_bucket_col` (query-time pruning computes buckets
+    here, index layout computes them in Spark)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:_BUCKET_HEX], 16) % n_buckets
+
+
+def _term_bucket_col(term_col, n_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, _BUCKET_HEX), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def _doc_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl): one corpus explode + ONE groupBy shuffle.
+    dl (the doc's token count) is computed map-side before the explode
+    and rides the group key — functionally dependent on doc_id, so key
+    cardinality is unchanged."""
+    tok = search_tokens(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.size(tok).alias("dl"), tok.alias("__tok")
+        )
+        .select("doc_id", "dl", F.explode("__tok").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _query_terms(queries: DataFrame, query_id_col: str, query_text_col: str) -> DataFrame:
+    """(query_id, term, qtf) — the query side, small by definition."""
+    qtok = search_tokens(F.col(query_text_col))
+    return (
+        queries.select(F.col(query_id_col).alias("query_id"), qtok.alias("__tok"))
+        .select("query_id", F.explode("__tok").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def _bm25_rank(
+    matched: DataFrame, stats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared back half: matched = (query_id, doc_id, term, tf, dl, df,
+    qtf) -> (query_id, doc_id, score, rank) top-k. ``stats`` is a
+    one-row (n_docs, avgdl) relation, broadcast (lazy scalar pattern)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.crossJoin(F.broadcast(stats))
+        .withColumn("__contrib", F.col("qtf") * idf * tf_part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("__contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k per query, one shot.
+
+    100 TB shape: the exploded corpus tokens are semi-joined against the
+    BROADCAST query vocabulary before anything shuffles — the posting
+    aggregate and the per-(query,doc) score sum only ever move rows whose
+    term appears in some query. df for the query terms is computed from
+    those same restricted postings (df of a non-query term is never
+    needed) and broadcast back. The only corpus-wide work is the
+    stats aggregate (two scalars, one row) and the token scan itself.
+    """
+    q_terms = _query_terms(queries, query_id_col, query_text_col)
+    vocab = q_terms.select("term").distinct()
+
+    tok = search_tokens(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tok).alias("dl"), tok.alias("__tok")
+    ).select("doc_id", "dl", F.explode("__tok").alias("term"))
+    postings = (
+        exploded.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # lazy global scalars: one-row aggregate broadcast into the plan —
+    # no driver action at build time (asof.py's lazy-median pattern)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.avg(F.size(search_tokens(F.col(text_col)))), F.lit(0.0)).alias(
+            "avgdl"
+        ),
+    )
+    matched = postings.join(F.broadcast(dfreq), "term").join(
+        F.broadcast(q_terms), "term"
+    )
+    return _bm25_rank(matched, stats, k, k1, b)
+
+
+def text_index_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Build and persist a BM25 inverted index. Returns ``n_buckets``.
+
+    Layout (the `ivf_index_write` point applied to text):
+
+    * ``path/postings`` — (term, doc_id, tf, dl) PARTITIONED BY
+      ``bucket`` = portable md5(term) % n_buckets: a query reads only
+      its terms' directories (static pruning via `text_index_query`).
+    * ``path/terms`` — (term, df), same bucketing: the idf side without
+      touching postings.
+    * ``path/stats.json`` — {n_docs, avgdl, n_buckets}: the two global
+      scalars, computed once at build instead of per query.
+
+    At 100 TB a term's postings list can itself be large (stopwords);
+    the per-bucket directories keep the scan bounded and the (term)
+    filter inside a bucket is an ordinary pushed predicate.
+    """
+    postings = _doc_postings(docs, text_col, id_col).withColumn(
+        "bucket", _term_bucket_col(F.col("term"), n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    # df from the just-written postings: reading back costs one pruned
+    # scan and guarantees terms/ agrees with postings/ even if `docs`
+    # is nondeterministic upstream
+    written = postings.sparkSession.read.parquet(os.path.join(path, "postings"))
+    (
+        written.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "terms"))
+    )
+    n_docs, avgdl = docs.select(
+        F.count(F.lit(1)),
+        F.coalesce(F.avg(F.size(search_tokens(F.col(text_col)))), F.lit(0.0)),
+    ).first()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(
+            {"n_docs": int(n_docs), "avgdl": float(avgdl), "n_buckets": n_buckets}, f
+        )
+    return n_buckets
+
+
+def text_index_query(
+    spark,
+    path: str,
+    queries: list[tuple],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query a persisted `text_index_write` index: (query_id, doc_id,
+    score, rank) — identical semantics to `bm25_topk` over the indexed
+    corpus (parity pytest-pinned).
+
+    ``queries`` is a driver-side list of (query_id, query_text): query
+    terms must be tokenized on the driver anyway to compute their
+    buckets, and a query batch is small by definition (the
+    `ivf_index_query` contract). The bucket set is pushed as a static
+    ``bucket IN (...)`` filter on BOTH the postings and terms scans —
+    partition pruning, then an ordinary pushed (term IN ...) predicate
+    inside the surviving directories."""
+    with open(os.path.join(path, "stats.json")) as f:
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
+
+    q_rows = []
+    for qid, qtext in queries:
+        counts: dict[str, int] = {}
+        for t in qtext.strip().lower().split():
+            counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            q_rows.append((qid, t, c))
+    if not q_rows:
+        raise ValueError("text_index_query: no query terms")
+    q_terms = spark.createDataFrame(q_rows, "query_id string, term string, qtf long")
+    terms_list = sorted({t for _, t, _ in q_rows})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_list})
+
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms_list))
+    )
+    dfreq = (
+        spark.read.parquet(os.path.join(path, "terms"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms_list))
+        .select("term", "df")
+    )
+    stats = spark.range(1).select(
+        F.lit(meta["n_docs"]).alias("n_docs"), F.lit(meta["avgdl"]).alias("avgdl")
+    )
+    matched = (
+        postings.select("term", "doc_id", "tf", "dl")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(q_terms), "term")
+    )
+    return _bm25_rank(matched, stats, k, k1, b)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion: each input is (query_id, <id_col>, rank);
+    output (query_id, <id_col>, rrf_score, rank) top-k per query with
+
+        rrf_score(d) = sum over lists of 1 / (rrf_k + rank_list(d))
+
+    (Cormack, Clarke & Buettcher 2009 — rank-only, so BM25 scores and
+    cosines fuse without calibration). Documents absent from a list
+    simply contribute nothing for it. Pure relational: union -> one
+    groupBy -> window top-k; every input is already a top-k (tiny), so
+    the shuffles are bounded by n_queries * k * n_lists rows."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rrf_score", "rank")
+    )

@@ -33,26 +33,53 @@ def _dense_points(spark, sf_dir):
     )
 
 
-@register("ref_csv_unclustered")
+@register(
+    "ref_csv_unclustered",
+    sql="""
+    SELECT CAST(n_rows AS INTEGER) AS n_rows,
+           CAST(n_users AS INTEGER) AS n_users,
+           CAST(sum_amount AS DOUBLE) AS sum_amount,
+           sum_lat, sum_lng,
+           CAST(row_digest AS BIGINT) AS row_digest
+    FROM (VALUES
+      (1727, 5, 177071.68,
+       '70344.732120726077120', '-127792.855053507400630',
+       6127697113465282967)
+    ) AS t(n_rows, n_users, sum_amount, sum_lat, sum_lng, row_digest)
+    """,
+)
 def ref_csv_unclustered(spark, sf_dir):
     """Golden parity run on the reference's OWN shipped dataset
     (`/root/reference/data/transactions.csv`, read-only): distributed fit
     at the reference's logged params epsilon=200 / minPts=20
-    (`01_geofraud_clustering.py:129-130`) and return the transactions left
-    unclustered. The stable row count (1,727) is the driver-visible
-    invariant matching the reference prose's "~2,000 non-clustered
-    transactions" (`01:227`); rows-only (iterative CC is not
-    SQL-expressible, and the input is a CSV outside the fixture views).
-    """
+    (`01_geofraud_clustering.py:129-130`), take the transactions left
+    unclustered, and return a one-row DIGEST of that set — count (1,727,
+    matching the reference prose's "~2,000 non-clustered transactions",
+    `01:227`), distinct users, exact DECIMAL column sums, and an
+    order-insensitive xor of per-row xxhash64 — pinned against a literal
+    golden (the `geoscan_distributed_fit` pattern; r08, replacing the
+    r05–r07 rows-only form). The digest is verified partition-invariant
+    (recomputed identical under `repartition(17)`); any change to the
+    clustering decisions, the surviving rows, or their values flips it."""
     from geoscan_fraud_spark.operators.geoscan import Geoscan
     from geoscan_fraud_spark.sources.io import TRANSACTIONS_SCHEMA, read_csv
 
     df = read_csv(spark, "/root/reference/data/transactions.csv", TRANSACTIONS_SCHEMA)
     model = Geoscan().setEpsilon(200.0).setMinPts(20).fit(df)
-    return (
+    unclustered = (
         model.transform(df)
         .filter(F.col("cluster").isNull())
         .select("user", "latitude", "longitude", "amount")
+    )
+    return unclustered.agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.countDistinct("user").cast("int").alias("n_users"),
+        F.sum(F.col("amount").cast("decimal(12,2)")).cast("double").alias("sum_amount"),
+        F.sum(F.col("latitude").cast("decimal(24,15)")).cast("string").alias("sum_lat"),
+        F.sum(F.col("longitude").cast("decimal(24,15)")).cast("string").alias("sum_lng"),
+        F.expr("bit_xor(xxhash64(user, latitude, longitude, amount))").alias(
+            "row_digest"
+        ),
     )
 
 

@@ -757,13 +757,16 @@ def _bpe_ids_oracle() -> str:
         )
     }
     rows = ",\n      ".join(
-        f"({d}, [{', '.join(str(vocab[t]) for t in seg[d])}])"
+        f"({d}, {p}, {vocab[t]})"
         for d, _ in _BPE_DOCS
+        for p, t in enumerate(seg[d])
     )
     return f"""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, token_ids
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(pos AS INTEGER) AS pos,
+           CAST(token_id AS INTEGER) AS token_id
     FROM (VALUES
-      {rows}) AS t(doc_id, token_ids)
+      {rows}) AS t(doc_id, pos, token_id)
     """
 
 
@@ -775,7 +778,12 @@ def bpe_tokens_to_ids(spark, sf_dir):
     Arrow-batched), build the frequency-ranked vocab and map to ids
     (`tokens_to_ids`, broadcast vocab join). The oracle is a literal
     table generated by an independent Python Sennrich reference — every
-    stage must agree exactly."""
+    stage must agree exactly.
+
+    Output is posexploded to one `(doc_id, pos, token_id)` row per token
+    (not the `array<int>` column `tokens_to_ids` returns) so the driver's
+    pandas canonicalizer can sort it — list cells are unhashable there
+    (the r07 red row)."""
     from geoscan_fraud_spark.operators.bpe import (
         bpe_segment,
         build_vocab,
@@ -787,7 +795,10 @@ def bpe_tokens_to_ids(spark, sf_dir):
     docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
     merges = train_bpe(word_counts(docs), num_merges=_BPE_NUM_MERGES)
     seg = bpe_segment(docs, merges)
-    return tokens_to_ids(seg, build_vocab(seg))
+    ids = tokens_to_ids(seg, build_vocab(seg))
+    return ids.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -88,10 +88,29 @@ def main():
     # keeps timing them so headline totals stay comparable across rounds
     # (the `if q in QUERIES` filter above already dropped them — restore
     # their original slots)
-    from geoscan_fraud_spark.harness import u4_explode_tokens, u7_haversine
+    from geoscan_fraud_spark.harness import (
+        a8_percentiles,
+        j1_join_single_key,
+        u4_explode_tokens,
+        u7_haversine,
+    )
+    from geoscan_fraud_spark.harness_pipeline import text_token_stats
 
     QUERIES["u4_explode_tokens"] = u4_explode_tokens
     QUERIES["u7_haversine"] = u7_haversine
+    # j1/a8/text_token_stats rotated out of the 50-slot registry in r08
+    # (slots fund bm25_search/token_shards/rrf_fusion); keep timing them
+    # so headline totals stay comparable across rounds
+    QUERIES["j1_join_single_key"] = j1_join_single_key
+    QUERIES["a8_percentiles"] = a8_percentiles
+    QUERIES["text_token_stats"] = text_token_stats
+    for name, anchor in [
+        ("j1_join_single_key", "j2_join_two_keys"),
+        ("a8_percentiles", "w1_topk_desc"),
+        ("text_token_stats", "text_winnow_fingerprint"),
+    ]:
+        if name not in headline:
+            headline.insert(headline.index(anchor), name)
     if "u7_haversine" not in headline:
         headline.insert(headline.index("a8_percentiles"), "u7_haversine")
     if "u4_explode_tokens" not in headline:
@@ -503,6 +522,8 @@ def main():
         "bm25_index_query": bench_bm25_index_query,
         # round-7: HTML ingest stage (map-only regexp chain)
         "html_extract": bench_html_extract,
+        # round-8: hybrid sparse+dense RRF fusion (registered entry)
+        "rrf_fusion": QUERIES["rrf_fusion"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

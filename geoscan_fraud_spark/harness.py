@@ -189,18 +189,16 @@ def p_drop_neq_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "j1_join_single_key",
-    sql="""
-    SELECT n.n_name,
-           count(*) AS order_cnt,
-           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-)
+# j1_join_single_key was a registered entry through r07; single-key
+# shuffle-equi-join + broadcast-dim + decimal-sum algebra stays
+# driver-evidenced by the hash-green `j2_join_two_keys` (the same join
+# machinery on a superset key count, same DECIMAL(18,2) sum idiom),
+# `u3_tfidf_relational` (single-key term join), and
+# `flagship_event_anomalies` (key-equality anti-join); the exact
+# three-table result stays pinned against pandas merge in
+# tests/test_round8_fixes.py, and the bench still times it. The slot
+# under the driver's 50-entry cap now funds `bm25_search` (round-8
+# rotation).
 def j1_join_single_key(spark, sf_dir):
     """J1 — equi joins on one key. Only `nation` (fixed 25 rows) gets a
     broadcast hint; `customer` grows with sf (150k rows/sf), so its join
@@ -387,16 +385,14 @@ def a6_global_count(spark, sf_dir):
     return li.groupBy().agg(F.count(F.lit(1)).alias("n"))
 
 
-@register(
-    "a8_percentiles",
-    sql="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
-           ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
-           ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+# a8_percentiles was a registered entry through r07; grouped exact
+# interpolated-percentile algebra stays driver-evidenced by the
+# hash-green `ppl_buckets` (per-group percentile cuts over doc
+# perplexity, exact path quantile_cont-replayed) and `w1_topk_desc`
+# (grouped order statistics); the exact per-flag quartiles stay pinned
+# against numpy.percentile in tests/test_round8_fixes.py, and the bench
+# still times it. The slot under the driver's 50-entry cap now funds
+# `token_shards` (round-8 rotation).
 def a8_percentiles(spark, sf_dir):
     """A8 — exact interpolated percentiles (engine also exposes
     percentile_approx as the 100 TB-scale variant)."""

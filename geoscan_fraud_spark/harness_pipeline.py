@@ -14,7 +14,7 @@ from geoscan_fraud_spark.operators import dedup as dd
 from geoscan_fraud_spark.operators import multimodal as mm
 from geoscan_fraud_spark.operators import similarity as sim
 from geoscan_fraud_spark.operators import text as tx
-from geoscan_fraud_spark.operators.text import LANG_PROFILES, TOKEN_PATTERN
+from geoscan_fraud_spark.operators.text import LANG_PROFILES
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -150,17 +150,14 @@ def dedup_minhash(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
-@register(
-    "ngram_jaccard_pairs",
-    sql="""
-    WITH t AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.tok, b.tok))) AS jaccard
-    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
-    """,
-)
+# ngram_jaccard_pairs was a registered entry through r07; the exact
+# intersect/union Jaccard arithmetic stays driver-evidenced INSIDE the
+# hash-green `dedup_minhash` (its candidate-verify stage keeps exactly
+# the pairs whose shingle Jaccard >= threshold, and the oracle replays
+# the same len(list_intersect)/len(list_distinct(list_concat)) algebra);
+# the pairwise values stay pinned against python set arithmetic in
+# tests/test_round8_fixes.py. The slot under the driver's 50-entry cap
+# now funds `html_extract` (round-8 rotation).
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact token-set Jaccard between consecutive docs — pins the verify
     arithmetic used by the LSH dedup path."""
@@ -477,19 +474,15 @@ def ann_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_token_stats",
-    sql=f"""
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tok, text FROM documents)
-    SELECT doc_id,
-           len(tok) AS n_tokens,
-           len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_regex_tokens,
-           len(list_distinct(tok)) AS n_distinct_tokens,
-           ROUND(CAST(list_sum(list_transform(tok, x -> CAST(length(x) AS DOUBLE))) AS DOUBLE)
-                 / len(tok), 4) AS avg_token_len
-    FROM t
-    """,
-)
+# text_token_stats was a registered entry through r07; the
+# tokenize-and-count algebra stays driver-evidenced by the hash-green
+# `text_quality` (same whitespace tokenization, token counts, and
+# distinct ratio over the same table) and `token_shards` (the same
+# len(string_split(trim(text))) token count is its shard-size input);
+# the full stat row (incl. the TOKEN_PATTERN regex count) stays pinned
+# against a python oracle in tests/test_round8_fixes.py, and the bench
+# still times it. The slot under the driver's 50-entry cap now funds
+# `rrf_fusion` (round-8 rotation).
 def text_token_stats(spark, sf_dir):
     return tx.token_stats(_t(spark, sf_dir, "documents"))
 
@@ -1630,3 +1623,283 @@ def bpe_ids_roundtrip(spark, sf_dir):
     vocab = build_vocab(seg)
     enc = tokens_to_ids(seg, vocab)
     return ids_to_text(enc, vocab).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r08 rotations: token shards, BM25 search, hybrid RRF fusion, HTML
+# extraction (slots from the folded j1_join_single_key / a8_percentiles /
+# text_token_stats / ngram_jaccard_pairs — fold notes at their functions)
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 2000
+
+#: DuckDB twin of `retrieval.search_tokens` (lower -> trim -> \s+ split,
+#: empties filtered)
+_SEARCH_TOK_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim({c})), '\\s+'), t -> t <> '')"
+)
+
+
+@register(
+    "token_shards",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             md5('42:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS off
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(floor(off / {_SHARD_TOKENS}) AS BIGINT) AS shard
+    FROM s
+    """,
+)
+def token_shards(spark, sf_dir):
+    """Deterministic token-balanced training-shard assignment
+    (`operators/shards.py::assign_token_shards`, r08 rotation): md5
+    order key -> range-partitioned global order -> two-pass distributed
+    prefix sum -> floor-div shard id. The oracle replays the whole
+    assignment as ONE window over the md5-ordered corpus (the
+    single-machine semantics the distributed two-pass must equal);
+    partition-layout invariance is pinned separately in
+    tests/test_packing.py."""
+    from geoscan_fraud_spark.operators.shards import assign_token_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
+    )
+    return assign_token_shards(docs, shard_tokens=_SHARD_TOKENS).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
+_BM25_QUERIES = [
+    ("q1", "spark join window"),
+    ("q2", "hash merge batch"),
+    ("q3", "vector stream scan query"),
+    ("q4", "customer table value"),
+    ("q5", "filter sort group order"),
+]
+
+
+def _bm25_cte(qsrc: str, k: int = 10) -> str:
+    """CTE chain `bq -> ... -> lex(query_id, doc_id, score, rank)`:
+    the full Lucene/Robertson BM25 (+1 idf floor, k1=1.2, b=0.75)
+    replayed relationally. Every float subexpression is forced DOUBLE
+    (DuckDB parses bare decimal literals as DECIMAL, whose arithmetic
+    would diverge from Spark's IEEE doubles); association order copies
+    `retrieval._bm25_rank` exactly; scores ROUND(6) BEFORE the rank so
+    the top-k replays bit-stably (the module's published convention)."""
+    dtok = _SEARCH_TOK_SQL.format(c="text")
+    qtok = _SEARCH_TOK_SQL.format(c="query")
+    return f"""
+    bq AS ({qsrc}),
+    dtok AS (SELECT doc_id, {dtok} AS tok FROM documents),
+    dd AS (SELECT doc_id, CAST(len(tok) AS INTEGER) AS dl, tok FROM dtok),
+    st AS (SELECT count(*) AS n_docs,
+                  COALESCE(avg(CAST(dl AS DOUBLE)), 0.0::DOUBLE) AS avgdl
+           FROM dd),
+    qt AS (SELECT query_id, term, count(*) AS qtf
+           FROM (SELECT query_id, unnest({qtok}) AS term FROM bq)
+           GROUP BY 1, 2),
+    post AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(tok) AS term FROM dd)
+             WHERE term IN (SELECT DISTINCT term FROM qt)
+             GROUP BY 1, 2, 3),
+    dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+    contrib AS (
+      SELECT qt.query_id, post.doc_id,
+             qt.qtf
+             * ln(1.0::DOUBLE
+                  + (CAST(st.n_docs AS DOUBLE) - dfr.df + 0.5)
+                    / (dfr.df + 0.5::DOUBLE))
+             * (post.tf * (1.2::DOUBLE + 1.0))
+               / (post.tf
+                  + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75)
+                                   + 0.75::DOUBLE * post.dl / st.avgdl))
+               AS c
+      FROM post JOIN dfr USING (term) JOIN qt USING (term), st),
+    sc AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+           FROM contrib GROUP BY 1, 2),
+    lex AS (
+      SELECT query_id, doc_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+        FROM sc) WHERE rank <= {k})
+    """
+
+
+def _bm25_oracle() -> str:
+    vals = ",\n      ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    qsrc = f"SELECT * FROM (VALUES\n      {vals}) AS v(query_id, query)"
+    return f"""
+    WITH {_bm25_cte(qsrc)}
+    SELECT query_id, doc_id, score, rank FROM lex
+    """
+
+
+@register("bm25_search", sql=_bm25_oracle())
+def bm25_search(spark, sf_dir):
+    """One-shot relational BM25 top-k (`operators/retrieval.py::bm25_topk`,
+    r08 rotation — the lexical complement of `ann_cosine_topk`): exploded
+    corpus tokens semi-join the BROADCAST query vocabulary BEFORE the one
+    posting shuffle (shuffled rows ~ query-term postings, never corpus
+    tokens); (N, avgdl) ride the plan as a lazy one-row broadcast. The
+    oracle replays tokenize/tf/df/idf/score/rank as plain SQL algebra —
+    scores round to 6dp pre-rank on both sides so cross-engine float
+    summation order cannot flip the top-k."""
+    from geoscan_fraud_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query string")
+    return bm25_topk(docs, qs, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _rrf_oracle() -> str:
+    qsrc = (
+        "SELECT doc_id AS query_id, "
+        "array_to_string(string_split(trim(text), ' ')[1:8], ' ') AS query "
+        "FROM documents WHERE doc_id < 5"
+    )
+    return f"""
+    WITH {_bm25_cte(qsrc)},
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+    dsc AS (
+      SELECT qv.query_id, c.vec_id AS doc_id,
+             ROUND(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(e, e))), 6) AS sim
+      FROM qv, c WHERE qv.query_id <> c.vec_id),
+    den AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, doc_id ASC) AS rank
+        FROM dsc) WHERE rank <= 10),
+    u AS (
+      SELECT query_id, doc_id,
+             1.0::DOUBLE / (60.0::DOUBLE + rank) AS cc FROM lex
+      UNION ALL
+      SELECT query_id, doc_id,
+             1.0::DOUBLE / (60.0::DOUBLE + rank) AS cc FROM den),
+    f AS (SELECT query_id, doc_id, ROUND(SUM(cc), 6) AS rrf_score
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM f) WHERE rank <= 10
+    """
+
+
+@register("rrf_fusion", sql=_rrf_oracle())
+def rrf_fusion(spark, sf_dir):
+    """Hybrid sparse+dense retrieval fused by reciprocal-rank fusion
+    (`operators/retrieval.py::rrf_fuse`, Cormack et al. 2009; r08
+    rotation). The fixtures' doc_id and vec_id share the same id space,
+    so queries 0..4 get BOTH a lexical form (the doc's first 8 tokens ->
+    `bm25_topk` top-10) and a dense form (the vec's embedding ->
+    `brute_force_topk` top-10), and the fused ranking is semantically a
+    hybrid search over one corpus. Rank-only fusion: rrf = sum over
+    lists of 1/(60+rank), ROUND(6) pre-rank; the oracle replays the
+    whole pipeline — BM25, cosine top-k, and the fusion algebra."""
+    from geoscan_fraud_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 8)
+        ).alias("query"),
+    )
+    lex = bm25_topk(docs, qtext, k=10)
+    dense = sim.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select("query_id", "doc_id", "rank"),
+        ],
+        k=10,
+    )
+    return fused.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _html_oracle() -> str:
+    """The `strip_html` rule pipeline transcribed rule-by-rule into
+    DuckDB `regexp_replace(..., 'g')` over the SAME constructed markup —
+    a different regex engine (RE2 vs Java util.regex) executing the same
+    documented specification; the independent Python value oracle lives
+    in tests/test_html.py."""
+    from geoscan_fraud_spark.operators.html import _BLOCK_TAGS, _ENTITIES
+
+    markup = (
+        "'<html><head><title>skip</title><style>body{color:red}</style>"
+        "</head><body><h1 class=\"t\">Doc &amp; ' || CAST(doc_id AS VARCHAR)"
+        " || '</h1><!-- hidden note --><p>' || text ||"
+        " '</p><script>if (1 < 2) { alert(\"x\"); }</script>"
+        "<div>tail &amp;lt;keep&amp;gt;&nbsp;ok</div>"
+        "<a href=\"http://example.com/x\">link text</a></body></html>'"
+    )
+    rules = [
+        (r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
+        (r"(?is)<style\b[^>]*>.*?</style\s*>", ""),
+        (r"(?is)<head\b[^>]*>.*?</head\s*>", ""),
+        (r"(?s)<!--.*?-->", ""),
+        (r"(?i)</?(?:" + _BLOCK_TAGS + r")\b[^>]*>", "\n"),
+        (r"(?s)<[^>]*>", ""),
+        *_ENTITIES,
+        (r"[ \t\r\f]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n{3,}", "\n\n"),
+        (r"^\s+|\s+$", ""),
+    ]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    c = markup
+    for pat, rep in rules:
+        c = f"regexp_replace({c},\n      {q(pat)}, {q(rep)}, 'g')"
+    return f"""
+    SELECT doc_id, {c} AS text
+    FROM documents
+    """
+
+
+@register("html_extract", sql=_html_oracle())
+def html_extract(spark, sf_dir):
+    """HTML -> text extraction (`operators/html.py::strip_html`, r08
+    rotation — the CommonCrawl/C4 ingest stage): each fixture document
+    is wrapped in deterministic markup exercising every rule class
+    (head/style/script elements with content, a comment, block tags,
+    inline tags, the `&amp;lt;` no-double-decode round trip, `&nbsp;`,
+    whitespace runs) and run through the native map-only regexp chain.
+    The oracle replays the markup construction and all rules in DuckDB
+    (RE2) — same specification, different regex engine."""
+    from geoscan_fraud_spark.operators.html import strip_html
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>skip</title><style>body{color:red}</style>"
+            '</head><body><h1 class="t">Doc &amp; '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- hidden note --><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><script>if (1 < 2) { alert("x"); }</script>'
+            "<div>tail &amp;lt;keep&amp;gt;&nbsp;ok</div>"
+            '<a href="http://example.com/x">link text</a></body></html>'
+        ),
+    )
+    return d.select("doc_id", strip_html(html).alias("text"))

@@ -115,6 +115,16 @@ class H3Lookup:
     Runs in a single Python process — the serving-container hop of
     SURVEY §3.3. anomaly=1 iff the transaction's tile is absent from the
     user's bloom; unseen users score anomaly=1.
+
+    SCALE CEILING (deliberate, it is the reference's own serving
+    contract): `from_model_df` collects EVERY user's bloom to the driver
+    — ~1.5 KB per user at the default fpr, so ~1.5 GB of driver heap per
+    million users, plus the dict build. This artifact path is for a
+    serving container holding a bounded user population (the reference's
+    MLflow pyfunc deployment); past ~1M users, score in-cluster with
+    `score_with_blooms`, which joins blooms by user and never moves the
+    model through the driver (plan-construction job-freedom pinned in
+    tests/test_round8_fixes.py).
     """
 
     def __init__(self, blooms: dict[str, BloomFilter], precision: int = 10):

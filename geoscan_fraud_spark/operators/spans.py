@@ -256,6 +256,46 @@ def merge_span_index(index: DataFrame) -> DataFrame:
     return index.groupBy("gh").agg(F.sum("cnt").alias("cnt"))
 
 
+def dedup_span_store(raw: DataFrame) -> DataFrame:
+    """Persisted-store read guard: collapse the transient physical
+    duplicates a crashed `sources/io.compact_index` swap can leave
+    behind (the same row visible BOTH as its original ``batch_id=K``
+    partition AND inside the ``batch_id=-1`` base with ``src_batch=K``),
+    returning clean ``(gh, cnt)`` rows for `merge_span_index`.
+
+    A COUNT-summing store reads such a duplicate as a 2x over-count —
+    over-removal, quality-conservative but data-lossy — so unlike the
+    set-union signature store this layout is NOT naturally idempotent
+    under compaction recovery. Each row's origin batch is
+    ``coalesce(src_batch, batch_id)`` (live partitions carry only
+    ``batch_id``; folded base rows keep their origin as ``src_batch``),
+    and per store contract a given gram has at most ONE legitimate row
+    per origin batch (`span_gram_index` group-sums per batch), so
+    dropping duplicate ``(gh, origin)`` keys removes exactly the crash
+    artifacts. Rows of UNKNOWN origin (``src_batch = -1``, written when
+    re-compacting a pre-r07 base that lost provenance) are structurally
+    non-dedupable and pass through untouched — for those, compact's
+    manual crash recovery remains the contract. One extra store-sized
+    (never corpus-sized) shuffle on the gram hash."""
+    cols = set(raw.columns)
+    if "src_batch" in cols and "batch_id" in cols:
+        origin = F.coalesce(F.col("src_batch"), F.col("batch_id"))
+    elif "batch_id" in cols:
+        origin = F.col("batch_id")
+    elif "src_batch" in cols:
+        origin = F.col("src_batch")
+    else:
+        return raw.select("gh", "cnt")
+    tagged = raw.select("gh", "cnt", origin.alias("__origin"))
+    known_origin = F.col("__origin").isNotNull() & (F.col("__origin") != -1)
+    known = tagged.filter(known_origin).dropDuplicates(["gh", "__origin"])
+    # NULL-safe complement: ~(null) is null and would silently drop rows
+    unknown = tagged.filter(
+        F.col("__origin").isNull() | (F.col("__origin") == -1)
+    )
+    return known.unionByName(unknown).select("gh", "cnt")
+
+
 def remove_spans_against_index(
     batch: DataFrame,
     index: DataFrame,

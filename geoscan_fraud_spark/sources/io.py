@@ -117,9 +117,17 @@ def _clear_orphan_location(spark: SparkSession, name: str) -> None:
 
 
 def write_table(
-    df: DataFrame, name: str, mode: str = "overwrite", clear_orphan: bool = False
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    clear_orphan: bool = False,
+    fmt: str = "parquet",
 ) -> None:
-    """S4 — managed table sink (parquet; Delta not present in this env).
+    """S4 — managed table sink (reference `01:431` writes
+    ``format('delta')``; Delta is not present in this env, so the
+    default is parquet and ``fmt`` takes any Spark-supported table
+    format — the ORC round trip is pinned in
+    tests/test_round8_fixes.py).
 
     ``clear_orphan=True`` removes a crashed session's leftover warehouse
     directory for ``name`` first — opt-in ONLY, because with in-memory
@@ -127,7 +135,7 @@ def write_table(
     (see `_clear_orphan_location`)."""
     if clear_orphan:
         _clear_orphan_location(df.sparkSession, name)
-    df.write.mode(mode).format("parquet").saveAsTable(name)
+    df.write.mode(mode).format(fmt).saveAsTable(name)
 
 
 def write_sorted_layout(

@@ -643,15 +643,20 @@ def span_ingest_sink(
     group-sum over gram hashes (signature-sized, the corpus stays
     cold).
 
-    Compaction caveat (this store COUNT-sums where the signature store
-    set-unions): `sources/io.compact_index` works on this layout, but
-    its crash-recovery contract tolerates transient DUPLICATE rows —
-    idempotent for signature matching, a 2x over-count here, which
-    biases toward deleting spans that were seen only once (quality-
-    conservative, data-lossy). After a compaction crash, complete the
-    manual recovery in compact_index's docstring BEFORE restarting this
-    stream; do not ingest through a half-swapped store."""
+    Compaction (this store COUNT-sums where the signature store
+    set-unions): `sources/io.compact_index` works on this layout, and
+    since r08 the store read runs through
+    `operators/spans.dedup_span_store`, which collapses the transient
+    duplicate rows a crashed compaction swap can leave behind (the same
+    origin batch visible both live and inside the folded base) BEFORE
+    the group-sum — so crash recovery can no longer 2x a gram count
+    (over-removal). The one residual caveat is provenance-free base
+    rows (``src_batch=-1``, from re-compacting a pre-r07 base): those
+    are structurally non-dedupable, and for them compact_index's manual
+    crash recovery remains the contract before restarting this
+    stream."""
     from geoscan_fraud_spark.operators.spans import (
+        dedup_span_store,
         remove_spans_against_index,
         span_gram_index,
     )
@@ -661,8 +666,10 @@ def span_ingest_sink(
 
         spark = batch_df.sparkSession
         try:
-            raw = spark.read.parquet(index_path)
-            idx = raw.filter(F.col("batch_id") < batch_id).select("gh", "cnt")
+            # mergeSchema: a compacted base carries the src_batch payload
+            # column that live batch_id=N partitions lack
+            raw = spark.read.option("mergeSchema", "true").parquet(index_path)
+            idx = dedup_span_store(raw.filter(F.col("batch_id") < batch_id))
         except AnalysisException:
             # bootstrap only: the index path does not exist yet; any
             # other failure (corruption, schema drift) must surface

@@ -162,3 +162,158 @@ def test_ref_csv_digest_matches_row_level_golden(spark):
     # partition-invariance: same digest from a different physical layout
     again = digest(df.repartition(17))
     assert (again["n"], again["d"]) == (base["n"], base["d"])
+
+
+def test_dedup_span_store_collapses_crash_duplicates(spark, tmp_path):
+    """r08 (VERDICT r07 #5): a crashed compact_index swap can transiently
+    show the same gram-count row BOTH as its live `batch_id=K` partition
+    and inside the `batch_id=-1` base as `src_batch=K`. The store read
+    now dedups (gh, origin) before the group-sum, so removal decisions
+    against the half-swapped store equal the clean store's exactly;
+    provenance-free (src_batch=-1) rows still pass through untouched."""
+    from geoscan_fraud_spark.operators.spans import (
+        dedup_span_store,
+        merge_span_index,
+        remove_spans_against_index,
+        span_gram_index,
+    )
+
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),  # full dup of doc 0's grams
+        (2, "q r s t u v w x y z"),
+    ]
+    prior = spark.createDataFrame(docs, "doc_id int, text string")
+    store_rows = span_gram_index(prior, min_len=5)
+
+    # half-swapped layout: live partition AND folded base with the SAME rows
+    path = str(tmp_path / "span_store")
+    store_rows.write.parquet(f"{path}/batch_id=0")
+    store_rows.withColumn("src_batch", F.lit(0)).write.parquet(
+        f"{path}/batch_id=-1"
+    )
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    assert raw.count() == 2 * store_rows.count()  # duplicates really exist
+
+    deduped = dedup_span_store(raw)
+    clean = store_rows.select("gh", "cnt")
+    assert (
+        merge_span_index(deduped).orderBy("gh").collect()
+        == merge_span_index(clean).orderBy("gh").collect()
+    )
+
+    # a batch with one single-occurrence doc: against the clean store its
+    # grams are unseen (first occurrence, kept); a 2x over-count must not
+    # resurrect removal
+    batch = spark.createDataFrame(
+        [(10, "k l m n o p k l m n o p")], "doc_id int, text string"
+    )
+    got = remove_spans_against_index(batch, deduped, min_len=5).collect()
+    exp = remove_spans_against_index(batch, clean, min_len=5).collect()
+    assert got == exp
+
+    # unknown-origin rows are NOT collapsed (structurally non-dedupable)
+    unk = store_rows.withColumn("src_batch", F.lit(-1))
+    both = unk.unionByName(unk)
+    assert dedup_span_store(both).count() == 2 * store_rows.count()
+
+
+def test_span_ingest_sink_reads_through_dedup(spark, tmp_path):
+    """End-to-end: the streaming sink's store read tolerates a planted
+    half-swapped duplicate — batch 1's rewrite equals the rewrite
+    against the clean store."""
+    from geoscan_fraud_spark.streaming.scoring import span_ingest_sink
+
+    idx_path = str(tmp_path / "idx")
+    out_path = str(tmp_path / "out")
+    sink = span_ingest_sink(idx_path, out_path, min_len=5)
+
+    b0 = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i j")],
+        "doc_id int, text string",
+    )
+    sink(b0, 0)
+    clean_idx = spark.read.parquet(idx_path)
+
+    # plant the crash artifact: base duplicating batch 0's rows
+    clean_idx.filter(F.col("batch_id") == 0).drop("batch_id").withColumn(
+        "src_batch", F.lit(0)
+    ).write.parquet(f"{idx_path}/batch_id=-1")
+
+    b1 = spark.createDataFrame(
+        [(2, "a b c d e f g h i j"), (3, "k l m n o p q r s t")],
+        "doc_id int, text string",
+    )
+    sink(b1, 1)
+    got = {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in spark.read.parquet(f"{out_path}/batch_id=1").collect()
+    }
+    # doc 2 repeats the store's gram run (removed entirely under
+    # keep='first': the global first lives in batch 0); doc 3 is novel
+    assert got[2][1] > 0
+    assert got[3] == ("k l m n o p q r s t", 0)
+
+
+def test_write_table_orc_round_trip(spark, sf_dir):
+    """r08 (VERDICT r07 #6): S4's format pluggability exercised with a
+    real non-parquet format — the tiles-shaped aggregate written through
+    `write_table(fmt='orc')` reads back value-identical, and the catalog
+    records the ORC provider."""
+    from geoscan_fraud_spark.sources import io as eio
+
+    tiles = (
+        load_fixture(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 7).alias("user"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = {
+        (r["user"], r["event_type"]): r["n"] for r in tiles.collect()
+    }
+    eio.create_database(spark, "gfs_r8_orc")
+    try:
+        eio.write_table(tiles, "gfs_r8_orc.tiles", fmt="orc")
+        back = eio.read_table(spark, "gfs_r8_orc.tiles")
+        got = {(r["user"], r["event_type"]): r["n"] for r in back.collect()}
+        assert got == exp and len(got) > 0
+        detail = spark.sql("DESCRIBE TABLE EXTENDED gfs_r8_orc.tiles").collect()
+        providers = [r["data_type"] for r in detail if r["col_name"] == "Provider"]
+        assert providers and providers[0].lower() == "orc"
+    finally:
+        spark.sql("USE default")
+        eio.drop_database(spark, "gfs_r8_orc")
+
+
+def test_score_with_blooms_never_touches_driver(spark, sf_dir):
+    """r08 (VERDICT r07 #9): the distributed bloom-scoring path must
+    never move the model through the driver — plan construction triggers
+    ZERO Spark jobs (no hidden collect of the blooms), unlike
+    `H3Lookup.from_model_df`, whose collect-everything serving contract
+    (and its documented ~1.5 KB/user driver ceiling) is the reason this
+    path exists."""
+    from geoscan_fraud_spark.operators.bloom import (
+        score_with_blooms,
+        train_blooms,
+    )
+    from geoscan_fraud_spark.functions.grid import cell_id
+
+    ev = load_fixture(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 5).cast("string").alias("user"),
+        (F.lit(40.7) + (F.col("event_id") % 100) / 10000.0).alias("latitude"),
+        (F.lit(-74.0) + (F.col("event_id") % 90) / 10000.0).alias("longitude"),
+    )
+    tiles = pts.select(
+        "user", cell_id(F.col("latitude"), F.col("longitude"), 10).alias("h3")
+    )
+    blooms = train_blooms(tiles).localCheckpoint(eager=True)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    scored = score_with_blooms(pts, blooms)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # building the scoring plan collected nothing
+    rows = scored.collect()
+    assert len(rows) == pts.count()
+    # every training point's own tile must be non-anomalous (FNR = 0)
+    assert all(r["anomaly"] == 0 for r in rows)

@@ -182,9 +182,11 @@ def test_gettiles_cache_keeps_two_keys(spark):
 
 def test_j1_no_forced_customer_broadcast(spark, sf_dir):
     """Exactly one broadcast hint (nation, fixed 25 rows) survives in the
-    analyzed plan; customer (user-proportional) carries none."""
-    from geoscan_fraud_spark.harness import QUERIES
+    analyzed plan; customer (user-proportional) carries none.
 
-    df = QUERIES["j1_join_single_key"](spark, sf_dir)
+    (j1 folded out of the driver registry r08 — imported directly.)"""
+    from geoscan_fraud_spark.harness import j1_join_single_key
+
+    df = j1_join_single_key(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.lower().count("broadcast") == 1

@@ -124,10 +124,13 @@ def test_ref_csv_unclustered_golden_1727(spark):
     reference's "~2,000 non-clustered transactions", `01:227`) has
     recorded exactly 1,727 unclustered rows every round. Pin it so a
     silent clustering regression can't hide behind the driver's
-    rows-only check."""
+    rows-only check. (r08: the registry entry returns a one-row DIGEST
+    of the unclustered set — the 1,727 lives in its n_rows column; the
+    row-level re-derivation is in test_round8_fixes.py.)"""
     from geoscan_fraud_spark.harness_geo import ref_csv_unclustered
 
-    assert ref_csv_unclustered(spark, "unused").count() == 1727
+    row = ref_csv_unclustered(spark, "unused").collect()
+    assert len(row) == 1 and row[0]["n_rows"] == 1727
 
 
 def test_minhash_md5_family_lsh_recall(spark, sf_dir):

@@ -104,10 +104,16 @@ def main():
     QUERIES["j1_join_single_key"] = j1_join_single_key
     QUERIES["a8_percentiles"] = a8_percentiles
     QUERIES["text_token_stats"] = text_token_stats
+    # ann_cosine_topk rotated out in the second r08 wave (slot funds
+    # pii_redact); keep timing it for the same reason
+    from geoscan_fraud_spark.harness_pipeline import ann_cosine_topk
+
+    QUERIES["ann_cosine_topk"] = ann_cosine_topk
     for name, anchor in [
         ("j1_join_single_key", "j2_join_two_keys"),
         ("a8_percentiles", "w1_topk_desc"),
         ("text_token_stats", "text_winnow_fingerprint"),
+        ("ann_cosine_topk", "text_token_stats"),
     ]:
         if name not in headline:
             headline.insert(headline.index(anchor), name)
@@ -524,6 +530,9 @@ def main():
         "html_extract": bench_html_extract,
         # round-8: hybrid sparse+dense RRF fusion (registered entry)
         "rrf_fusion": QUERIES["rrf_fusion"],
+        # round-8 second wave: PII scrub stage (registered entry —
+        # map-only regexp_replace chain over the seeded corpus)
+        "pii_redact": QUERIES["pii_redact"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

@@ -662,14 +662,26 @@ def span_ingest_sink(
     )
 
     def inner(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from pyspark.errors import AnalysisException
 
         spark = batch_df.sparkSession
+        # Duplicates can ONLY exist once a compacted base (batch_id=-1)
+        # is present — live batch_id=N dirs are single-writer overwrites
+        # and cannot duplicate each other — so the steady pre-compaction
+        # stream skips both the mergeSchema footer pass and the dedup
+        # shuffle entirely (same os.path contract as compact_index).
+        has_base = os.path.isdir(os.path.join(index_path, "batch_id=-1"))
         try:
-            # mergeSchema: a compacted base carries the src_batch payload
-            # column that live batch_id=N partitions lack
-            raw = spark.read.option("mergeSchema", "true").parquet(index_path)
-            idx = dedup_span_store(raw.filter(F.col("batch_id") < batch_id))
+            if has_base:
+                # mergeSchema: the base carries the src_batch payload
+                # column that live batch_id=N partitions lack
+                raw = spark.read.option("mergeSchema", "true").parquet(index_path)
+                idx = dedup_span_store(raw.filter(F.col("batch_id") < batch_id))
+            else:
+                raw = spark.read.parquet(index_path)
+                idx = raw.filter(F.col("batch_id") < batch_id).select("gh", "cnt")
         except AnalysisException:
             # bootstrap only: the index path does not exist yet; any
             # other failure (corruption, schema drift) must surface

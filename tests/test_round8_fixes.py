@@ -317,3 +317,76 @@ def test_score_with_blooms_never_touches_driver(spark, sf_dir):
     assert len(rows) == pts.count()
     # every training point's own tile must be non-anomalous (FNR = 0)
     assert all(r["anomaly"] == 0 for r in rows)
+
+
+def test_ann_cosine_topk_matches_numpy(spark, sf_dir):
+    """Folded r08 (second wave): ann_cosine_topk left the driver
+    registry (slot funds pii_redact); its cosine top-k values stay
+    pinned against a numpy oracle. Driver-side witnesses remain
+    `ann_ivf_topk` (exact re-rank = the same cosine + window top-k) and
+    `rrf_fusion` (dense leg is this very function)."""
+    import numpy as np
+
+    from geoscan_fraud_spark.harness_pipeline import ann_cosine_topk
+
+    got = {
+        (r["query_id"], r["vec_id"]): (r["sim"], r["rank"])
+        for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    t = (
+        load_fixture(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    exp = {}
+    for qi in np.flatnonzero(ids < 5):
+        sims = Xn @ Xn[qi]
+        order = [
+            j
+            for j in sorted(
+                range(len(ids)), key=lambda j: (-round(sims[j], 6), ids[j])
+            )
+            if j != qi
+        ][:10]
+        for rank, j in enumerate(order, start=1):
+            exp[(int(ids[qi]), int(ids[j]))] = (round(float(sims[j]), 6), rank)
+    assert len(got) == len(exp) > 0
+    for key, (sim, rank) in exp.items():
+        g_sim, g_rank = got[key]
+        assert g_rank == rank, (key, g_rank, rank)
+        assert abs(g_sim - sim) <= 1e-6, (key, g_sim, sim)
+
+
+def test_pii_redact_entry_values(spark, sf_dir):
+    """The r08 `pii_redact` registry entry: every doc gets exactly one
+    seeded span per pattern class (email/card/phone/IP/SSN), all five
+    are rewritten to their markers, and no raw span survives."""
+    from geoscan_fraud_spark.harness_pipeline import pii_redact
+
+    rows = pii_redact(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_redactions"] == 5, (r["doc_id"], r["n_redactions"])
+        red = r["redacted"]
+        for marker in ("<EMAIL>", "<CARD>", "<PHONE>", "<IP>", "<SSN>"):
+            assert marker in red, (r["doc_id"], marker)
+        assert "@mail.example.org" not in red
+        assert "4111" not in red
+        assert "415-555" not in red
+        assert "078-05-1120" not in red
+        assert red.endswith("<SSN> end")
+
+
+def test_pii_redact_plan_map_only(spark, sf_dir):
+    """redact_pii is a pure regexp_replace chain — the registry entry
+    must stay map-only: zero shuffles, zero Python eval nodes."""
+    from geoscan_fraud_spark.harness_pipeline import pii_redact
+    from geoscan_fraud_spark.plans.audit import plan_summary
+
+    plan = plan_summary(pii_redact(spark, sf_dir))
+    assert plan["shuffles"] == 0
+    assert plan["python_eval"] == 0

@@ -695,16 +695,150 @@ def ivf_index_write(
     q8.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, "lists")
     )
+    # drift baseline for `ivf_index_append`: mean squared distance of the
+    # build corpus to its nearest centroid (the same `_centroid_dists`
+    # formula appends use, so the ratio is apples-to-apples even for the
+    # MLlib-fit path). One extra agg job over the build corpus.
+    d_all = _centroid_dists(F.col("c_emb"), cent)
+    base = c.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.avg(F.array_min(d_all)).alias("mean_d2"),
+    ).collect()[0]
     os.makedirs(path, exist_ok=True)
     meta = {
         "n_centroids": len(cent),
         "dim": len(cent[0]),
         "centroids": cent,
         "one_based": centroids is not None,
+        "rows": int(base["rows"]),
+        "appended_rows": 0,
+        "mean_assign_dist2": float(base["mean_d2"]) if base["mean_d2"] is not None else None,
     }
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(meta, f)
     return len(cent)
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    drift_rebuild_ratio: float = 2.0,
+) -> dict:
+    """Append a batch to a persisted `ivf_index_write` index WITHOUT
+    re-clustering — the 100 TB ingest path. Re-fitting k-means over the
+    whole corpus per arriving batch re-reads everything ever indexed;
+    appending assigns only the NEW vectors to the frozen stored
+    centroids (map-only `_centroid_dists` + `array_min`), int8-quantizes
+    them, and appends parquet files into the existing ``list_id``
+    partition directories — `ivf_index_query`'s partition-pruned probe
+    picks them up with no index rewrite.
+
+    The cost of never re-clustering is drift: if the data distribution
+    moves, new vectors land far from every centroid and recall decays
+    silently. Guard: each batch's mean squared nearest-centroid distance
+    is compared against the build-time baseline recorded in
+    ``centroids.json``; the returned ``drift_ratio`` > ``drift_rebuild_ratio``
+    sets ``rebuild_recommended`` (the caller schedules a re-fit — this
+    function never blocks the write, because at ingest time landing the
+    data beats index optimality).
+
+    Two passes over the BATCH only (stats agg + write), nothing over the
+    existing index. For a KMeans-built index, boundary vectors could in
+    principle assign differently than MLlib's own predict under IEEE
+    rounding — harmless for retrieval, since queries probe by the same
+    stored-centroid distances appends assign by.
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(path, "centroids.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cent = meta["centroids"]
+
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")
+    )
+    d = _centroid_dists(F.col("c_emb"), cent)
+    # array_position is 1-based == the explicit-centroid convention;
+    # KMeans-built indexes store 0-based list ids
+    list_id = F.array_position(d, F.array_min(d)) - F.lit(
+        0 if meta["one_based"] else 1
+    )
+    assigned = c.select(
+        "vec_id",
+        "c_emb",
+        list_id.alias("list_id"),
+        F.array_min(d).alias("__d2"),
+        F.size("c_emb").alias("__dim"),
+    )
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.avg("__d2").alias("mean_d2"),
+        F.min("__dim").alias("dim_min"),
+        F.max("__dim").alias("dim_max"),
+    ).collect()[0]
+    if stats["rows"] == 0:
+        return {
+            "rows": 0,
+            "mean_assign_dist2": None,
+            "build_mean_assign_dist2": meta.get("mean_assign_dist2"),
+            "drift_ratio": None,
+            "rebuild_recommended": False,
+        }
+    if stats["dim_min"] != meta["dim"] or stats["dim_max"] != meta["dim"]:
+        raise ValueError(
+            f"embedding dim mismatch: index expects {meta['dim']}, batch has "
+            f"[{stats['dim_min']}, {stats['dim_max']}]"
+        )
+
+    q8 = quantize_embeddings(
+        assigned.drop("__d2", "__dim"),
+        vec_col="c_emb",
+        id_col="vec_id",
+        keep_cols=["list_id"],
+    )
+    q8.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(path, "lists")
+    )
+
+    batch_d2 = float(stats["mean_d2"])
+    build_d2 = meta.get("mean_assign_dist2")
+    drift = (batch_d2 / build_d2) if build_d2 else None
+    meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(stats["rows"])
+    if build_d2 is None:
+        # legacy index without a baseline: adopt this batch's as one
+        meta["mean_assign_dist2"] = batch_d2
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return {
+        "rows": int(stats["rows"]),
+        "mean_assign_dist2": batch_d2,
+        "build_mean_assign_dist2": build_d2,
+        "drift_ratio": drift,
+        "rebuild_recommended": bool(
+            drift is not None and drift > drift_rebuild_ratio
+        ),
+    }
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-list occupancy of a persisted index: (list_id, n_vectors).
+
+    Hot-list skew is the IVF failure mode appends amplify (a frozen
+    quantizer funnels a drifting distribution into few lists, making
+    probes of those lists scan-heavy); this is the ops-side check that
+    pairs with `ivf_index_append`'s drift guard. One column-pruned scan
+    over the list partitions — vec_id only, never the vectors."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "lists"))
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
 
 
 def ivf_index_query(

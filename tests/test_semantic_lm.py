@@ -341,6 +341,104 @@ def test_ivf_index_mllib_path_and_dequantized_rerank(spark, emb, tmp_path):
     assert len(g & e) / len(e) >= 0.9
 
 
+def test_ivf_index_append_equivalent_to_full_build(spark, emb, tmp_path):
+    """Building on half the corpus then appending the other half must
+    serve IDENTICAL query results to an index built over the full corpus
+    with the same frozen quantizer — the append path changes WHEN
+    vectors are indexed, never where they land or how they score."""
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf_index_write(half_a, inc_path, centroids=cent)
+    res = ivf_index_append(half_b, inc_path)
+    assert res["rows"] == half_b.count()
+    assert res["rebuild_recommended"] is False
+    assert res["drift_ratio"] is not None and res["drift_ratio"] > 0
+
+    full_path = str(tmp_path / "ivf_full")
+    ivf_index_write(emb, full_path, centroids=cent)
+
+    q = emb.filter(F.col("vec_id") < 20)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_query(q, inc_path, k=5, nprobe=4).collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_query(q, full_path, k=5, nprobe=4).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # meta counters track the append
+    import json
+    import os
+
+    with open(os.path.join(inc_path, "centroids.json")) as f:
+        meta = json.load(f)
+    assert meta["appended_rows"] == res["rows"]
+    assert meta["rows"] == half_a.count()
+
+
+def test_ivf_index_append_drift_guard_and_dim_check(spark, emb, tmp_path):
+    """A shifted batch (distribution moved away from every centroid)
+    must trip the rebuild recommendation; a wrong-dim batch must be
+    rejected before any file lands."""
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_drift")
+    ivf_index_write(emb, path, centroids=cent)
+
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    res = ivf_index_append(shifted, path)
+    assert res["rebuild_recommended"] is True
+    assert res["drift_ratio"] > 2.0
+
+    truncated = emb.select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        ivf_index_append(truncated, path)
+
+
+def test_ivf_index_stats_occupancy(spark, emb, tmp_path):
+    """Per-list occupancy sums to everything ever indexed and grows by
+    exactly the appended batch."""
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_stats,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_stats")
+    ivf_index_write(emb, path, centroids=cent)
+    n = emb.count()
+    s0 = ivf_index_stats(spark, path)
+    assert s0.agg(F.sum("n_vectors")).collect()[0][0] == n
+
+    batch = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ivf_index_append(batch, path)
+    s1 = ivf_index_stats(spark, path)
+    assert s1.agg(F.sum("n_vectors")).collect()[0][0] == n + batch.count()
+
+
 def test_semantic_pairs_hybrid_identical_to_fold(spark, emb):
     """hybrid must equal fold EXACTLY — ids and cosine doubles — since
     the fold re-scores every BLAS candidate and the widened bound can

@@ -203,8 +203,10 @@ def text_index_write(
       its terms' directories (static pruning via `text_index_query`).
     * ``path/terms`` — (term, df), same bucketing: the idf side without
       touching postings.
-    * ``path/stats.json`` — {n_docs, avgdl, n_buckets}: the two global
-      scalars, computed once at build instead of per query.
+    * ``path/stats.json`` — {n_docs, total_dl, avgdl, n_buckets}: the
+      global scalars, computed once at build instead of per query;
+      n_docs/total_dl are exact integer counters so `text_index_append`
+      merges them losslessly.
 
     At 100 TB a term's postings list can itself be large (stopwords);
     the per-bucket directories keep the scan bounded and the (term)
@@ -227,16 +229,95 @@ def text_index_write(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "terms"))
     )
-    n_docs, avgdl = docs.select(
+    n_docs, total_dl = docs.select(
         F.count(F.lit(1)),
-        F.coalesce(F.avg(F.size(search_tokens(F.col(text_col)))), F.lit(0.0)),
+        F.coalesce(F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)),
     ).first()
     os.makedirs(path, exist_ok=True)
+    # total_dl is an exact integer, so avgdl derives from it identically
+    # at build and after any number of `text_index_append` merges —
+    # incremental and from-scratch indexes stay bit-equal
     with open(os.path.join(path, "stats.json"), "w") as f:
         json.dump(
-            {"n_docs": int(n_docs), "avgdl": float(avgdl), "n_buckets": n_buckets}, f
+            {
+                "n_docs": int(n_docs),
+                "total_dl": int(total_dl),
+                "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
+                "n_buckets": n_buckets,
+            },
+            f,
         )
     return n_buckets
+
+
+def text_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append a document batch to a persisted `text_index_write` index
+    WITHOUT rebuilding — the lexical twin of `ivf_index_append`. At
+    100 TB re-tokenizing everything ever indexed per arriving batch is
+    the non-starter; appending tokenizes only the batch, parquet-appends
+    its postings into the existing ``bucket=`` partition directories,
+    and appends the batch's per-term df rows to ``path/terms`` as a
+    SUM-MERGEABLE log (`text_index_query` sums df per term after the
+    bucket prune — a handful of rows per term, one per append).
+
+    Global stats merge exactly: ``n_docs`` and ``total_dl`` are integer
+    counters in ``stats.json``, and ``avgdl`` is re-derived from them,
+    so an incrementally-grown index serves BIT-IDENTICAL BM25 scores to
+    one built from scratch over the same corpus (pytest-pinned).
+
+    Contract: batch ``doc_id``s must be new to the index (an existing
+    id would double-count in df/n_docs) — ingest pipelines get this for
+    free from upstream exact-dedup (`bloomset` / `dedup_incremental`).
+    Like the build, df/stats are computed from the SAME batch relation
+    the postings write consumed; a nondeterministic upstream should be
+    persisted first (foreachBatch batches already are).
+    """
+    stats_path = os.path.join(path, "stats.json")
+    with open(stats_path) as f:
+        meta = json.load(f)
+    n_buckets = meta["n_buckets"]
+
+    postings = _doc_postings(new_docs, text_col, id_col).withColumn(
+        "bucket", _term_bucket_col(F.col("term"), n_buckets)
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    (
+        postings.groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "terms"))
+    )
+    b_docs, b_dl = new_docs.select(
+        F.count(F.lit(1)),
+        F.coalesce(F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)),
+    ).first()
+
+    if "total_dl" not in meta:
+        # legacy index (pre-total_dl): dl sums are integers, so the
+        # rounded product reconstructs the counter exactly
+        meta["total_dl"] = int(round(meta["avgdl"] * meta["n_docs"]))
+    meta["n_docs"] = int(meta["n_docs"]) + int(b_docs)
+    meta["total_dl"] = int(meta["total_dl"]) + int(b_dl)
+    meta["avgdl"] = (
+        float(meta["total_dl"]) / float(meta["n_docs"]) if meta["n_docs"] else 0.0
+    )
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    with open(stats_path, "w") as f:
+        json.dump(meta, f)
+    return {
+        "rows": int(b_docs),
+        "n_docs": meta["n_docs"],
+        "avgdl": meta["avgdl"],
+        "appends": meta["appends"],
+    }
 
 
 def text_index_query(
@@ -284,7 +365,10 @@ def text_index_query(
         spark.read.parquet(os.path.join(path, "terms"))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms_list))
-        .select("term", "df")
+        # terms/ is a sum-mergeable log: one row per (term, build) plus
+        # one per (term, append) — merge after the prune, never before
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
     stats = spark.range(1).select(
         F.lit(meta["n_docs"]).alias("n_docs"), F.lit(meta["avgdl"]).alias("avgdl")

@@ -221,6 +221,74 @@ def test_index_query_no_terms_raises(spark, index_path):
         text_index_query(spark, index_path, [("q", "   ")], k=5)
 
 
+def test_index_append_parity_with_full_build(spark, docs_df, tmp_path):
+    """Half-build + append must serve BIT-IDENTICAL BM25 results to a
+    from-scratch index over the same corpus: integer n_docs/total_dl
+    counters merge losslessly and the df log sums per term."""
+    from geoscan_fraud_spark.operators.retrieval import text_index_append
+
+    half_a = docs_df.filter(F.col("doc_id") <= 4)
+    half_b = docs_df.filter(F.col("doc_id") > 4)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    text_index_write(half_a, inc, n_buckets=8)
+    res = text_index_append(half_b, inc)
+    assert res["rows"] == half_b.count()
+    assert res["appends"] == 1 and res["n_docs"] == len(DOCS)
+    text_index_write(docs_df, full, n_buckets=8)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, inc, QUERIES, k=5).collect()
+    }
+    exp = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, full, QUERIES, k=5).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    import json
+
+    with open(inc + "/stats.json") as f:
+        m_inc = json.load(f)
+    with open(full + "/stats.json") as f:
+        m_full = json.load(f)
+    assert m_inc["n_docs"] == m_full["n_docs"]
+    assert m_inc["total_dl"] == m_full["total_dl"]
+    assert m_inc["avgdl"] == m_full["avgdl"]
+
+    # the df relation really is a log: "fox" occurs in both halves ->
+    # one row per write, and the merged sum equals the full-build df
+    fox = spark.read.parquet(inc + "/terms").filter(F.col("term") == "fox")
+    assert fox.count() == 2
+    full_fox = (
+        spark.read.parquet(full + "/terms").filter(F.col("term") == "fox")
+    )
+    assert fox.agg(F.sum("df")).collect()[0][0] == full_fox.collect()[0]["df"]
+
+
+def test_index_append_legacy_stats_upgrade(spark, docs_df, tmp_path):
+    """An index persisted before the total_dl counter existed must still
+    accept appends: avgdl * n_docs reconstructs the integer exactly."""
+    import json
+
+    from geoscan_fraud_spark.operators.retrieval import text_index_append
+
+    path = str(tmp_path / "legacy")
+    text_index_write(docs_df.filter(F.col("doc_id") <= 4), path, n_buckets=8)
+    with open(path + "/stats.json") as f:
+        meta = json.load(f)
+    legacy_total = meta.pop("total_dl")
+    with open(path + "/stats.json", "w") as f:
+        json.dump(meta, f)
+
+    text_index_append(docs_df.filter(F.col("doc_id") > 4), path)
+    with open(path + "/stats.json") as f:
+        upgraded = json.load(f)
+    toks = [_py_tokens(t) for _, t in DOCS]
+    assert upgraded["total_dl"] == sum(map(len, toks))
+    assert legacy_total + sum(len(_py_tokens(t)) for d, t in DOCS if d > 4) == upgraded["total_dl"]
+
+
 # ---------------------------------------------------------------- fusion
 
 

@@ -320,6 +320,29 @@ def text_index_append(
     }
 
 
+def text_index_compact(spark, path: str) -> int:
+    """Maintenance for an appended `text_index_write` index: fold
+    postings back to one file per bucket directory and COLLAPSE the
+    sum-mergeable df log to one row per (bucket, term) — read-side
+    merging stays correct either way, compaction just stops the log
+    growing one row per term per append. Single-writer, rename-swap
+    (see `compact_partitioned`). Returns the total data-file count."""
+    from geoscan_fraud_spark.sources.io import compact_partitioned
+
+    n_postings = compact_partitioned(
+        spark, os.path.join(path, "postings"), ["bucket"]
+    )
+    n_terms = compact_partitioned(
+        spark,
+        os.path.join(path, "terms"),
+        ["bucket"],
+        transform=lambda d: d.groupBy("bucket", "term").agg(
+            F.sum("df").alias("df")
+        ),
+    )
+    return n_postings + n_terms
+
+
 def text_index_query(
     spark,
     path: str,

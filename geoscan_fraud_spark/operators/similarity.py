@@ -824,6 +824,18 @@ def ivf_index_append(
     }
 
 
+def ivf_index_compact(spark, path: str) -> int:
+    """Fold the small files `ivf_index_append` accretes back to one file
+    per list directory (maintenance twin of the reference's OPTIMIZE,
+    run between ingest windows — single-writer). Pure relayout: row set,
+    partition dirs, and query results are unchanged (pytest-pinned)."""
+    import os
+
+    from geoscan_fraud_spark.sources.io import compact_partitioned
+
+    return compact_partitioned(spark, os.path.join(path, "lists"), ["list_id"])
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-list occupancy of a persisted index: (list_id, n_vectors).
 

@@ -419,6 +419,55 @@ def compact_files(
     return n_files
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    transform=None,
+) -> int:
+    """`compact_files` for a PARTITIONED directory: rewrite preserving
+    the ``col=value`` layout (plain compact_files would flatten it and
+    break partition pruning). Returns the data-file count after.
+
+    The append-based index ingest paths (`ivf_index_append`,
+    `text_index_append`) accrete one file set per batch inside each
+    partition directory; this folds every partition back to one file
+    per directory (hash `repartition` on the partition columns puts each
+    key in exactly one task — parquet files are splittable, so one big
+    file per directory is the optimal serving layout, no footer fan-out).
+    ``transform`` runs between read and write — how `text_index_compact`
+    collapses its sum-mergeable df log.
+
+    Same single-writer rule and rename-swap crash story as
+    `compact_files`; refuses to run over a previous crash's leftovers.
+    """
+    for leftover in ("__compact__", "__old__"):
+        p = path.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} exists — a previous compaction crashed mid-swap; "
+                f"inspect/remove it before re-running"
+            )
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
+    tmp = path.rstrip("/") + ".__compact__"
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n
+
+
 def read_orc(
     spark: SparkSession,
     path: str,

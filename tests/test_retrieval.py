@@ -266,6 +266,50 @@ def test_index_append_parity_with_full_build(spark, docs_df, tmp_path):
     assert fox.agg(F.sum("df")).collect()[0][0] == full_fox.collect()[0]["df"]
 
 
+def test_index_compact_collapses_df_log_and_preserves_results(
+    spark, docs_df, tmp_path
+):
+    """After compaction the df log is one row per term again, BM25
+    results are unchanged, and a crashed-compaction leftover is refused."""
+    import os
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_append,
+        text_index_compact,
+    )
+
+    path = str(tmp_path / "cpt")
+    text_index_write(docs_df.filter(F.col("doc_id") <= 4), path, n_buckets=8)
+    text_index_append(docs_df.filter(F.col("doc_id") > 4), path)
+
+    before = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, path, QUERIES, k=5).collect()
+    }
+    fox_rows = (
+        spark.read.parquet(path + "/terms")
+        .filter(F.col("term") == "fox")
+        .collect()
+    )
+    assert len(fox_rows) == 2  # the log really had two generations
+    fox_sum = sum(r["df"] for r in fox_rows)
+
+    text_index_compact(spark, path)
+    fox2 = (
+        spark.read.parquet(path + "/terms").filter(F.col("term") == "fox")
+    ).collect()
+    assert len(fox2) == 1 and fox2[0]["df"] == fox_sum
+    after = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, path, QUERIES, k=5).collect()
+    }
+    assert after == before and len(after) > 0
+
+    os.makedirs(path + "/postings.__old__")
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        text_index_compact(spark, path)
+
+
 def test_index_append_legacy_stats_upgrade(spark, docs_df, tmp_path):
     """An index persisted before the total_dl counter existed must still
     accept appends: avgdl * n_docs reconstructs the integer exactly."""

@@ -439,6 +439,64 @@ def test_ivf_index_stats_occupancy(spark, emb, tmp_path):
     assert s1.agg(F.sum("n_vectors")).collect()[0][0] == n + batch.count()
 
 
+def test_ivf_index_compact_preserves_results_and_folds_files(
+    spark, emb, tmp_path
+):
+    """Compaction is pure relayout: after two appends each list dir has
+    several file sets; compact folds to one file per dir, the partition
+    layout survives (pruning still works), and query results are
+    byte-identical."""
+    import os
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_cpt")
+    thirds = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    ivf_index_write(thirds[0], path, centroids=cent)
+    ivf_index_append(
+        thirds[1].select(
+            (F.col("vec_id")).alias("vec_id"), "embedding"
+        ),
+        path,
+    )
+    ivf_index_append(thirds[2].select("vec_id", "embedding"), path)
+
+    q = emb.filter(F.col("vec_id") < 10)
+    before = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_query(q, path, k=5, nprobe=4).collect()
+    }
+
+    def files_per_dir():
+        lists = os.path.join(path, "lists")
+        out = {}
+        for d in os.listdir(lists):
+            if d.startswith("list_id="):
+                out[d] = sum(
+                    1
+                    for f in os.listdir(os.path.join(lists, d))
+                    if not f.startswith(("_", "."))
+                )
+        return out
+
+    assert max(files_per_dir().values()) > 1  # appends really did accrete
+    ivf_index_compact(spark, path)
+    per_dir = files_per_dir()
+    assert per_dir and all(v == 1 for v in per_dir.values())
+
+    after = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_query(q, path, k=5, nprobe=4).collect()
+    }
+    assert after == before and len(after) > 0
+
+
 def test_semantic_pairs_hybrid_identical_to_fold(spark, emb):
     """hybrid must equal fold EXACTLY — ids and cosine doubles — since
     the fold re-scores every BLAS candidate and the widened bound can

@@ -827,13 +827,22 @@ def ivf_index_append(
 def ivf_index_compact(spark, path: str) -> int:
     """Fold the small files `ivf_index_append` accretes back to one file
     per list directory (maintenance twin of the reference's OPTIMIZE,
-    run between ingest windows — single-writer). Pure relayout: row set,
-    partition dirs, and query results are unchanged (pytest-pinned)."""
+    run between ingest windows — single-writer). Also drops FULL-ROW
+    duplicates: a crash between `ann_index_ingest_sink`'s parquet append
+    and its meta commit replays the batch as bit-identical rows
+    (deterministic assignment + quantization), so distinct() removes
+    exactly the replay and can never collapse genuinely different data.
+    Otherwise pure relayout: query results unchanged (pytest-pinned)."""
     import os
 
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
-    return compact_partitioned(spark, os.path.join(path, "lists"), ["list_id"])
+    return compact_partitioned(
+        spark,
+        os.path.join(path, "lists"),
+        ["list_id"],
+        transform=lambda d: d.distinct(),
+    )
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:

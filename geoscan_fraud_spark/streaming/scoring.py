@@ -342,6 +342,62 @@ def embedding_ingest_sink(
     )
 
 
+def ann_index_ingest_sink(
+    index_path: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    drift_rebuild_ratio: float = 2.0,
+    on_drift=None,
+):
+    """Keep a SERVING ANN index fresh from a stream: each micro-batch is
+    `ivf_index_append`ed to a pre-built `ivf_index_write` index (the
+    quantizer must come from a backfill fit — build the index before
+    starting the stream). Complements `embedding_ingest_sink`, which
+    dedups arrivals; this one makes them retrievable.
+
+    Idempotency: the last committed stream batch id is recorded in
+    ``centroids.json``; a replayed ``batch_id <= last_stream_batch`` is
+    skipped entirely. Crash window: dying between the parquet append
+    and the meta commit makes the replay re-append BIT-IDENTICAL rows
+    (assignment and quantization are deterministic) — until maintenance
+    runs, a duplicate only repeats a candidate row in serving top-k;
+    `ivf_index_compact` (distinct over full rows) restores exact state
+    on restart.
+
+    ``on_drift`` (optional) receives the append-result dict whenever the
+    batch trips ``rebuild_recommended`` — the hook for scheduling an
+    offline re-fit; the write itself is never blocked.
+    """
+    from geoscan_fraud_spark.operators.similarity import ivf_index_append
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+
+        meta_path = os.path.join(index_path, "centroids.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if int(meta.get("last_stream_batch", -1)) >= batch_id:
+            return
+        res = ivf_index_append(
+            batch_df,
+            index_path,
+            emb_col=emb_col,
+            id_col=id_col,
+            drift_rebuild_ratio=drift_rebuild_ratio,
+        )
+        # append rewrote the meta — re-read before committing the batch
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["last_stream_batch"] = int(batch_id)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        if res.get("rebuild_recommended") and on_drift is not None:
+            on_drift(res)
+
+    return inner
+
+
 def countmin_sink(
     sketch_path: str,
     text_col: str = "text",

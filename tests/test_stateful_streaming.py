@@ -166,6 +166,114 @@ def test_embedding_ingest_sink_dedups_across_batches(spark, tmp_path):
     assert sorted(r.vec_id for r in spark.read.parquet(out_path).collect()) == [1, 11]
 
 
+def test_ann_index_ingest_sink_appends_skips_replays_and_recovers(
+    spark, tmp_path
+):
+    """Streamed batches become retrievable; a replay of a COMMITTED
+    batch is skipped; a crash-window replay (append landed, meta commit
+    didn't) is healed exactly by ivf_index_compact."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_query,
+        ivf_index_stats,
+        ivf_index_write,
+        lloyd_centroids,
+    )
+    from geoscan_fraud_spark.streaming.scoring import ann_index_ingest_sink
+
+    rng = np.random.RandomState(11)
+    seed_vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    schema = "vec_id long, embedding array<double>"
+    seed_df = spark.createDataFrame(seed_vecs, schema)
+    cent = lloyd_centroids(np.array([v for _, v in seed_vecs]), 4)
+
+    path = str(tmp_path / "ann_idx")
+    ivf_index_write(seed_df, path, centroids=cent)
+
+    b0 = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.randn(8)]) for i in range(10)], schema
+    )
+    drifted = []
+    sink = ann_index_ingest_sink(path, on_drift=drifted.append)
+    sink(b0, 0)
+
+    total = lambda: ivf_index_stats(spark, path).agg(  # noqa: E731
+        F.sum("n_vectors")
+    ).collect()[0][0]
+    assert total() == 50
+    # a streamed vector is retrievable: query with its own embedding
+    got = ivf_index_query(b0.filter(F.col("vec_id") == 100), path, k=50, nprobe=4)
+    assert got.count() > 0
+
+    # replay of the committed batch: skipped, nothing double-appended
+    sink(b0, 0)
+    assert total() == 50
+    with open(path + "/centroids.json") as f:
+        assert json.load(f)["last_stream_batch"] == 0
+
+    q = seed_df.filter(F.col("vec_id") < 5)
+    clean = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_query(q, path, k=5, nprobe=4).collect()
+    }
+
+    # crash window: simulate a replay whose append landed but whose meta
+    # commit didn't by resetting the committed id
+    with open(path + "/centroids.json") as f:
+        meta = json.load(f)
+    meta["last_stream_batch"] = -1
+    with open(path + "/centroids.json", "w") as f:
+        json.dump(meta, f)
+    sink(b0, 0)
+    assert total() == 60  # bit-identical duplicates present
+    ivf_index_compact(spark, path)
+    assert total() == 50  # distinct() removed exactly the replay
+    healed = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_query(q, path, k=5, nprobe=4).collect()
+    }
+    assert healed == clean and len(healed) > 0
+
+    assert drifted == []  # same-distribution batches never trip the guard
+
+
+def test_ann_index_ingest_sink_drift_hook(spark, tmp_path):
+    """A shifted batch trips the on_drift hook but still lands."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_stats,
+        ivf_index_write,
+        lloyd_centroids,
+    )
+    from geoscan_fraud_spark.streaming.scoring import ann_index_ingest_sink
+
+    rng = np.random.RandomState(13)
+    seed_vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    schema = "vec_id long, embedding array<double>"
+    seed_df = spark.createDataFrame(seed_vecs, schema)
+    cent = lloyd_centroids(np.array([v for _, v in seed_vecs]), 4)
+    path = str(tmp_path / "ann_drift")
+    ivf_index_write(seed_df, path, centroids=cent)
+
+    shifted = spark.createDataFrame(
+        [(200 + i, [float(x) + 40.0 for x in rng.randn(8)]) for i in range(10)],
+        schema,
+    )
+    drifted = []
+    sink = ann_index_ingest_sink(path, on_drift=drifted.append)
+    sink(shifted, 0)
+    assert len(drifted) == 1 and drifted[0]["rebuild_recommended"] is True
+    total = ivf_index_stats(spark, path).agg(F.sum("n_vectors")).collect()[0][0]
+    assert total == 40  # the write was never blocked
+
+
 def test_profile_sink_rollup_matches_batch_profile(spark, tmp_path):
     from geoscan_fraud_spark.operators.profiling import merge_profiles, profile_corpus
     from geoscan_fraud_spark.streaming.scoring import profile_sink

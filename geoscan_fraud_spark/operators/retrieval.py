@@ -255,6 +255,7 @@ def text_index_append(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    src_batch: int | None = None,
 ) -> dict:
     """Append a document batch to a persisted `text_index_write` index
     WITHOUT rebuilding — the lexical twin of `ivf_index_append`. At
@@ -276,11 +277,26 @@ def text_index_append(
     Like the build, df/stats are computed from the SAME batch relation
     the postings write consumed; a nondeterministic upstream should be
     persisted first (foreachBatch batches already are).
+
+    ``src_batch`` (streaming): a monotone batch id. A batch whose id is
+    <= the recorded ``last_stream_batch`` is SKIPPED (committed-batch
+    replay), and on success the id commits in the SAME stats.json write
+    as the counters — so a crash replay can duplicate postings/df-log
+    ROWS (bit-identical; `text_index_compact` heals them exactly) but
+    can never double-count the global counters.
     """
     stats_path = os.path.join(path, "stats.json")
     with open(stats_path) as f:
         meta = json.load(f)
     n_buckets = meta["n_buckets"]
+    if src_batch is not None and int(meta.get("last_stream_batch", -1)) >= src_batch:
+        return {
+            "rows": 0,
+            "n_docs": meta["n_docs"],
+            "avgdl": meta["avgdl"],
+            "appends": int(meta.get("appends", 0)),
+            "skipped_replay": True,
+        }
 
     postings = _doc_postings(new_docs, text_col, id_col).withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
@@ -310,6 +326,8 @@ def text_index_append(
         float(meta["total_dl"]) / float(meta["n_docs"]) if meta["n_docs"] else 0.0
     )
     meta["appends"] = int(meta.get("appends", 0)) + 1
+    if src_batch is not None:
+        meta["last_stream_batch"] = int(src_batch)
     with open(stats_path, "w") as f:
         json.dump(meta, f)
     return {
@@ -317,27 +335,45 @@ def text_index_append(
         "n_docs": meta["n_docs"],
         "avgdl": meta["avgdl"],
         "appends": meta["appends"],
+        "skipped_replay": False,
     }
 
 
 def text_index_compact(spark, path: str) -> int:
     """Maintenance for an appended `text_index_write` index: fold
-    postings back to one file per bucket directory and COLLAPSE the
-    sum-mergeable df log to one row per (bucket, term) — read-side
-    merging stays correct either way, compaction just stops the log
-    growing one row per term per append. Single-writer, rename-swap
-    (see `compact_partitioned`). Returns the total data-file count."""
+    postings back to one file per bucket directory and collapse the
+    sum-mergeable df log to one row per (bucket, term). Single-writer,
+    rename-swap (see `compact_partitioned`). Returns the total
+    data-file count.
+
+    Doubles as the crash healer for `text_index_ingest_sink`: postings
+    are deduped with full-row distinct() — a (doc_id, term) posting is
+    unique per honest corpus, so identical full rows can only be a
+    replayed append (bit-identical tokenization) and distinct() removes
+    exactly those. The df relation is then REBUILT from the deduped
+    postings (exact per-term doc count), not merged from the
+    possibly-over-counted log — postings are the ground truth. The
+    stats.json counters need no healing: `text_index_append` commits
+    them in the SAME json write as the ``src_batch`` id, so a replayed
+    batch either skipped entirely or was the only one to count them."""
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
     n_postings = compact_partitioned(
-        spark, os.path.join(path, "postings"), ["bucket"]
+        spark,
+        os.path.join(path, "postings"),
+        ["bucket"],
+        transform=lambda d: d.distinct(),
     )
     n_terms = compact_partitioned(
         spark,
         os.path.join(path, "terms"),
         ["bucket"],
-        transform=lambda d: d.groupBy("bucket", "term").agg(
-            F.sum("df").alias("df")
+        # rebuilt from the just-deduped postings (the ground truth), not
+        # merged from the log — heals any replayed-append df over-count
+        transform=lambda _log: (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
         ),
     )
     return n_postings + n_terms

@@ -398,6 +398,35 @@ def ann_index_ingest_sink(
     return inner
 
 
+def text_index_ingest_sink(
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Keep a SERVING BM25 index (`text_index_write`) fresh from a
+    stream — the lexical twin of `ann_index_ingest_sink`. Each
+    micro-batch is `text_index_append`ed with ``src_batch=batch_id``,
+    which gives replay protection for free: the append skips committed
+    batch ids, and commits counters + batch id in one stats.json write,
+    so a crash-window replay can only duplicate postings/df-log rows
+    (healed exactly by `text_index_compact`), never the global stats.
+    Build the index from the backfill corpus before starting the
+    stream; pair with an upstream dedup sink so batch doc_ids are new.
+    """
+    from geoscan_fraud_spark.operators.retrieval import text_index_append
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        text_index_append(
+            batch_df,
+            index_path,
+            text_col=text_col,
+            id_col=id_col,
+            src_batch=int(batch_id),
+        )
+
+    return inner
+
+
 def countmin_sink(
     sketch_path: str,
     text_col: str = "text",

@@ -274,6 +274,87 @@ def test_ann_index_ingest_sink_drift_hook(spark, tmp_path):
     assert total == 40  # the write was never blocked
 
 
+def test_text_index_ingest_sink_replay_and_crash_heal(spark, tmp_path):
+    """Streamed docs become searchable; committed replays are skipped;
+    the true crash window (postings/terms landed, stats write didn't)
+    leaves counters correct after replay and row duplicates that
+    text_index_compact heals back to a never-crashed index."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_compact,
+        text_index_query,
+        text_index_write,
+    )
+    from geoscan_fraud_spark.streaming.scoring import text_index_ingest_sink
+
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "lazy dog sleeps"),
+        (3, "quick quick fox"),
+        (4, "spark sql engines"),
+        (5, "engines process data"),
+        (6, "fox and dog and engines"),
+    ]
+    schema = "doc_id long, text string"
+    all_df = spark.createDataFrame(docs, schema)
+    seed = all_df.filter(F.col("doc_id") <= 3)
+    batch = all_df.filter(F.col("doc_id") > 3)
+
+    path, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    text_index_write(seed, path, n_buckets=8)
+    text_index_write(all_df, ref, n_buckets=8)
+
+    sink = text_index_ingest_sink(path)
+    queries = [("q1", "fox engines"), ("q2", "quick dog")]
+
+    stats_file = path + "/stats.json"
+    pre_append = open(stats_file).read()  # the crash-window snapshot
+    sink(batch, 0)
+
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, ref, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, path, queries, k=5).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # committed replay: skipped (counters and rows unchanged)
+    with open(stats_file) as f:
+        committed = json.load(f)
+    sink(batch, 0)
+    with open(stats_file) as f:
+        assert json.load(f) == committed
+
+    # crash window: the first attempt's stats write never landed
+    with open(stats_file, "w") as f:
+        f.write(pre_append)
+    sink(batch, 0)  # replay re-appends rows, commits counters ONCE
+    with open(stats_file) as f:
+        healed_meta = json.load(f)
+    assert healed_meta["n_docs"] == committed["n_docs"]
+    assert healed_meta["total_dl"] == committed["total_dl"]
+    # duplicated posting rows present until maintenance
+    fox_engines = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("doc_id") == 6)
+        .count()
+    )
+    assert fox_engines == 8  # doc 6 has 4 distinct terms, each duplicated
+
+    text_index_compact(spark, path)
+    after = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, path, queries, k=5).collect()
+    }
+    assert after == want
+
+
 def test_profile_sink_rollup_matches_batch_profile(spark, tmp_path):
     from geoscan_fraud_spark.operators.profiling import merge_profiles, profile_corpus
     from geoscan_fraud_spark.streaming.scoring import profile_sink

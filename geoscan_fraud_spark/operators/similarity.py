@@ -845,6 +845,59 @@ def ivf_index_compact(spark, path: str) -> int:
     )
 
 
+def ivf_index_rebuild(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    seed: int = 42,
+) -> int:
+    """Re-fit a drifted index FROM ITS OWN CONTENTS — what
+    `ivf_index_append`'s ``rebuild_recommended`` (or the
+    `ann_index_ingest_sink` ``on_drift`` hook) schedules. At scale the
+    index often IS the vector store, so the rebuild reads the persisted
+    int8 lists back, dequantizes, re-fits the quantizer (distributed
+    MLlib k-means), and rewrites — no original corpus required.
+    Returns the new list count.
+
+    Fitting on dequantized vectors carries the int8 error (~0.4% of the
+    max coordinate) into the centroids — far below the centroid
+    movement a rebuild exists to correct. The stream cursor
+    (``last_stream_batch``) carries over so an `ann_index_ingest_sink`
+    can resume against the rebuilt index without replaying committed
+    batches. Same single-writer rename-swap rules as
+    `compact_partitioned`; refuses over a previous crash's leftovers."""
+    import json
+    import os
+    import shutil
+
+    for leftover in ("__rebuild__", "__old__"):
+        p = path.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} exists — a previous rebuild crashed mid-swap; "
+                f"inspect/remove it before re-running"
+            )
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    k = n_centroids or meta["n_centroids"]
+    vecs = dequantize_embeddings(
+        spark.read.parquet(os.path.join(path, "lists"))
+    )
+    tmp = path.rstrip("/") + ".__rebuild__"
+    ivf_index_write(vecs, tmp, n_centroids=k, seed=seed)
+    with open(os.path.join(tmp, "centroids.json")) as f:
+        new_meta = json.load(f)
+    if "last_stream_batch" in meta:
+        new_meta["last_stream_batch"] = meta["last_stream_batch"]
+    with open(os.path.join(tmp, "centroids.json"), "w") as f:
+        json.dump(new_meta, f)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return k
+
+
 def ivf_index_stats(spark, path: str) -> DataFrame:
     """Per-list occupancy of a persisted index: (list_id, n_vectors).
 

@@ -497,6 +497,62 @@ def test_ivf_index_compact_preserves_results_and_folds_files(
     assert after == before and len(after) > 0
 
 
+def test_ivf_index_rebuild_adapts_to_drift(spark, emb, tmp_path):
+    """The drift loop end-to-end: a shifted ingest trips the guard, a
+    rebuild from the index's own contents adapts the quantizer, and the
+    next batch from the NEW distribution no longer trips it. Row set and
+    stream cursor survive the rebuild."""
+    import json
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_query,
+        ivf_index_rebuild,
+        ivf_index_stats,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_rb")
+    ivf_index_write(emb, path, centroids=cent)
+    with open(path + "/centroids.json") as f:
+        meta = json.load(f)
+    meta["last_stream_batch"] = 7
+    with open(path + "/centroids.json", "w") as f:
+        json.dump(meta, f)
+
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    res = ivf_index_append(shifted, path)
+    assert res["rebuild_recommended"] is True
+    n_total = emb.count() * 2
+
+    k = ivf_index_rebuild(spark, path, seed=3)
+    assert k == 8
+    with open(path + "/centroids.json") as f:
+        rebuilt = json.load(f)
+    assert rebuilt["centroids"] != cent  # the quantizer really moved
+    assert rebuilt["last_stream_batch"] == 7  # stream cursor survived
+    assert rebuilt["rows"] == n_total and rebuilt["appended_rows"] == 0
+
+    total = ivf_index_stats(spark, path).agg(F.sum("n_vectors")).collect()[0][0]
+    assert total == n_total  # no vector lost in the swap
+
+    # a second batch from the SHIFTED distribution now fits the quantizer
+    more = emb.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    res2 = ivf_index_append(more, path)
+    assert res2["rebuild_recommended"] is False
+
+    # and the rebuilt index still serves
+    q = emb.filter(F.col("vec_id") < 3)
+    assert ivf_index_query(q, path, k=5, nprobe=4).count() == 15
+
+
 def test_semantic_pairs_hybrid_identical_to_fold(spark, emb):
     """hybrid must equal fold EXACTLY — ids and cosine doubles — since
     the fold re-scores every BLAS candidate and the widened bound can

@@ -339,6 +339,39 @@ def text_index_append(
     }
 
 
+def text_index_delete(spark, path: str, doc_ids) -> None:
+    """Logical delete (tombstones) for a persisted BM25 index — the
+    takedown path. ``doc_ids`` is a one-column DataFrame (or a small
+    Python list). Appends to ``path/tombstones``; deleted docs stop
+    being RETURNED immediately (`text_index_query` anti-joins postings),
+    while df/n_docs/avgdl keep their pre-delete values until
+    `text_index_compact` — exactly Lucene's delete-then-merge scoring
+    semantics (deleted docs still dampen idf until segments merge).
+    Compaction applies tombstones physically, rebuilds df from the
+    surviving postings, and subtracts the deleted docs' (count, dl)
+    from the stats counters. Caveat: a deleted EMPTY doc (no tokens)
+    leaves no postings to measure, so its +1 in n_docs persists —
+    token-free docs were never retrievable, so only idf damping at the
+    margin is affected."""
+    from pyspark.sql import DataFrame as _DF
+
+    if not isinstance(doc_ids, _DF):
+        doc_ids = spark.createDataFrame([(i,) for i in doc_ids], ["doc_id"])
+    else:
+        doc_ids = doc_ids.toDF("doc_id")
+    doc_ids.select("doc_id").write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+
+
+def _anti_doc_tombstones(spark, path: str, postings: DataFrame) -> DataFrame:
+    tpath = os.path.join(path, "tombstones")
+    if not os.path.isdir(tpath):
+        return postings
+    dead = spark.read.parquet(tpath).toDF("doc_id")
+    return postings.join(dead, "doc_id", "left_anti")
+
+
 def text_index_compact(spark, path: str) -> int:
     """Maintenance for an appended `text_index_write` index: fold
     postings back to one file per bucket directory and collapse the
@@ -356,26 +389,62 @@ def text_index_compact(spark, path: str) -> int:
     stats.json counters need no healing: `text_index_append` commits
     them in the SAME json write as the ``src_batch`` id, so a replayed
     batch either skipped entirely or was the only one to count them."""
+    import shutil
+
     from geoscan_fraud_spark.sources.io import compact_partitioned
+
+    # measure the tombstoned docs BEFORE the rewrite: their (count, dl)
+    # must come off the stats counters (distinct over the dup-tolerant
+    # (doc_id, dl) pairs, semi-joined to the tombstone set)
+    tpath = os.path.join(path, "tombstones")
+    n_del, dl_del = 0, 0
+    if os.path.isdir(tpath):
+        dead = spark.read.parquet(tpath).toDF("doc_id")
+        row = (
+            spark.read.parquet(os.path.join(path, "postings"))
+            .select("doc_id", "dl")
+            .distinct()
+            .join(dead, "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
+            .first()
+        )
+        n_del, dl_del = int(row[0]), int(row[1])
 
     n_postings = compact_partitioned(
         spark,
         os.path.join(path, "postings"),
         ["bucket"],
-        transform=lambda d: d.distinct(),
+        transform=lambda d: _anti_doc_tombstones(spark, path, d.distinct()),
     )
     n_terms = compact_partitioned(
         spark,
         os.path.join(path, "terms"),
         ["bucket"],
-        # rebuilt from the just-deduped postings (the ground truth), not
-        # merged from the log — heals any replayed-append df over-count
+        # rebuilt from the just-deduped+deleted postings (the ground
+        # truth), not merged from the log — heals replayed-append df
+        # over-counts and applies deletes to df in one pass
         transform=lambda _log: (
             spark.read.parquet(os.path.join(path, "postings"))
             .groupBy("bucket", "term")
             .agg(F.count(F.lit(1)).alias("df"))
         ),
     )
+    if n_del or os.path.isdir(tpath):
+        stats_path = os.path.join(path, "stats.json")
+        with open(stats_path) as f:
+            meta = json.load(f)
+        if "total_dl" not in meta:
+            meta["total_dl"] = int(round(meta["avgdl"] * meta["n_docs"]))
+        meta["n_docs"] = int(meta["n_docs"]) - n_del
+        meta["total_dl"] = int(meta["total_dl"]) - dl_del
+        meta["avgdl"] = (
+            float(meta["total_dl"]) / float(meta["n_docs"])
+            if meta["n_docs"]
+            else 0.0
+        )
+        with open(stats_path, "w") as f:
+            json.dump(meta, f)
+        shutil.rmtree(tpath, ignore_errors=True)
     return n_postings + n_terms
 
 
@@ -415,10 +484,12 @@ def text_index_query(
     terms_list = sorted({t for _, t, _ in q_rows})
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_list})
 
-    postings = (
+    postings = _anti_doc_tombstones(
+        spark,
+        path,
         spark.read.parquet(os.path.join(path, "postings"))
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms_list))
+        .filter(F.col("term").isin(terms_list)),
     )
     dfreq = (
         spark.read.parquet(os.path.join(path, "terms"))

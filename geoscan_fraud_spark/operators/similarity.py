@@ -832,17 +832,23 @@ def ivf_index_compact(spark, path: str) -> int:
     and its meta commit replays the batch as bit-identical rows
     (deterministic assignment + quantization), so distinct() removes
     exactly the replay and can never collapse genuinely different data.
-    Otherwise pure relayout: query results unchanged (pytest-pinned)."""
+    Tombstones (`ivf_index_delete`) are applied PHYSICALLY here and
+    cleared — after compaction the deleted rows are gone from disk, not
+    just filtered at read. Otherwise pure relayout: query results
+    unchanged (pytest-pinned)."""
     import os
+    import shutil
 
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
-    return compact_partitioned(
+    n = compact_partitioned(
         spark,
         os.path.join(path, "lists"),
         ["list_id"],
-        transform=lambda d: d.distinct(),
+        transform=lambda d: _anti_tombstones(spark, path, d.distinct(), "vec_id"),
     )
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return n
 
 
 def ivf_index_rebuild(
@@ -880,8 +886,13 @@ def ivf_index_rebuild(
     with open(os.path.join(path, "centroids.json")) as f:
         meta = json.load(f)
     k = n_centroids or meta["n_centroids"]
+    # tombstoned vectors neither participate in the re-fit nor survive
+    # it — a rebuild is also a physical delete (the new index starts
+    # with an empty tombstone set)
     vecs = dequantize_embeddings(
-        spark.read.parquet(os.path.join(path, "lists"))
+        _anti_tombstones(
+            spark, path, spark.read.parquet(os.path.join(path, "lists")), "vec_id"
+        )
     )
     tmp = path.rstrip("/") + ".__rebuild__"
     ivf_index_write(vecs, tmp, n_centroids=k, seed=seed)
@@ -896,6 +907,38 @@ def ivf_index_rebuild(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return k
+
+
+def ivf_index_delete(spark, path: str, ids) -> None:
+    """Logical delete (tombstones) — the takedown/right-to-be-forgotten
+    path. ``ids`` is a one-column DataFrame of vec_ids (or a Python
+    list, for small driver-side delete sets). The ids append to
+    ``path/tombstones`` as parquet — no list rewrite, no read of the
+    index; deleted vectors stop being returned by `ivf_index_query`
+    IMMEDIATELY (anti-join at read). `ivf_index_compact` applies
+    tombstones physically during its relayout and clears them — the
+    Lucene delete-then-merge lifecycle."""
+    import os
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], ["vec_id"])
+    else:
+        ids = ids.toDF("vec_id")
+    ids.select("vec_id").write.mode("append").parquet(
+        os.path.join(path, "tombstones")
+    )
+
+
+def _anti_tombstones(spark, path: str, df: DataFrame, key: str) -> DataFrame:
+    """Filter rows whose ``key`` is tombstoned; no-op when no tombstone
+    dir exists (the common case pays only an os.path check)."""
+    import os
+
+    tpath = os.path.join(path, "tombstones")
+    if not os.path.isdir(tpath):
+        return df
+    dead = spark.read.parquet(tpath).toDF(key)
+    return df.join(dead, key, "left_anti")
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
@@ -962,11 +1005,14 @@ def ivf_index_query(
         )
     )
     probe_ids = sorted({r["list_id"] for r in probes.select("list_id").distinct().collect()})
-    lists = (
-        spark.read.parquet(os.path.join(path, "lists"))
-        .filter(F.col("list_id").isin(probe_ids))
-        .withColumn("__vn", norm_expr(F.col("qvec")))
-    )
+    lists = _anti_tombstones(
+        spark,
+        path,
+        spark.read.parquet(os.path.join(path, "lists")).filter(
+            F.col("list_id").isin(probe_ids)
+        ),
+        "vec_id",
+    ).withColumn("__vn", norm_expr(F.col("qvec")))
     probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
     cand = (
         probes.join(lists, "list_id")

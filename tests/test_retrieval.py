@@ -310,6 +310,68 @@ def test_index_compact_collapses_df_log_and_preserves_results(
         text_index_compact(spark, path)
 
 
+def test_text_index_delete_lucene_semantics(spark, docs_df, tmp_path):
+    """Deleted docs stop being returned immediately while OTHER docs'
+    scores keep the pre-delete stats (Lucene delete-then-merge); after
+    compaction the index is bit-identical to one built without the doc."""
+    import json
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_compact,
+        text_index_delete,
+    )
+
+    path = str(tmp_path / "del")
+    text_index_write(docs_df, path, n_buckets=8)
+    queries = [("q1", "quick fox"), ("q2", "lazy dog engines")]
+
+    before = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in text_index_query(spark, path, queries, k=8).collect()
+    }
+    victim = 3  # "quick quick quick fox"
+    text_index_delete(spark, path, [victim])
+
+    mid = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in text_index_query(spark, path, queries, k=8).collect()
+    }
+    assert all(d != victim for _, d in mid)
+    # survivors keep their PRE-delete scores (stale stats by design)
+    for key, score in mid.items():
+        assert score == before[key]
+
+    text_index_compact(spark, path)
+    # physically gone + stats corrected
+    assert (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("doc_id") == victim)
+        .count()
+        == 0
+    )
+    with open(path + "/stats.json") as f:
+        meta = json.load(f)
+    assert meta["n_docs"] == len(DOCS) - 1
+    victim_dl = len(_py_tokens(dict(DOCS)[victim]))
+    toks = [_py_tokens(t) for _, t in DOCS]
+    assert meta["total_dl"] == sum(map(len, toks)) - victim_dl
+
+    # parity oracle: identical to an index never containing the doc
+    fresh = str(tmp_path / "fresh")
+    text_index_write(
+        docs_df.filter(F.col("doc_id") != victim), fresh, n_buckets=8
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, path, queries, k=8).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, fresh, queries, k=8).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_index_append_legacy_stats_upgrade(spark, docs_df, tmp_path):
     """An index persisted before the total_dl counter existed must still
     accept appends: avgdl * n_docs reconstructs the integer exactly."""

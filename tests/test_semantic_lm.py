@@ -553,6 +553,53 @@ def test_ivf_index_rebuild_adapts_to_drift(spark, emb, tmp_path):
     assert ivf_index_query(q, path, k=5, nprobe=4).count() == 15
 
 
+def test_ivf_index_delete_tombstones_then_compact(spark, emb, tmp_path):
+    """Deleted vectors vanish from results immediately (read-side
+    anti-join), top-k backfills from the next candidates, and compaction
+    makes the delete physical and clears the tombstones."""
+    import os
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_query,
+        ivf_index_stats,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_del")
+    ivf_index_write(emb, path, centroids=cent)
+    n = emb.count()
+
+    q = emb.filter(F.col("vec_id") < 3)
+    before = ivf_index_query(q, path, k=5, nprobe=4).collect()
+    top1 = sorted({r["vec_id"] for r in before if r["rank"] == 1})
+    assert top1
+
+    ivf_index_delete(spark, path, top1)
+    after = ivf_index_query(q, path, k=5, nprobe=4).collect()
+    assert not ({r["vec_id"] for r in after} & set(top1))
+    # top-k backfills: still k rows per query
+    from collections import Counter
+
+    assert set(Counter(r["query_id"] for r in after).values()) == {5}
+
+    # physical rows unchanged until maintenance
+    total = lambda: ivf_index_stats(spark, path).agg(  # noqa: E731
+        F.sum("n_vectors")
+    ).collect()[0][0]
+    assert total() == n
+    ivf_index_compact(spark, path)
+    assert total() == n - len(top1)
+    assert not os.path.isdir(path + "/tombstones")
+    healed = ivf_index_query(q, path, k=5, nprobe=4).collect()
+    key = lambda rows: {  # noqa: E731
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"]) for r in rows
+    }
+    assert key(healed) == key(after)
+
+
 def test_semantic_pairs_hybrid_identical_to_fold(spark, emb):
     """hybrid must equal fold EXACTLY — ids and cosine doubles — since
     the fold re-scores every BLAS candidate and the widened bound can

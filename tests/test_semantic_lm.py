@@ -322,6 +322,30 @@ def test_ivf_index_scan_prunes_to_probed_lists(spark, emb, tmp_path):
     assert all(len(f.split(",")) == 2 for f in filters)
 
 
+def test_ivf_index_tombstones_keep_pruning_and_broadcast(spark, emb, tmp_path):
+    """The tombstone anti-join must not cost the index its scale
+    properties: the probe's static partition pruning still reaches the
+    file listing, and the anti-join broadcasts (no sort-merge join)."""
+    import re
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_delete,
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_tp")
+    ivf_index_write(emb, path, centroids=cent)
+    ivf_index_delete(spark, path, [1, 2, 3])
+
+    out = ivf_index_query(emb.filter(F.col("vec_id") == 0), path, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[list_id.*IN", plan), plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_index_mllib_path_and_dequantized_rerank(spark, emb, tmp_path):
     """MLlib-fit index + dequantized re-rank: recall vs brute force
     stays high (quantization error is sub-0.5%)."""

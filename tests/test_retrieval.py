@@ -310,6 +310,64 @@ def test_index_compact_collapses_df_log_and_preserves_results(
         text_index_compact(spark, path)
 
 
+def test_index_append_split_invariance(spark, tmp_path):
+    """Property: HOWEVER a corpus is split into ingest batches — counts,
+    sizes, order — the incrementally grown index serves bit-identical
+    BM25 results and stats to the one-shot build. This is what the
+    integer-counter stats merge and the sum-mergeable df log buy."""
+    import random
+
+    from geoscan_fraud_spark.operators.retrieval import text_index_append
+
+    rnd = random.Random(99)
+    words = ["fox", "dog", "spark", "alpha", "beta", "gamma", "data", ""]
+    docs = [
+        (i, " ".join(rnd.choice(words) for _ in range(rnd.randint(0, 7))))
+        for i in range(30)
+    ]
+    schema = "doc_id long, text string"
+    all_df = spark.createDataFrame(docs, schema)
+    queries = [("q1", "fox data"), ("q2", "spark spark gamma")]
+
+    full = str(tmp_path / "full")
+    text_index_write(all_df, full, n_buckets=8)
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, full, queries, k=10).collect()
+    }
+    with open(full + "/stats.json") as f:
+        import json
+
+        ref_stats = json.load(f)
+
+    for n_batches in (2, 3, 5):
+        shuffled = docs[:]
+        rnd.shuffle(shuffled)
+        cuts = sorted(rnd.sample(range(1, len(docs)), n_batches - 1))
+        parts = [
+            shuffled[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(docs)])
+        ]
+        path = str(tmp_path / f"inc_{n_batches}")
+        text_index_write(spark.createDataFrame(parts[0], schema), path, n_buckets=8)
+        for part in parts[1:]:
+            text_index_append(spark.createDataFrame(part, schema), path)
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in text_index_query(spark, path, queries, k=10).collect()
+        }
+        assert got == want and len(got) > 0, n_batches
+        with open(path + "/stats.json") as f:
+            import json
+
+            s = json.load(f)
+        assert (s["n_docs"], s["total_dl"], s["avgdl"]) == (
+            ref_stats["n_docs"],
+            ref_stats["total_dl"],
+            ref_stats["avgdl"],
+        ), n_batches
+
+
 def test_text_index_delete_lucene_semantics(spark, docs_df, tmp_path):
     """Deleted docs stop being returned immediately while OTHER docs'
     scores keep the pre-delete stats (Lucene delete-then-merge); after

@@ -571,10 +571,18 @@ def compact_index(
         if "src_batch" in df.columns
         else F.col("batch_id")
     )
+    folded = df.withColumn("src_batch", src).drop("batch_id")
+    # apply forget_ids tombstones physically to the rows being folded
+    # (signature stores carry an 'id' column; the span gram store does
+    # not and is untouched). Rows in unfolded keep_last dirs keep their
+    # read-side anti-join until they fold.
+    dead = None
+    if "id" in folded.columns:
+        dead = store_tombstones(spark, index_path)
+    if dead is not None:
+        folded = folded.join(F.broadcast(dead), "id", "left_anti")
     tmp = index_path.rstrip("/") + ".__compact__"
-    df.withColumn("src_batch", src).drop("batch_id").repartition(
-        n_files
-    ).write.mode("overwrite").parquet(tmp)
+    folded.repartition(n_files).write.mode("overwrite").parquet(tmp)
     old = index_path.rstrip("/") + ".__old__"
     os.makedirs(old, exist_ok=True)
     base = os.path.join(index_path, f"{prefix}-1")
@@ -589,6 +597,38 @@ def compact_index(
             os.rename(d, os.path.join(old, f"{prefix}{i}"))
     shutil.rmtree(old)
     return len(fold)
+
+
+def forget_ids(spark: SparkSession, index_path: str, ids, id_col: str = "id") -> None:
+    """Right-to-be-forgotten for an incremental-dedup SIGNATURE store:
+    after forgetting, the store behaves as if the doc was never
+    ingested — a future duplicate of a forgotten doc is NOT suppressed.
+    ``ids`` is a one-column DataFrame or a small Python list.
+
+    Tombstones land in the SIBLING directory ``<path>.tombstones``
+    (inside the store they would pollute the ``batch_id=`` partition
+    discovery). `incremental_ingest_sink` anti-joins them at every index
+    read; `compact_index` applies them physically to the rows it folds.
+    Tombstones are never auto-cleared — unfolded ``keep_last`` dirs may
+    still carry the rows — so the read-side filter stays (a broadcast
+    anti-join against a takedown-sized set; prune manually once every
+    pre-forget batch has folded)."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], [id_col])
+    else:
+        ids = ids.toDF(id_col)
+    ids.select(id_col).write.mode("append").parquet(
+        index_path.rstrip("/") + ".tombstones"
+    )
+
+
+def store_tombstones(spark: SparkSession, index_path: str, id_col: str = "id"):
+    """The store's forgotten-id relation, or None if nothing was ever
+    forgotten (the common case pays one os.path check)."""
+    tpath = index_path.rstrip("/") + ".tombstones"
+    if not os.path.isdir(tpath):
+        return None
+    return spark.read.parquet(tpath).toDF(id_col)
 
 
 def expire_index(

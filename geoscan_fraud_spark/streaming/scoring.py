@@ -205,6 +205,13 @@ def incremental_ingest_sink(
                 c for c in (optional_index_cols or []) if c in raw.columns
             ]
             idx = raw.filter(F.col("batch_id") < batch_id).select(*cols)
+            # forgotten docs (sources/io.forget_ids) must stop matching:
+            # anti-join the tombstone sibling, broadcast-sized by nature
+            from geoscan_fraud_spark.sources.io import store_tombstones
+
+            dead = store_tombstones(spark, index_path)
+            if dead is not None:
+                idx = idx.join(F.broadcast(dead), "id", "left_anti")
         except AnalysisException:
             # bootstrap only: the index path does not exist yet (or holds
             # no readable schema). Anything else — corrupt files, wrong

@@ -355,6 +355,50 @@ def test_text_index_ingest_sink_replay_and_crash_heal(spark, tmp_path):
     assert after == want
 
 
+def test_forget_ids_unsuppresses_future_duplicates(spark, tmp_path):
+    """Right-to-be-forgotten on the MinHash signature store: after
+    forget_ids, a future duplicate of the forgotten doc is admitted
+    (the store behaves as if the doc was never ingested), compaction
+    applies the tombstone physically, and dedup keeps working for the
+    docs that remain."""
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.sources.io import compact_index, forget_ids
+    from geoscan_fraud_spark.streaming.scoring import neardup_ingest_sink
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string"
+    index_path = str(tmp_path / "sig_store")
+    out_path = str(tmp_path / "corpus")
+    sink = neardup_ingest_sink(index_path, out_path, threshold=0.8)
+
+    sink(spark.createDataFrame([(1, text)], schema), 0)
+    sink(spark.createDataFrame([(2, text)], schema), 1)  # suppressed dup
+    kept = lambda: sorted(  # noqa: E731
+        r["doc_id"] for r in spark.read.parquet(out_path).collect()
+    )
+    assert kept() == [1]
+
+    forget_ids(spark, index_path, [1])
+    sink(spark.createDataFrame([(3, text)], schema), 2)
+    assert kept() == [1, 3]  # no longer suppressed by the forgotten doc
+
+    # compaction folds the tombstone in physically...
+    compact_index(spark, index_path, keep_last=1)
+    store_ids = {
+        r["id"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(index_path)
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    assert 1 not in store_ids and 3 in store_ids
+    # ...and the store still suppresses duplicates of the SURVIVING doc
+    sink(spark.createDataFrame([(4, text)], schema), 3)
+    assert kept() == [1, 3]
+
+
 def test_profile_sink_rollup_matches_batch_profile(spark, tmp_path):
     from geoscan_fraud_spark.operators.profiling import merge_profiles, profile_corpus
     from geoscan_fraud_spark.streaming.scoring import profile_sink

@@ -710,6 +710,61 @@ def prepared_ingest_sink(
     )
 
 
+def prepared_serving_sink(
+    index_path: str,
+    out_path: str,
+    text_index_path: str | None = None,
+    ann_index_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_col: str | None = None,
+    **prep_kwargs,
+):
+    """The whole platform in one foreachBatch: gate -> dedup -> store ->
+    SERVE. Composes `prepared_ingest_sink` (quality gates + store-backed
+    near-dup dedup + corpus append) with the serving-index appends —
+    each micro-batch's SURVIVORS land in the BM25 index
+    (``text_index_path``) and/or the ANN index (``ann_index_path``,
+    requires ``emb_col``), both pre-built from the backfill corpus.
+
+    The composition inherits every store's own idempotency: the prepare
+    stage overwrites its ``batch_id=N`` dirs and its dedup is
+    deterministic against strictly-earlier state, so the read-back of a
+    replayed batch's survivors is IDENTICAL — and both index appends
+    skip batch ids they already committed. Crash windows are per-store
+    and heal independently (`text_index_compact` / `ivf_index_compact`).
+    """
+    from geoscan_fraud_spark.operators.retrieval import text_index_append
+
+    if ann_index_path is not None and emb_col is None:
+        raise ValueError("ann_index_path requires emb_col")
+    prep = prepared_ingest_sink(
+        index_path, out_path, text_col=text_col, id_col=id_col, **prep_kwargs
+    )
+    ann_sink = (
+        ann_index_ingest_sink(ann_index_path, emb_col=emb_col, id_col=id_col)
+        if ann_index_path is not None
+        else None
+    )
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        prep(batch_df, batch_id)
+        spark = batch_df.sparkSession
+        kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
+        if text_index_path is not None:
+            text_index_append(
+                kept,
+                text_index_path,
+                text_col=text_col,
+                id_col=id_col,
+                src_batch=int(batch_id),
+            )
+        if ann_sink is not None:
+            ann_sink(kept, batch_id)
+
+    return inner
+
+
 def span_ingest_sink(
     index_path: str,
     out_path: str,

@@ -467,6 +467,104 @@ def test_prepared_ingest_sink_gates_and_dedups(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(out_path).collect()) == [1, 12]
 
 
+def test_prepared_serving_sink_end_to_end(spark, tmp_path):
+    """gate -> dedup -> store -> serve in one foreachBatch: survivors of
+    the quality gate and the near-dup store become searchable in BOTH
+    serving indexes; rejects and duplicates never reach them; a replay
+    changes nothing anywhere."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_query,
+        text_index_write,
+    )
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_stats,
+        ivf_index_write,
+        lloyd_centroids,
+    )
+    from geoscan_fraud_spark.streaming.scoring import prepared_serving_sink
+
+    rng = np.random.RandomState(5)
+    vec = lambda: [float(x) for x in rng.randn(8)]  # noqa: E731
+    base = " ".join(f"w{i}" for i in range(60))
+    fresh = "retrieval target " + " ".join(f"z{i}" for i in range(58))
+    schema = "doc_id long, text string, embedding array<double>"
+
+    seed = [(0, "seed doc " + " ".join(f"s{i}" for i in range(58)), vec())]
+    seed_df = spark.createDataFrame(seed, schema)
+    cent = lloyd_centroids(np.array([seed[0][2]]), 1)
+
+    paths = {n: str(tmp_path / n) for n in ("store", "out", "bm25", "ivf")}
+    text_index_write(seed_df, paths["bm25"], n_buckets=8)
+    ivf_index_write(
+        seed_df.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        paths["ivf"],
+        centroids=cent,
+    )
+
+    sink = prepared_serving_sink(
+        paths["store"],
+        paths["out"],
+        text_index_path=paths["bm25"],
+        ann_index_path=paths["ivf"],
+        emb_col="embedding",
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+    )
+    b0 = spark.createDataFrame([(1, base, vec())], schema)
+    b1 = spark.createDataFrame(
+        [
+            (10, base, vec()),        # near-dup of doc 1 -> suppressed
+            (11, "spam " * 50, vec()),  # fails the repetition gate
+            (12, fresh, vec()),       # survives
+        ],
+        schema,
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(paths["out"]).collect())
+    assert kept == [1, 12]
+
+    # the survivor is lexically searchable; rejects/dups are not indexed
+    hits = text_index_query(
+        spark, paths["bm25"], [("q", "retrieval target")], k=5
+    ).collect()
+    assert 12 in {r["doc_id"] for r in hits}
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(paths["bm25"] + "/postings")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert indexed == {0, 1, 12}
+    n_vec = (
+        ivf_index_stats(spark, paths["ivf"]).agg(F.sum("n_vectors")).collect()[0][0]
+    )
+    assert n_vec == 3  # seed + doc 1 + doc 12
+
+    # full-composition replay: nothing double-lands anywhere
+    sink(b1, 1)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(paths["out"]).collect()
+    ) == [1, 12]
+    assert (
+        spark.read.parquet(paths["bm25"] + "/postings")
+        .select("doc_id")
+        .distinct()
+        .count()
+        == 3
+    )
+    assert (
+        ivf_index_stats(spark, paths["ivf"]).agg(F.sum("n_vectors")).collect()[0][0]
+        == 3
+    )
+
+
 def test_prepared_ingest_sink_lm_gate(spark, tmp_path):
     """An offline-trained LM bounds NLL at ingest: gibberish is rejected
     while in-vocabulary docs pass."""

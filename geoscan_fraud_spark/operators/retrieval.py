@@ -542,6 +542,50 @@ def text_index_query(
     return _bm25_rank(matched, stats, k, k1, b)
 
 
+def hybrid_search(
+    spark,
+    text_path: str,
+    ann_path: str,
+    queries: list[tuple],
+    query_emb: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval over the PERSISTED serving stores in one call:
+    BM25 top-k from the inverted index (`text_index_query`) + cosine
+    top-k from the IVF index (`ivf_index_query`), RRF-fused
+    (`rrf_fuse`) — the standard sparse+dense serving recipe with no
+    score calibration. ``queries`` is the driver-side
+    (query_id, query_text) list the lexical side needs; ``query_emb`` is
+    the matching (query_id, embedding) relation for the dense side
+    (query ids must agree). Both legs inherit their index's pruning
+    (term buckets / probe lists) and tombstone filters; each leg's
+    top-k is tiny, so the fusion shuffle is bounded by
+    n_queries * k * 2 rows. Returns (query_id, doc_id, rrf_score, rank).
+    """
+    from geoscan_fraud_spark.operators.similarity import ivf_index_query
+
+    sparse = text_index_query(spark, text_path, queries, k=k)
+    dense = ivf_index_query(
+        query_emb.select(
+            F.col(query_emb.columns[0]).alias("vec_id"),
+            F.col(query_emb.columns[1]).alias("embedding"),
+        ),
+        ann_path,
+        k=k,
+        nprobe=nprobe,
+    ).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    sparse = sparse.select(
+        F.col("query_id").cast("string").alias("query_id"), "doc_id", "rank"
+    )
+    return rrf_fuse([sparse, dense], k=k, rrf_k=rrf_k)
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 10,

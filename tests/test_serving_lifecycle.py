@@ -61,6 +61,68 @@ def batch_rows():
     return [_corpus(10, seed=2, id0=100), _corpus(10, seed=3, id0=200)]
 
 
+def test_hybrid_search_over_persisted_stores(
+    spark, tmp_path_factory, seed_rows
+):
+    """hybrid_search == rrf_fuse(text_index_query, ivf_index_query)
+    computed by hand over the same stores, and both legs contribute."""
+    from geoscan_fraud_spark.operators.retrieval import (
+        hybrid_search,
+        rrf_fuse,
+        text_index_query,
+    )
+
+    tmp = tmp_path_factory.mktemp("hybrid")
+    df = spark.createDataFrame(seed_rows, SCHEMA)
+    cent = lloyd_centroids(
+        np.array([r[2] for r in seed_rows], dtype=np.float64), 4
+    )
+    text_path, ann_path = str(tmp / "bm25"), str(tmp / "ivf")
+    text_index_write(df, text_path, n_buckets=8)
+    ivf_index_write(
+        df.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        ann_path,
+        centroids=cent,
+    )
+
+    qid, qtext, qvec = seed_rows[7]
+    queries = [(str(qid), qtext)]
+    query_emb = spark.createDataFrame(
+        [(qid, qvec)], "query_id long, embedding array<double>"
+    )
+
+    fused = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["rrf_score"])
+        for r in hybrid_search(
+            spark, text_path, ann_path, queries, query_emb, k=5
+        ).collect()
+    }
+
+    sparse = text_index_query(spark, text_path, queries, k=5).select(
+        F.col("query_id").cast("string").alias("query_id"), "doc_id", "rank"
+    )
+    dense = ivf_index_query(
+        query_emb.withColumnRenamed("query_id", "vec_id"),
+        ann_path,
+        k=5,
+        nprobe=4,
+    ).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["rrf_score"])
+        for r in rrf_fuse([sparse, dense], k=5).collect()
+    }
+    assert fused == want and len(fused) == 5
+
+    # both modalities really contribute: the fused set overlaps each leg
+    fused_docs = {d for d, _ in fused.values()}
+    assert fused_docs & {r["doc_id"] for r in sparse.collect()}
+    assert fused_docs & {r["doc_id"] for r in dense.collect()}
+
+
 def test_full_lifecycle_parity(spark, tmp_path_factory, seed_rows, batch_rows):
     tmp = tmp_path_factory.mktemp("lifecycle")
     seed_df = spark.createDataFrame(seed_rows, SCHEMA)

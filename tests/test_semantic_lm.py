@@ -521,6 +521,31 @@ def test_ivf_index_compact_preserves_results_and_folds_files(
     assert after == before and len(after) > 0
 
 
+def test_ivf_maintenance_refuses_crashed_leftovers(spark, emb, tmp_path):
+    """Both maintenance ops refuse to run over a previous crash's
+    leftover dirs instead of silently clobbering them."""
+    import os
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_compact,
+        ivf_index_rebuild,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_lo")
+    ivf_index_write(emb, path, centroids=cent)
+
+    os.makedirs(path + "/lists.__old__")
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        ivf_index_compact(spark, path)
+    os.rmdir(path + "/lists.__old__")
+
+    os.makedirs(path + ".__rebuild__")
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        ivf_index_rebuild(spark, path)
+
+
 def test_ivf_index_rebuild_adapts_to_drift(spark, emb, tmp_path):
     """The drift loop end-to-end: a shifted ingest trips the guard, a
     rebuild from the index's own contents adapts the quantizer, and the

@@ -355,6 +355,34 @@ def test_text_index_ingest_sink_replay_and_crash_heal(spark, tmp_path):
     assert after == want
 
 
+def test_forget_ids_embedding_store(spark, tmp_path):
+    """forget_ids works identically on the int8 vector store (the other
+    incremental_ingest_sink instance): a forgotten vector's near-dup is
+    admitted on the next batch."""
+    import numpy as np
+
+    from geoscan_fraud_spark.sources.io import forget_ids
+    from geoscan_fraud_spark.streaming.scoring import embedding_ingest_sink
+
+    rng = np.random.RandomState(21)
+    v = [float(x) for x in rng.randn(64)]
+    near = [x * 1.001 for x in v]
+    schema = "vec_id long, embedding array<float>"
+    index_path = str(tmp_path / "emb_idx")
+    out_path = str(tmp_path / "emb_out")
+    sink = embedding_ingest_sink(index_path, out_path, threshold=0.98)
+
+    sink(spark.createDataFrame([(1, v)], schema), 0)
+    sink(spark.createDataFrame([(2, near)], schema), 1)  # suppressed
+    kept = lambda: sorted(  # noqa: E731
+        r.vec_id for r in spark.read.parquet(out_path).collect()
+    )
+    assert kept() == [1]
+    forget_ids(spark, index_path, [1])
+    sink(spark.createDataFrame([(3, near)], schema), 2)
+    assert kept() == [1, 3]
+
+
 def test_forget_ids_unsuppresses_future_duplicates(spark, tmp_path):
     """Right-to-be-forgotten on the MinHash signature store: after
     forget_ids, a future duplicate of the forgotten doc is admitted

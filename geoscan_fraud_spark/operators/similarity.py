@@ -689,8 +689,14 @@ def ivf_index_write(
             F.array_position(d, F.array_min(d)).alias("list_id"),
         )
 
+    # src_batch stamps every row's ingest generation (-1 = the build),
+    # making `ivf_index_expire` retention possible; format 2 marks the
+    # column as present in EVERY list file (no mixed schemas)
     q8 = quantize_embeddings(
-        assigned, vec_col="c_emb", id_col="vec_id", keep_cols=["list_id"]
+        assigned.withColumn("src_batch", F.lit(-1)),
+        vec_col="c_emb",
+        id_col="vec_id",
+        keep_cols=["list_id", "src_batch"],
     )
     q8.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, "lists")
@@ -713,6 +719,7 @@ def ivf_index_write(
         "rows": int(base["rows"]),
         "appended_rows": 0,
         "mean_assign_dist2": float(base["mean_d2"]) if base["mean_d2"] is not None else None,
+        "format": 2,
     }
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(meta, f)
@@ -725,6 +732,7 @@ def ivf_index_append(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     drift_rebuild_ratio: float = 2.0,
+    src_batch: int | None = None,
 ) -> dict:
     """Append a batch to a persisted `ivf_index_write` index WITHOUT
     re-clustering — the 100 TB ingest path. Re-fitting k-means over the
@@ -794,11 +802,25 @@ def ivf_index_append(
             f"[{stats['dim_min']}, {stats['dim_max']}]"
         )
 
+    batch = assigned.drop("__d2", "__dim")
+    keep = ["list_id"]
+    if int(meta.get("format", 1)) >= 2:
+        # stamp the ingest generation so `ivf_index_expire` can age
+        # rows. ``src_batch`` (the streaming sink passes its batch id)
+        # MUST be replay-stable: a crash-window replay then stamps the
+        # SAME value and stays bit-identical for the compaction heal.
+        # Direct callers default to the monotone appends counter
+        # (expire cutoffs are in whichever numbering fed the index).
+        # Legacy format-1 indexes have no src_batch column in their
+        # base files, and a mixed-schema lists dir would corrupt plain
+        # reads — so they stay unstamped.
+        gen = int(src_batch) if src_batch is not None else int(
+            meta.get("appends", 0)
+        ) + 1
+        batch = batch.withColumn("src_batch", F.lit(gen))
+        keep.append("src_batch")
     q8 = quantize_embeddings(
-        assigned.drop("__d2", "__dim"),
-        vec_col="c_emb",
-        id_col="vec_id",
-        keep_cols=["list_id"],
+        batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
     )
     q8.write.mode("append").partitionBy("list_id").parquet(
         os.path.join(path, "lists")
@@ -808,6 +830,7 @@ def ivf_index_append(
     build_d2 = meta.get("mean_assign_dist2")
     drift = (batch_d2 / build_d2) if build_d2 else None
     meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(stats["rows"])
+    meta["appends"] = int(meta.get("appends", 0)) + 1
     if build_d2 is None:
         # legacy index without a baseline: adopt this batch's as one
         meta["mean_assign_dist2"] = batch_d2
@@ -847,6 +870,43 @@ def ivf_index_compact(spark, path: str) -> int:
         ["list_id"],
         transform=lambda d: _anti_tombstones(spark, path, d.distinct(), "vec_id"),
     )
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    return n
+
+
+def ivf_index_expire(spark, path: str, min_src_batch: int) -> int:
+    """Retention for a format-2 serving index: physically drop every
+    vector whose ingest generation (``src_batch``, stamped at append) is
+    older than ``min_src_batch`` — the freshness-bounded-corpus policy
+    (`sources/io.expire_index` applied to the serving store). Build-time
+    rows (``src_batch = -1``) never expire: the backfill corpus is the
+    quantizer's ground truth; age it out with `ivf_index_rebuild` on a
+    newer corpus instead. Runs as a compaction (rename-swap relayout,
+    also applies pending tombstones + replay dedup). Returns the
+    data-file count after."""
+    import json
+    import os
+
+    from geoscan_fraud_spark.sources.io import compact_partitioned
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    if int(meta.get("format", 1)) < 2:
+        raise ValueError(
+            "ivf_index_expire needs a format-2 index (src_batch-stamped "
+            "rows); rebuild this legacy index with ivf_index_rebuild first"
+        )
+    keep = (F.col("src_batch") == -1) | (F.col("src_batch") >= min_src_batch)
+    n = compact_partitioned(
+        spark,
+        os.path.join(path, "lists"),
+        ["list_id"],
+        transform=lambda d: _anti_tombstones(
+            spark, path, d.distinct().filter(keep), "vec_id"
+        ),
+    )
+    import shutil
+
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     return n
 

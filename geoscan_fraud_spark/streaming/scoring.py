@@ -392,6 +392,10 @@ def ann_index_ingest_sink(
             emb_col=emb_col,
             id_col=id_col,
             drift_rebuild_ratio=drift_rebuild_ratio,
+            # replay-stable generation stamp: a crash-window replay
+            # re-appends BIT-identical rows (incl. src_batch), which is
+            # what lets ivf_index_compact heal it with distinct()
+            src_batch=int(batch_id),
         )
         # append rewrote the meta — re-read before committing the batch
         with open(meta_path) as f:

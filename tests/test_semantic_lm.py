@@ -546,6 +546,47 @@ def test_ivf_maintenance_refuses_crashed_leftovers(spark, emb, tmp_path):
         ivf_index_rebuild(spark, path)
 
 
+def test_ivf_index_expire_ages_out_old_generations(spark, emb, tmp_path):
+    """Retention: append generations are src_batch-stamped; expire drops
+    generations below the cutoff, keeps the build (-1) forever, and a
+    legacy (format-1) index is refused with a rebuild hint."""
+    import json
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_expire,
+        ivf_index_write,
+    )
+
+    cent = _centroids(emb, k=8)
+    path = str(tmp_path / "ivf_exp")
+    ivf_index_write(emb, path, centroids=cent)
+    n = emb.count()
+    gen1 = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    gen2 = emb.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    ivf_index_append(gen1.limit(20), path)
+    ivf_index_append(gen2.limit(30), path)
+
+    lists = spark.read.parquet(path + "/lists")
+    gens = {r["src_batch"] for r in lists.select("src_batch").distinct().collect()}
+    assert gens == {-1, 1, 2}
+
+    ivf_index_expire(spark, path, min_src_batch=2)
+    after = spark.read.parquet(path + "/lists")
+    ids = {r["vec_id"] for r in after.select("vec_id").collect()}
+    assert len(ids) == n + 30  # build + gen2 survive, gen1 aged out
+    assert not any(1_000_000 <= i < 2_000_000 for i in ids)
+    assert any(i >= 2_000_000 for i in ids)
+
+    with open(path + "/centroids.json") as f:
+        meta = json.load(f)
+    meta["format"] = 1
+    with open(path + "/centroids.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="format-2"):
+        ivf_index_expire(spark, path, min_src_batch=3)
+
+
 def test_ivf_index_rebuild_adapts_to_drift(spark, emb, tmp_path):
     """The drift loop end-to-end: a shifted ingest trips the guard, a
     rebuild from the index's own contents adapts the quantizer, and the

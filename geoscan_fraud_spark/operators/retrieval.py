@@ -212,8 +212,13 @@ def text_index_write(
     the per-bucket directories keep the scan bounded and the (term)
     filter inside a bucket is an ordinary pushed predicate.
     """
-    postings = _doc_postings(docs, text_col, id_col).withColumn(
-        "bucket", _term_bucket_col(F.col("term"), n_buckets)
+    # src_batch stamps each posting's ingest generation (-1 = build),
+    # enabling `text_index_expire`; format 2 = the column is in EVERY
+    # postings file (no mixed schemas)
+    postings = (
+        _doc_postings(docs, text_col, id_col)
+        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+        .withColumn("src_batch", F.lit(-1))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
@@ -244,6 +249,7 @@ def text_index_write(
                 "total_dl": int(total_dl),
                 "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
                 "n_buckets": n_buckets,
+                "format": 2,
             },
             f,
         )
@@ -301,6 +307,17 @@ def text_index_append(
     postings = _doc_postings(new_docs, text_col, id_col).withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
     )
+    if int(meta.get("format", 1)) >= 2:
+        # replay-stable generation stamp (the sink passes its batch id —
+        # a crash-window replay then writes BIT-identical rows and the
+        # compaction heal stays exact); direct callers default to the
+        # appends counter. Legacy format-1 indexes stay unstamped: their
+        # base files lack the column and a mixed-schema dir would
+        # corrupt plain reads.
+        gen = int(src_batch) if src_batch is not None else int(
+            meta.get("appends", 0)
+        ) + 1
+        postings = postings.withColumn("src_batch", F.lit(gen))
     postings.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(path, "postings")
     )
@@ -372,7 +389,7 @@ def _anti_doc_tombstones(spark, path: str, postings: DataFrame) -> DataFrame:
     return postings.join(dead, "doc_id", "left_anti")
 
 
-def text_index_compact(spark, path: str) -> int:
+def text_index_compact(spark, path: str, expire_below: int | None = None) -> int:
     """Maintenance for an appended `text_index_write` index: fold
     postings back to one file per bucket directory and collapse the
     sum-mergeable df log to one row per (bucket, term). Single-writer,
@@ -382,54 +399,78 @@ def text_index_compact(spark, path: str) -> int:
     Doubles as the crash healer for `text_index_ingest_sink`: postings
     are deduped with full-row distinct() — a (doc_id, term) posting is
     unique per honest corpus, so identical full rows can only be a
-    replayed append (bit-identical tokenization) and distinct() removes
-    exactly those. The df relation is then REBUILT from the deduped
-    postings (exact per-term doc count), not merged from the
-    possibly-over-counted log — postings are the ground truth. The
-    stats.json counters need no healing: `text_index_append` commits
-    them in the SAME json write as the ``src_batch`` id, so a replayed
-    batch either skipped entirely or was the only one to count them."""
+    replayed append (bit-identical tokenization, incl. the src_batch
+    stamp) and distinct() removes exactly those. The df relation is
+    then REBUILT from the deduped postings (exact per-term doc count),
+    not merged from the possibly-over-counted log — postings are the
+    ground truth. The stats.json counters need no healing:
+    `text_index_append` commits them in the SAME json write as the
+    ``src_batch`` id, so a replayed batch either skipped entirely or was
+    the only one to count them.
+
+    ``expire_below`` (format-2 indexes): also drop every doc whose
+    ingest generation is below the cutoff — retention for
+    freshness-bounded corpora. Build rows (``src_batch = -1``) never
+    expire (rebuild the index over a newer backfill to age them). Docs
+    both tombstoned AND expired come off the stats exactly once."""
     import shutil
 
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
-    # measure the tombstoned docs BEFORE the rewrite: their (count, dl)
-    # must come off the stats counters (distinct over the dup-tolerant
-    # (doc_id, dl) pairs, semi-joined to the tombstone set)
+    if expire_below is not None:
+        with open(os.path.join(path, "stats.json")) as f:
+            if int(json.load(f).get("format", 1)) < 2:
+                raise ValueError(
+                    "expire_below needs a format-2 index (src_batch-stamped "
+                    "postings); rebuild this legacy index first"
+                )
+    expired = (
+        (F.col("src_batch") != -1) & (F.col("src_batch") < expire_below)
+        if expire_below is not None
+        else F.lit(False)
+    )
+
+    # measure the removed docs BEFORE the rewrite: their (count, dl)
+    # must come off the stats counters exactly once — distinct over the
+    # dup-tolerant (doc_id, dl) pairs of the tombstoned ∪ expired set
     tpath = os.path.join(path, "tombstones")
     n_del, dl_del = 0, 0
-    if os.path.isdir(tpath):
-        dead = spark.read.parquet(tpath).toDF("doc_id")
-        row = (
-            spark.read.parquet(os.path.join(path, "postings"))
-            .select("doc_id", "dl")
-            .distinct()
-            .join(dead, "doc_id", "left_semi")
-            .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
-            .first()
-        )
+    has_tombs = os.path.isdir(tpath)
+    if has_tombs or expire_below is not None:
+        p = spark.read.parquet(os.path.join(path, "postings"))
+        doomed = p.filter(expired).select("doc_id", "dl")
+        if has_tombs:
+            dead = spark.read.parquet(tpath).toDF("doc_id")
+            doomed = doomed.unionByName(
+                p.select("doc_id", "dl").join(dead, "doc_id", "left_semi")
+            )
+        row = doomed.distinct().agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
+        ).first()
         n_del, dl_del = int(row[0]), int(row[1])
 
     n_postings = compact_partitioned(
         spark,
         os.path.join(path, "postings"),
         ["bucket"],
-        transform=lambda d: _anti_doc_tombstones(spark, path, d.distinct()),
+        transform=lambda d: _anti_doc_tombstones(
+            spark, path, d.distinct().filter(~expired)
+        ),
     )
     n_terms = compact_partitioned(
         spark,
         os.path.join(path, "terms"),
         ["bucket"],
-        # rebuilt from the just-deduped+deleted postings (the ground
-        # truth), not merged from the log — heals replayed-append df
-        # over-counts and applies deletes to df in one pass
+        # rebuilt from the just-deduped+deleted+expired postings (the
+        # ground truth), not merged from the log — heals replayed-append
+        # df over-counts and applies every removal to df in one pass
         transform=lambda _log: (
             spark.read.parquet(os.path.join(path, "postings"))
             .groupBy("bucket", "term")
             .agg(F.count(F.lit(1)).alias("df"))
         ),
     )
-    if n_del or os.path.isdir(tpath):
+    if n_del or has_tombs:
         stats_path = os.path.join(path, "stats.json")
         with open(stats_path) as f:
             meta = json.load(f)
@@ -446,6 +487,14 @@ def text_index_compact(spark, path: str) -> int:
             json.dump(meta, f)
         shutil.rmtree(tpath, ignore_errors=True)
     return n_postings + n_terms
+
+
+def text_index_expire(spark, path: str, min_src_batch: int) -> int:
+    """Retention for a format-2 BM25 index: physically drop every doc
+    whose ingest generation is older than ``min_src_batch`` — the
+    lexical `ivf_index_expire`. Runs as a full compaction (replay
+    dedup + tombstones + df rebuild + exact stats subtraction)."""
+    return text_index_compact(spark, path, expire_below=min_src_batch)
 
 
 def text_index_stats(spark, path: str, top_terms: int = 0) -> DataFrame:

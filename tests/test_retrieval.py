@@ -386,6 +386,70 @@ def test_index_append_split_invariance(spark, tmp_path):
         ), n_batches
 
 
+def test_text_index_expire_parity_with_fresh_build(spark, docs_df, tmp_path):
+    """Retention: expiring a generation leaves an index bit-identical —
+    results AND stats — to one never containing that generation; build
+    rows never expire; legacy indexes are refused."""
+    import json
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_append,
+        text_index_expire,
+    )
+
+    seed = docs_df.filter(F.col("doc_id") <= 3)
+    gen1 = docs_df.filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 5))
+    gen2 = docs_df.filter(F.col("doc_id") > 5)
+
+    path = str(tmp_path / "exp")
+    text_index_write(seed, path, n_buckets=8)
+    text_index_append(gen1, path, src_batch=1)
+    text_index_append(gen2, path, src_batch=2)
+    text_index_expire(spark, path, min_src_batch=2)
+
+    fresh = str(tmp_path / "fresh")
+    text_index_write(seed.unionByName(gen2), fresh, n_buckets=8)
+
+    queries = [("q1", "quick fox"), ("q2", "lazy dog engines spark")]
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, path, queries, k=8).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in text_index_query(spark, fresh, queries, k=8).collect()
+    }
+    assert got == want and len(got) > 0
+
+    with open(path + "/stats.json") as f:
+        lived = json.load(f)
+    with open(fresh + "/stats.json") as f:
+        ref = json.load(f)
+    assert (lived["n_docs"], lived["total_dl"], lived["avgdl"]) == (
+        ref["n_docs"],
+        ref["total_dl"],
+        ref["avgdl"],
+    )
+    # build generation survived an aggressive cutoff
+    gens = {
+        r["src_batch"]
+        for r in spark.read.parquet(path + "/postings")
+        .select("src_batch")
+        .distinct()
+        .collect()
+    }
+    assert gens == {-1, 2}
+
+    # legacy format-1 index: refused with a rebuild hint
+    with open(path + "/stats.json") as f:
+        meta = json.load(f)
+    meta["format"] = 1
+    with open(path + "/stats.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="format-2"):
+        text_index_expire(spark, path, min_src_batch=3)
+
+
 def test_text_index_delete_lucene_semantics(spark, docs_df, tmp_path):
     """Deleted docs stop being returned immediately while OTHER docs'
     scores keep the pre-delete stats (Lucene delete-then-merge); after

@@ -467,6 +467,56 @@ def main():
             _bm25_index_state[sf_dir] = path
         return text_index_query(spark, _bm25_index_state[sf_dir], _bm25_queries, k=10)
 
+    def bench_hybrid_index_query(spark, sf_dir):
+        """The full hybrid SERVING path: BM25 leg from the persisted
+        term-bucket-pruned inverted index + dense leg from the persisted
+        probe-pruned IVF index, RRF-fused — both indexes built once per
+        bench process (amortized in production); timed is query+fusion.
+        Queries are the first five documents' leading tokens (sparse)
+        paired with their own embeddings (dense) over the fixtures'
+        shared doc_id/vec_id space."""
+        import tempfile
+
+        from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
+        from geoscan_fraud_spark.operators.retrieval import (
+            hybrid_search,
+            text_index_write,
+        )
+        from geoscan_fraud_spark.operators.similarity import ivf_index_write
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        emb = load_fixture(spark, sf_dir, "embeddings")
+        if sf_dir not in _bm25_index_state:
+            path = tempfile.mkdtemp(prefix="bm25_bench_idx_") + "/idx"
+            text_index_write(docs, path, n_buckets=32)
+            _bm25_index_state[sf_dir] = path
+        if sf_dir not in _ivf_disk_index:
+            path = tempfile.mkdtemp(prefix="ivf_bench_") + "/index"
+            ivf_index_write(
+                emb, path, centroids=_ivf_centroids("/root/testdata/sf0.01")
+            )
+            _ivf_disk_index[sf_dir] = path
+        q_rows = (
+            docs.filter(F.col("doc_id") < 5)
+            .select(
+                F.col("doc_id").cast("string"),
+                F.array_join(F.slice(F.split("text", r"\s+"), 1, 8), " "),
+            )
+            .collect()
+        )
+        queries = [(r[0], r[1]) for r in q_rows]
+        query_emb = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+        return hybrid_search(
+            spark,
+            _bm25_index_state[sf_dir],
+            _ivf_disk_index[sf_dir],
+            queries,
+            query_emb,
+            k=10,
+        )
+
     def bench_html_extract(spark, sf_dir):
         """HTML -> text extraction: the documents fixture wrapped in
         deterministic markup (tags, entities, a script block per doc),
@@ -526,6 +576,8 @@ def main():
         # partition-pruned inverted-index serving path
         "bm25_search": bench_bm25_search,
         "bm25_index_query": bench_bm25_index_query,
+        # round-8: persisted hybrid sparse+dense serving path
+        "hybrid_index_query": bench_hybrid_index_query,
         # round-7: HTML ingest stage (map-only regexp chain)
         "html_extract": bench_html_extract,
         # round-8: hybrid sparse+dense RRF fusion (registered entry)

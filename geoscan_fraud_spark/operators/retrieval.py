@@ -48,11 +48,16 @@ this module generalizes it to ranked multi-query retrieval.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.sources.io import (
+    atomic_write_json,
+    index_writer_lock,
+    read_index_meta,
+)
 
 #: md5-hex prefix length for the term bucket (60 bits, same slice as
 #: `operators/sampling.py`'s portable uniform)
@@ -203,10 +208,13 @@ def text_index_write(
       its terms' directories (static pruning via `text_index_query`).
     * ``path/terms`` — (term, df), same bucketing: the idf side without
       touching postings.
-    * ``path/stats.json`` — {n_docs, total_dl, avgdl, n_buckets}: the
-      global scalars, computed once at build instead of per query;
-      n_docs/total_dl are exact integer counters so `text_index_append`
-      merges them losslessly.
+    * ``path/stats.json`` — {n_docs, total_dl, avgdl, n_buckets,
+      n_empty}: the global scalars, computed once at build instead of
+      per query; n_docs/total_dl are exact integer counters so
+      `text_index_append` merges them losslessly, and ``n_empty``
+      (docs with zero tokens — present in n_docs but absent from
+      postings) lets `text_index_compact` RECOMPUTE n_docs from the
+      surviving postings idempotently.
 
     At 100 TB a term's postings list can itself be large (stopwords);
     the per-bucket directories keep the scan bounded and the (term)
@@ -238,21 +246,25 @@ def text_index_write(
         F.count(F.lit(1)),
         F.coalesce(F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)),
     ).first()
+    # docs with zero tokens leave no postings; counting them separately
+    # lets compaction recompute n_docs from postings alone (one pruned
+    # scan of the just-written doc_id column)
+    n_posting_docs = written.select(F.countDistinct("doc_id")).first()[0]
     os.makedirs(path, exist_ok=True)
     # total_dl is an exact integer, so avgdl derives from it identically
     # at build and after any number of `text_index_append` merges —
     # incremental and from-scratch indexes stay bit-equal
-    with open(os.path.join(path, "stats.json"), "w") as f:
-        json.dump(
-            {
-                "n_docs": int(n_docs),
-                "total_dl": int(total_dl),
-                "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
-                "n_buckets": n_buckets,
-                "format": 2,
-            },
-            f,
-        )
+    atomic_write_json(
+        os.path.join(path, "stats.json"),
+        {
+            "n_docs": int(n_docs),
+            "total_dl": int(total_dl),
+            "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
+            "n_buckets": n_buckets,
+            "n_empty": int(n_docs) - int(n_posting_docs),
+            "format": 2,
+        },
+    )
     return n_buckets
 
 
@@ -287,73 +299,95 @@ def text_index_append(
     ``src_batch`` (streaming): a monotone batch id. A batch whose id is
     <= the recorded ``last_stream_batch`` is SKIPPED (committed-batch
     replay), and on success the id commits in the SAME stats.json write
-    as the counters — so a crash replay can duplicate postings/df-log
-    ROWS (bit-identical; `text_index_compact` heals them exactly) but
-    can never double-count the global counters.
+    as the counters (one `atomic_write_json` — never torn) — so a crash
+    replay can duplicate postings/df-log ROWS (bit-identical;
+    `text_index_compact` heals them exactly) but can never double-count
+    the global counters.
+
+    The batch is tokenized ONCE: the postings relation is persisted for
+    the call, the postings write materializes it, and the df log AND the
+    ``(total_dl, posting-doc count)`` counters derive from the cached
+    rows (``total_dl = sum(tf)`` — a doc's term frequencies sum to its
+    dl). Only the doc COUNT touches ``new_docs`` again (a column-pruned
+    count, no tokenization) so zero-token docs still enter ``n_docs``.
+    Single-writer: guarded by `index_writer_lock` — a concurrent append
+    would lose one side's counter update (read-modify-write JSON).
     """
     stats_path = os.path.join(path, "stats.json")
-    with open(stats_path) as f:
-        meta = json.load(f)
-    n_buckets = meta["n_buckets"]
-    if src_batch is not None and int(meta.get("last_stream_batch", -1)) >= src_batch:
+    with index_writer_lock(path, "text_index_append"):
+        meta = read_index_meta(stats_path)
+        n_buckets = meta["n_buckets"]
+        if (
+            src_batch is not None
+            and int(meta.get("last_stream_batch", -1)) >= src_batch
+        ):
+            return {
+                "rows": 0,
+                "n_docs": meta["n_docs"],
+                "avgdl": meta["avgdl"],
+                "appends": int(meta.get("appends", 0)),
+                "skipped_replay": True,
+            }
+
+        postings = _doc_postings(new_docs, text_col, id_col).withColumn(
+            "bucket", _term_bucket_col(F.col("term"), n_buckets)
+        )
+        if int(meta.get("format", 1)) >= 2:
+            # replay-stable generation stamp (the sink passes its batch
+            # id — a crash-window replay then writes BIT-identical rows
+            # and the compaction heal stays exact); direct callers
+            # default to the appends counter. Legacy format-1 indexes
+            # stay unstamped: their base files lack the column and a
+            # mixed-schema dir would corrupt plain reads.
+            gen = int(src_batch) if src_batch is not None else int(
+                meta.get("appends", 0)
+            ) + 1
+            postings = postings.withColumn("src_batch", F.lit(gen))
+        postings = postings.persist()
+        try:
+            postings.write.mode("append").partitionBy("bucket").parquet(
+                os.path.join(path, "postings")
+            )
+            (
+                postings.groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(os.path.join(path, "terms"))
+            )
+            b_dl, n_posting_docs = postings.select(
+                F.coalesce(F.sum("tf"), F.lit(0)),
+                F.countDistinct("doc_id"),
+            ).first()
+            b_docs = new_docs.count()
+        finally:
+            postings.unpersist()
+
+        if "total_dl" not in meta:
+            # legacy index (pre-total_dl): dl sums are integers, so the
+            # rounded product reconstructs the counter exactly
+            meta["total_dl"] = int(round(meta["avgdl"] * meta["n_docs"]))
+        meta["n_docs"] = int(meta["n_docs"]) + int(b_docs)
+        meta["total_dl"] = int(meta["total_dl"]) + int(b_dl)
+        meta["avgdl"] = (
+            float(meta["total_dl"]) / float(meta["n_docs"])
+            if meta["n_docs"]
+            else 0.0
+        )
+        meta["appends"] = int(meta.get("appends", 0)) + 1
+        meta["n_empty"] = int(meta.get("n_empty", 0)) + int(b_docs) - int(
+            n_posting_docs
+        )
+        if src_batch is not None:
+            meta["last_stream_batch"] = int(src_batch)
+        atomic_write_json(stats_path, meta)
         return {
-            "rows": 0,
+            "rows": int(b_docs),
             "n_docs": meta["n_docs"],
             "avgdl": meta["avgdl"],
-            "appends": int(meta.get("appends", 0)),
-            "skipped_replay": True,
+            "appends": meta["appends"],
+            "skipped_replay": False,
         }
-
-    postings = _doc_postings(new_docs, text_col, id_col).withColumn(
-        "bucket", _term_bucket_col(F.col("term"), n_buckets)
-    )
-    if int(meta.get("format", 1)) >= 2:
-        # replay-stable generation stamp (the sink passes its batch id —
-        # a crash-window replay then writes BIT-identical rows and the
-        # compaction heal stays exact); direct callers default to the
-        # appends counter. Legacy format-1 indexes stay unstamped: their
-        # base files lack the column and a mixed-schema dir would
-        # corrupt plain reads.
-        gen = int(src_batch) if src_batch is not None else int(
-            meta.get("appends", 0)
-        ) + 1
-        postings = postings.withColumn("src_batch", F.lit(gen))
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
-    )
-    (
-        postings.groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "terms"))
-    )
-    b_docs, b_dl = new_docs.select(
-        F.count(F.lit(1)),
-        F.coalesce(F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)),
-    ).first()
-
-    if "total_dl" not in meta:
-        # legacy index (pre-total_dl): dl sums are integers, so the
-        # rounded product reconstructs the counter exactly
-        meta["total_dl"] = int(round(meta["avgdl"] * meta["n_docs"]))
-    meta["n_docs"] = int(meta["n_docs"]) + int(b_docs)
-    meta["total_dl"] = int(meta["total_dl"]) + int(b_dl)
-    meta["avgdl"] = (
-        float(meta["total_dl"]) / float(meta["n_docs"]) if meta["n_docs"] else 0.0
-    )
-    meta["appends"] = int(meta.get("appends", 0)) + 1
-    if src_batch is not None:
-        meta["last_stream_batch"] = int(src_batch)
-    with open(stats_path, "w") as f:
-        json.dump(meta, f)
-    return {
-        "rows": int(b_docs),
-        "n_docs": meta["n_docs"],
-        "avgdl": meta["avgdl"],
-        "appends": meta["appends"],
-        "skipped_replay": False,
-    }
 
 
 def text_index_delete(spark, path: str, doc_ids) -> None:
@@ -403,90 +437,88 @@ def text_index_compact(spark, path: str, expire_below: int | None = None) -> int
     stamp) and distinct() removes exactly those. The df relation is
     then REBUILT from the deduped postings (exact per-term doc count),
     not merged from the possibly-over-counted log — postings are the
-    ground truth. The stats.json counters need no healing:
-    `text_index_append` commits them in the SAME json write as the
-    ``src_batch`` id, so a replayed batch either skipped entirely or was
-    the only one to count them.
+    ground truth. The stats.json counters are RECOMPUTED from the
+    surviving postings after the rewrite (count/sum over the distinct
+    (doc_id, dl) pairs, plus the ``n_empty`` zero-token-doc counter the
+    build/append paths maintain) — never subtracted from pre-measured
+    deltas, so a crash after the postings swap but before the stats
+    write is healed by simply re-running: the rerun measures the truth
+    on disk, not a delta that already half-applied (ADVICE r08).
 
     ``expire_below`` (format-2 indexes): also drop every doc whose
     ingest generation is below the cutoff — retention for
     freshness-bounded corpora. Build rows (``src_batch = -1``) never
     expire (rebuild the index over a newer backfill to age them). Docs
-    both tombstoned AND expired come off the stats exactly once."""
+    both tombstoned AND expired come off the stats exactly once (the
+    recompute cannot double-subtract by construction).
+
+    Caveat (unchanged): a tombstoned ZERO-TOKEN doc leaves no postings,
+    so compaction cannot see it and its +1 in n_docs (via n_empty)
+    persists — token-free docs were never retrievable, so only idf
+    damping at the margin is affected. Legacy indexes written before
+    ``n_empty`` existed treat it as 0: their empty docs (if any) drop
+    out of n_docs at first compaction."""
     import shutil
 
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
-    if expire_below is not None:
-        with open(os.path.join(path, "stats.json")) as f:
-            if int(json.load(f).get("format", 1)) < 2:
-                raise ValueError(
-                    "expire_below needs a format-2 index (src_batch-stamped "
-                    "postings); rebuild this legacy index first"
-                )
-    expired = (
-        (F.col("src_batch") != -1) & (F.col("src_batch") < expire_below)
-        if expire_below is not None
-        else F.lit(False)
-    )
-
-    # measure the removed docs BEFORE the rewrite: their (count, dl)
-    # must come off the stats counters exactly once — distinct over the
-    # dup-tolerant (doc_id, dl) pairs of the tombstoned ∪ expired set
-    tpath = os.path.join(path, "tombstones")
-    n_del, dl_del = 0, 0
-    has_tombs = os.path.isdir(tpath)
-    if has_tombs or expire_below is not None:
-        p = spark.read.parquet(os.path.join(path, "postings"))
-        doomed = p.filter(expired).select("doc_id", "dl")
-        if has_tombs:
-            dead = spark.read.parquet(tpath).toDF("doc_id")
-            doomed = doomed.unionByName(
-                p.select("doc_id", "dl").join(dead, "doc_id", "left_semi")
+    stats_path = os.path.join(path, "stats.json")
+    with index_writer_lock(path, "text_index_compact"):
+        meta = read_index_meta(stats_path)
+        if expire_below is not None and int(meta.get("format", 1)) < 2:
+            raise ValueError(
+                "expire_below needs a format-2 index (src_batch-stamped "
+                "postings); rebuild this legacy index first"
             )
-        row = doomed.distinct().agg(
-            F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0))
-        ).first()
-        n_del, dl_del = int(row[0]), int(row[1])
+        expired = (
+            (F.col("src_batch") != -1) & (F.col("src_batch") < expire_below)
+            if expire_below is not None
+            else F.lit(False)
+        )
+        tpath = os.path.join(path, "tombstones")
 
-    n_postings = compact_partitioned(
-        spark,
-        os.path.join(path, "postings"),
-        ["bucket"],
-        transform=lambda d: _anti_doc_tombstones(
-            spark, path, d.distinct().filter(~expired)
-        ),
-    )
-    n_terms = compact_partitioned(
-        spark,
-        os.path.join(path, "terms"),
-        ["bucket"],
-        # rebuilt from the just-deduped+deleted+expired postings (the
-        # ground truth), not merged from the log — heals replayed-append
-        # df over-counts and applies every removal to df in one pass
-        transform=lambda _log: (
+        n_postings = compact_partitioned(
+            spark,
+            os.path.join(path, "postings"),
+            ["bucket"],
+            transform=lambda d: _anti_doc_tombstones(
+                spark, path, d.distinct().filter(~expired)
+            ),
+        )
+        n_terms = compact_partitioned(
+            spark,
+            os.path.join(path, "terms"),
+            ["bucket"],
+            # rebuilt from the just-deduped+deleted+expired postings (the
+            # ground truth), not merged from the log — heals replayed-append
+            # df over-counts and applies every removal to df in one pass
+            transform=lambda _log: (
+                spark.read.parquet(os.path.join(path, "postings"))
+                .groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            ),
+        )
+        # idempotent stats: measure the surviving postings (dl is
+        # functionally dependent on doc_id, so distinct (doc_id, dl)
+        # is one row per surviving non-empty doc) — one column-pruned
+        # scan of the just-compacted layout
+        n_live, dl_live = (
             spark.read.parquet(os.path.join(path, "postings"))
-            .groupBy("bucket", "term")
-            .agg(F.count(F.lit(1)).alias("df"))
-        ),
-    )
-    if n_del or has_tombs:
-        stats_path = os.path.join(path, "stats.json")
-        with open(stats_path) as f:
-            meta = json.load(f)
-        if "total_dl" not in meta:
-            meta["total_dl"] = int(round(meta["avgdl"] * meta["n_docs"]))
-        meta["n_docs"] = int(meta["n_docs"]) - n_del
-        meta["total_dl"] = int(meta["total_dl"]) - dl_del
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
+            .first()
+        )
+        meta["n_docs"] = int(n_live) + int(meta.get("n_empty", 0))
+        meta["total_dl"] = int(dl_live)
         meta["avgdl"] = (
             float(meta["total_dl"]) / float(meta["n_docs"])
             if meta["n_docs"]
             else 0.0
         )
-        with open(stats_path, "w") as f:
-            json.dump(meta, f)
+        atomic_write_json(stats_path, meta)
         shutil.rmtree(tpath, ignore_errors=True)
-    return n_postings + n_terms
+        return n_postings + n_terms
 
 
 def text_index_expire(spark, path: str, min_src_batch: int) -> int:
@@ -547,8 +579,7 @@ def text_index_query(
     ``bucket IN (...)`` filter on BOTH the postings and terms scans —
     partition pruning, then an ordinary pushed (term IN ...) predicate
     inside the surviving directories."""
-    with open(os.path.join(path, "stats.json")) as f:
-        meta = json.load(f)
+    meta = read_index_meta(os.path.join(path, "stats.json"))
     n_buckets = meta["n_buckets"]
 
     q_rows = []
@@ -608,12 +639,37 @@ def hybrid_search(
     score calibration. ``queries`` is the driver-side
     (query_id, query_text) list the lexical side needs; ``query_emb`` is
     the matching (query_id, embedding) relation for the dense side
-    (query ids must agree). Both legs inherit their index's pruning
-    (term buckets / probe lists) and tombstone filters; each leg's
-    top-k is tiny, so the fusion shuffle is bounded by
-    n_queries * k * 2 rows. Returns (query_id, doc_id, rrf_score, rank).
+    (query ids MUST agree — checked, because a mismatched id would
+    silently produce single-leg fusion results: the sparse leg ranks it,
+    the dense leg never sees it, and RRF quietly halves its evidence).
+    The dense leg runs with ``exclude_self=False``: hybrid query ids are
+    EXTERNAL (often strings like 'q1'), not members of the corpus id
+    space, so the corpus-self-join exclusion would either throw on the
+    string-vs-bigint comparison under ANSI mode or silently drop a doc
+    whose vec_id collides with a numeric query id (ADVICE r08).
+    Both legs inherit their index's pruning (term buckets / probe
+    lists) and tombstone filters; each leg's top-k is tiny, so the
+    fusion shuffle is bounded by n_queries * k * 2 rows. Returns
+    (query_id, doc_id, rrf_score, rank).
     """
     from geoscan_fraud_spark.operators.similarity import ivf_index_query
+
+    sparse_ids = {str(qid) for qid, _ in queries}
+    # the query set is driver-sized by contract (text_index_query
+    # tokenizes it on the driver anyway), so this collect is bounded
+    dense_ids = {
+        str(r[0]) for r in query_emb.select(query_emb.columns[0]).collect()
+    }
+    if sparse_ids != dense_ids:
+        only_sparse = sorted(sparse_ids - dense_ids)[:5]
+        only_dense = sorted(dense_ids - sparse_ids)[:5]
+        raise ValueError(
+            f"hybrid_search: query ids disagree between the lexical "
+            f"`queries` list and `query_emb` — only lexical: "
+            f"{only_sparse}, only dense: {only_dense}; every query needs "
+            f"both a text and an embedding or fusion silently degrades "
+            f"to one leg"
+        )
 
     sparse = text_index_query(spark, text_path, queries, k=k)
     dense = ivf_index_query(
@@ -624,6 +680,7 @@ def hybrid_search(
         ann_path,
         k=k,
         nprobe=nprobe,
+        exclude_self=False,
     ).select(
         F.col("query_id").cast("string").alias("query_id"),
         F.col("vec_id").alias("doc_id"),

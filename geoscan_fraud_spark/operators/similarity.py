@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geoscan_fraud_spark.operators.dedup import cosine_expr, dot_expr, norm_expr
+from geoscan_fraud_spark.sources.io import (
+    atomic_write_json,
+    index_writer_lock,
+    read_index_meta,
+)
 
 
 def lloyd_centroids(
@@ -663,7 +668,6 @@ def ivf_index_write(
     Vectors are stored int8 (`quantize_embeddings`, 8x smaller); exact
     re-rank at query time uses dequantized vectors by default or the
     full-precision corpus if the caller passes it."""
-    import json
     import os
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
@@ -721,8 +725,7 @@ def ivf_index_write(
         "mean_assign_dist2": float(base["mean_d2"]) if base["mean_d2"] is not None else None,
         "format": 2,
     }
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(meta, f)
+    atomic_write_json(os.path.join(path, "centroids.json"), meta)
     return len(cent)
 
 
@@ -757,94 +760,124 @@ def ivf_index_append(
     principle assign differently than MLlib's own predict under IEEE
     rounding — harmless for retrieval, since queries probe by the same
     stored-centroid distances appends assign by.
+
+    ``src_batch`` doubles as the replay guard (mirroring
+    `text_index_append`): a batch whose id is <= the recorded
+    ``last_stream_batch`` is SKIPPED, and on success the id commits in
+    the SAME atomic centroids.json write as the row counters — so a
+    direct caller retrying a batch can double-write rows only inside
+    the crash window (bit-identical rows, healed exactly by
+    `ivf_index_compact`) and can never double-count the meta counters.
+    Single-writer: guarded by `index_writer_lock`.
     """
-    import json
     import os
 
     meta_path = os.path.join(path, "centroids.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    cent = meta["centroids"]
+    with index_writer_lock(path, "ivf_index_append"):
+        meta = read_index_meta(meta_path)
+        cent = meta["centroids"]
+        if (
+            src_batch is not None
+            and int(meta.get("last_stream_batch", -1)) >= src_batch
+        ):
+            return {
+                "rows": 0,
+                "mean_assign_dist2": None,
+                "build_mean_assign_dist2": meta.get("mean_assign_dist2"),
+                "drift_ratio": None,
+                "rebuild_recommended": False,
+                "skipped_replay": True,
+            }
 
-    c = new_vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")
-    )
-    d = _centroid_dists(F.col("c_emb"), cent)
-    # array_position is 1-based == the explicit-centroid convention;
-    # KMeans-built indexes store 0-based list ids
-    list_id = F.array_position(d, F.array_min(d)) - F.lit(
-        0 if meta["one_based"] else 1
-    )
-    assigned = c.select(
-        "vec_id",
-        "c_emb",
-        list_id.alias("list_id"),
-        F.array_min(d).alias("__d2"),
-        F.size("c_emb").alias("__dim"),
-    )
-    stats = assigned.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.avg("__d2").alias("mean_d2"),
-        F.min("__dim").alias("dim_min"),
-        F.max("__dim").alias("dim_max"),
-    ).collect()[0]
-    if stats["rows"] == 0:
-        return {
-            "rows": 0,
-            "mean_assign_dist2": None,
-            "build_mean_assign_dist2": meta.get("mean_assign_dist2"),
-            "drift_ratio": None,
-            "rebuild_recommended": False,
-        }
-    if stats["dim_min"] != meta["dim"] or stats["dim_max"] != meta["dim"]:
-        raise ValueError(
-            f"embedding dim mismatch: index expects {meta['dim']}, batch has "
-            f"[{stats['dim_min']}, {stats['dim_max']}]"
+        c = new_vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")
+        )
+        d = _centroid_dists(F.col("c_emb"), cent)
+        # array_position is 1-based == the explicit-centroid convention;
+        # KMeans-built indexes store 0-based list ids
+        list_id = F.array_position(d, F.array_min(d)) - F.lit(
+            0 if meta["one_based"] else 1
+        )
+        assigned = c.select(
+            "vec_id",
+            "c_emb",
+            list_id.alias("list_id"),
+            F.array_min(d).alias("__d2"),
+            F.size("c_emb").alias("__dim"),
+        )
+        stats = assigned.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.avg("__d2").alias("mean_d2"),
+            F.min("__dim").alias("dim_min"),
+            F.max("__dim").alias("dim_max"),
+        ).collect()[0]
+        if stats["rows"] == 0:
+            # still advance the stream cursor: an empty committed batch
+            # replayed later must not look uncommitted
+            if src_batch is not None:
+                meta["last_stream_batch"] = int(src_batch)
+                atomic_write_json(meta_path, meta)
+            return {
+                "rows": 0,
+                "mean_assign_dist2": None,
+                "build_mean_assign_dist2": meta.get("mean_assign_dist2"),
+                "drift_ratio": None,
+                "rebuild_recommended": False,
+                "skipped_replay": False,
+            }
+        if stats["dim_min"] != meta["dim"] or stats["dim_max"] != meta["dim"]:
+            raise ValueError(
+                f"embedding dim mismatch: index expects {meta['dim']}, batch has "
+                f"[{stats['dim_min']}, {stats['dim_max']}]"
+            )
+
+        batch = assigned.drop("__d2", "__dim")
+        keep = ["list_id"]
+        if int(meta.get("format", 1)) >= 2:
+            # stamp the ingest generation so `ivf_index_expire` can age
+            # rows. ``src_batch`` (the streaming sink passes its batch id)
+            # MUST be replay-stable: a crash-window replay then stamps the
+            # SAME value and stays bit-identical for the compaction heal.
+            # Direct callers default to the monotone appends counter
+            # (expire cutoffs are in whichever numbering fed the index).
+            # Legacy format-1 indexes have no src_batch column in their
+            # base files, and a mixed-schema lists dir would corrupt plain
+            # reads — so they stay unstamped.
+            gen = int(src_batch) if src_batch is not None else int(
+                meta.get("appends", 0)
+            ) + 1
+            batch = batch.withColumn("src_batch", F.lit(gen))
+            keep.append("src_batch")
+        q8 = quantize_embeddings(
+            batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
+        )
+        q8.write.mode("append").partitionBy("list_id").parquet(
+            os.path.join(path, "lists")
         )
 
-    batch = assigned.drop("__d2", "__dim")
-    keep = ["list_id"]
-    if int(meta.get("format", 1)) >= 2:
-        # stamp the ingest generation so `ivf_index_expire` can age
-        # rows. ``src_batch`` (the streaming sink passes its batch id)
-        # MUST be replay-stable: a crash-window replay then stamps the
-        # SAME value and stays bit-identical for the compaction heal.
-        # Direct callers default to the monotone appends counter
-        # (expire cutoffs are in whichever numbering fed the index).
-        # Legacy format-1 indexes have no src_batch column in their
-        # base files, and a mixed-schema lists dir would corrupt plain
-        # reads — so they stay unstamped.
-        gen = int(src_batch) if src_batch is not None else int(
-            meta.get("appends", 0)
-        ) + 1
-        batch = batch.withColumn("src_batch", F.lit(gen))
-        keep.append("src_batch")
-    q8 = quantize_embeddings(
-        batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
-    )
-    q8.write.mode("append").partitionBy("list_id").parquet(
-        os.path.join(path, "lists")
-    )
-
-    batch_d2 = float(stats["mean_d2"])
-    build_d2 = meta.get("mean_assign_dist2")
-    drift = (batch_d2 / build_d2) if build_d2 else None
-    meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(stats["rows"])
-    meta["appends"] = int(meta.get("appends", 0)) + 1
-    if build_d2 is None:
-        # legacy index without a baseline: adopt this batch's as one
-        meta["mean_assign_dist2"] = batch_d2
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
-    return {
-        "rows": int(stats["rows"]),
-        "mean_assign_dist2": batch_d2,
-        "build_mean_assign_dist2": build_d2,
-        "drift_ratio": drift,
-        "rebuild_recommended": bool(
-            drift is not None and drift > drift_rebuild_ratio
-        ),
-    }
+        batch_d2 = float(stats["mean_d2"])
+        build_d2 = meta.get("mean_assign_dist2")
+        drift = (batch_d2 / build_d2) if build_d2 else None
+        meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(
+            stats["rows"]
+        )
+        meta["appends"] = int(meta.get("appends", 0)) + 1
+        if build_d2 is None:
+            # legacy index without a baseline: adopt this batch's as one
+            meta["mean_assign_dist2"] = batch_d2
+        if src_batch is not None:
+            meta["last_stream_batch"] = int(src_batch)
+        atomic_write_json(meta_path, meta)
+        return {
+            "rows": int(stats["rows"]),
+            "mean_assign_dist2": batch_d2,
+            "build_mean_assign_dist2": build_d2,
+            "drift_ratio": drift,
+            "rebuild_recommended": bool(
+                drift is not None and drift > drift_rebuild_ratio
+            ),
+            "skipped_replay": False,
+        }
 
 
 def ivf_index_compact(spark, path: str) -> int:
@@ -864,14 +897,17 @@ def ivf_index_compact(spark, path: str) -> int:
 
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
-    n = compact_partitioned(
-        spark,
-        os.path.join(path, "lists"),
-        ["list_id"],
-        transform=lambda d: _anti_tombstones(spark, path, d.distinct(), "vec_id"),
-    )
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    return n
+    with index_writer_lock(path, "ivf_index_compact"):
+        n = compact_partitioned(
+            spark,
+            os.path.join(path, "lists"),
+            ["list_id"],
+            transform=lambda d: _anti_tombstones(
+                spark, path, d.distinct(), "vec_id"
+            ),
+        )
+        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        return n
 
 
 def ivf_index_expire(spark, path: str, min_src_batch: int) -> int:
@@ -884,31 +920,31 @@ def ivf_index_expire(spark, path: str, min_src_batch: int) -> int:
     newer corpus instead. Runs as a compaction (rename-swap relayout,
     also applies pending tombstones + replay dedup). Returns the
     data-file count after."""
-    import json
     import os
+    import shutil
 
     from geoscan_fraud_spark.sources.io import compact_partitioned
 
-    with open(os.path.join(path, "centroids.json")) as f:
-        meta = json.load(f)
-    if int(meta.get("format", 1)) < 2:
-        raise ValueError(
-            "ivf_index_expire needs a format-2 index (src_batch-stamped "
-            "rows); rebuild this legacy index with ivf_index_rebuild first"
+    with index_writer_lock(path, "ivf_index_expire"):
+        meta = read_index_meta(os.path.join(path, "centroids.json"))
+        if int(meta.get("format", 1)) < 2:
+            raise ValueError(
+                "ivf_index_expire needs a format-2 index (src_batch-stamped "
+                "rows); rebuild this legacy index with ivf_index_rebuild first"
+            )
+        keep = (F.col("src_batch") == -1) | (
+            F.col("src_batch") >= min_src_batch
         )
-    keep = (F.col("src_batch") == -1) | (F.col("src_batch") >= min_src_batch)
-    n = compact_partitioned(
-        spark,
-        os.path.join(path, "lists"),
-        ["list_id"],
-        transform=lambda d: _anti_tombstones(
-            spark, path, d.distinct().filter(keep), "vec_id"
-        ),
-    )
-    import shutil
-
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    return n
+        n = compact_partitioned(
+            spark,
+            os.path.join(path, "lists"),
+            ["list_id"],
+            transform=lambda d: _anti_tombstones(
+                spark, path, d.distinct().filter(keep), "vec_id"
+            ),
+        )
+        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        return n
 
 
 def ivf_index_rebuild(
@@ -932,7 +968,6 @@ def ivf_index_rebuild(
     can resume against the rebuilt index without replaying committed
     batches. Same single-writer rename-swap rules as
     `compact_partitioned`; refuses over a previous crash's leftovers."""
-    import json
     import os
     import shutil
 
@@ -943,30 +978,31 @@ def ivf_index_rebuild(
                 f"{p} exists — a previous rebuild crashed mid-swap; "
                 f"inspect/remove it before re-running"
             )
-    with open(os.path.join(path, "centroids.json")) as f:
-        meta = json.load(f)
-    k = n_centroids or meta["n_centroids"]
-    # tombstoned vectors neither participate in the re-fit nor survive
-    # it — a rebuild is also a physical delete (the new index starts
-    # with an empty tombstone set)
-    vecs = dequantize_embeddings(
-        _anti_tombstones(
-            spark, path, spark.read.parquet(os.path.join(path, "lists")), "vec_id"
+    with index_writer_lock(path, "ivf_index_rebuild"):
+        meta = read_index_meta(os.path.join(path, "centroids.json"))
+        k = n_centroids or meta["n_centroids"]
+        # tombstoned vectors neither participate in the re-fit nor survive
+        # it — a rebuild is also a physical delete (the new index starts
+        # with an empty tombstone set)
+        vecs = dequantize_embeddings(
+            _anti_tombstones(
+                spark,
+                path,
+                spark.read.parquet(os.path.join(path, "lists")),
+                "vec_id",
+            )
         )
-    )
-    tmp = path.rstrip("/") + ".__rebuild__"
-    ivf_index_write(vecs, tmp, n_centroids=k, seed=seed)
-    with open(os.path.join(tmp, "centroids.json")) as f:
-        new_meta = json.load(f)
-    if "last_stream_batch" in meta:
-        new_meta["last_stream_batch"] = meta["last_stream_batch"]
-    with open(os.path.join(tmp, "centroids.json"), "w") as f:
-        json.dump(new_meta, f)
-    old = path.rstrip("/") + ".__old__"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return k
+        tmp = path.rstrip("/") + ".__rebuild__"
+        ivf_index_write(vecs, tmp, n_centroids=k, seed=seed)
+        new_meta = read_index_meta(os.path.join(tmp, "centroids.json"))
+        if "last_stream_batch" in meta:
+            new_meta["last_stream_batch"] = meta["last_stream_batch"]
+        atomic_write_json(os.path.join(tmp, "centroids.json"), new_meta)
+        old = path.rstrip("/") + ".__old__"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return k
 
 
 def ivf_index_delete(spark, path: str, ids) -> None:
@@ -977,11 +1013,13 @@ def ivf_index_delete(spark, path: str, ids) -> None:
     index; deleted vectors stop being returned by `ivf_index_query`
     IMMEDIATELY (anti-join at read). `ivf_index_compact` applies
     tombstones physically during its relayout and clears them — the
-    Lucene delete-then-merge lifecycle."""
+    Lucene delete-then-merge lifecycle. List ids pass through with their
+    own type (no int() coercion — string vec_ids are as tombstone-able
+    here as in `text_index_delete`; ADVICE r08)."""
     import os
 
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], ["vec_id"])
+        ids = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
     else:
         ids = ids.toDF("vec_id")
     ids.select("vec_id").write.mode("append").parquet(
@@ -1027,6 +1065,7 @@ def ivf_index_query(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     rerank_corpus: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Query a persisted `ivf_index_write` index: (query_id, vec_id, sim,
     rank) — same contract as `ivf_topk`.
@@ -1037,13 +1076,19 @@ def ivf_index_query(
     single byte of the others is read. Scoring runs on the int8 vectors
     (scale cancels out of cosine); the top ``rerank * k`` per query
     re-rank against dequantized vectors — or bit-true full-precision
-    ones if ``rerank_corpus`` (the original relation) is given."""
-    import json
+    ones if ``rerank_corpus`` (the original relation) is given.
+
+    ``exclude_self`` keeps the corpus-self-join `ivf_topk` contract (a
+    vector is not its own neighbor). Pass ``False`` for EXTERNAL
+    queries whose ids live in a different id space than the corpus:
+    comparing a string query id against bigint vec_ids throws under
+    ANSI mode, and a numeric query id that happens to equal a doc's
+    vec_id would silently drop that doc (ADVICE r08 —
+    `hybrid_search` passes False)."""
     import os
 
     spark = queries.sparkSession
-    with open(os.path.join(path, "centroids.json")) as f:
-        meta = json.load(f)
+    meta = read_index_meta(os.path.join(path, "centroids.json"))
     cent = meta["centroids"]
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
@@ -1074,9 +1119,11 @@ def ivf_index_query(
         "vec_id",
     ).withColumn("__vn", norm_expr(F.col("qvec")))
     probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
+    cand = probes.join(lists, "list_id")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
     cand = (
-        probes.join(lists, "list_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
+        cand
         .withColumn(
             "sim_q",
             dot_expr(F.col("q_emb"), F.col("qvec")) / (F.col("__qn") * F.col("__vn")),

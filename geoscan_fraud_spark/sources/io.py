@@ -10,6 +10,8 @@ row-group min/max pruning on the leading keys (SURVEY §4).
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
 
@@ -466,6 +468,92 @@ def compact_partitioned(
     for _root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if not f.startswith(("_", ".")))
     return n
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    """Atomically commit index metadata: write ``<path>.tmp``, fsync,
+    `os.replace` into place. Every serving-index metadata file
+    (``stats.json``, ``centroids.json``) goes through here — a plain
+    truncate-write would leave a torn/partial JSON if the process dies
+    mid-`json.dump`, bricking the index (every query and append starts
+    by reading the metadata). With the rename, a crash at ANY point
+    leaves either the old complete metadata or the new complete
+    metadata, which is what the append paths' crash-window contracts
+    ("counters and batch id commit in the SAME write") assume.
+
+    POSIX rename is atomic on one filesystem; the tmp file lives beside
+    the target so they always share one. Concurrent writers are the
+    caller's problem — see `index_writer_lock`."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_index_meta(path: str) -> dict:
+    """Read serving-index metadata, refusing CLEARLY on corruption.
+    A torn metadata file (pre-`atomic_write_json` truncate-write crash,
+    or filesystem damage) must not surface as an inscrutable
+    JSONDecodeError deep inside a query — name the file and the likely
+    cause so the operator knows the index needs a rebuild (or a restore
+    of the ``.tmp`` sibling if one survived)."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"{path} is corrupt (truncated or partial JSON: {e}) — likely a "
+            f"crash mid-write by a pre-atomic-commit writer or filesystem "
+            f"damage; rebuild the index (ivf_index_rebuild / "
+            f"text_index_write) or restore the metadata from a backup"
+        ) from e
+
+
+@contextlib.contextmanager
+def index_writer_lock(path: str, op: str):
+    """Mutual exclusion for serving-index WRITERS (append / compact /
+    expire / rebuild): `os.open(O_CREAT|O_EXCL)` on ``<path>/.writer.lock``
+    is atomic on POSIX, so two concurrent writers cannot both hold it.
+    Without this, two concurrent ``*_append`` calls read-modify-write
+    the same stats JSON and the slower one silently overwrites the
+    faster one's counters (lost update). Readers never take the lock —
+    queries are read-only and see either pre- or post-commit metadata
+    (atomic_write_json guarantees it is never torn).
+
+    A crash while holding the lock leaves it behind; the error message
+    names the holder (pid + op) so a stale lock is easy to adjudicate
+    and remove. That is the deliberate trade: serving-index maintenance
+    is a scheduled single-writer activity (the `compact_files` rule),
+    so a loud refusal beats a heuristic auto-steal that could break
+    true mutual exclusion."""
+    lock = os.path.join(path, ".writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lock) as f:
+                holder = f.read().strip()
+        except OSError:
+            holder = "unknown"
+        raise ValueError(
+            f"{lock} exists (held by {holder or 'unknown'}) — another writer "
+            f"is active on this index, or a previous writer crashed without "
+            f"releasing it; verify no writer is running, then remove the "
+            f"lock file and retry ({op} refused)"
+        ) from None
+    try:
+        os.write(fd, f"pid={os.getpid()} op={op}".encode())
+        os.close(fd)
+        yield
+    finally:
+        # rebuild renames the whole index dir away, taking the lock file
+        # with it — missing_ok covers that (the lock is released either way)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def read_orc(

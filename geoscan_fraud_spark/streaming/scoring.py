@@ -362,12 +362,15 @@ def ann_index_ingest_sink(
     starting the stream). Complements `embedding_ingest_sink`, which
     dedups arrivals; this one makes them retrievable.
 
-    Idempotency: the last committed stream batch id is recorded in
-    ``centroids.json``; a replayed ``batch_id <= last_stream_batch`` is
-    skipped entirely. Crash window: dying between the parquet append
-    and the meta commit makes the replay re-append BIT-IDENTICAL rows
-    (assignment and quantization are deterministic) — until maintenance
-    runs, a duplicate only repeats a candidate row in serving top-k;
+    Idempotency: `ivf_index_append` itself skips any
+    ``batch_id <= last_stream_batch`` and commits the batch id in the
+    SAME atomic ``centroids.json`` write as the row counters (r09 —
+    previously this sink held the cursor in a second, separate write,
+    leaving a window where a crash double-counted the meta counters).
+    Crash window: dying between the parquet append and the meta commit
+    makes the replay re-append BIT-IDENTICAL rows (assignment and
+    quantization are deterministic) — until maintenance runs, a
+    duplicate only repeats a candidate row in serving top-k;
     `ivf_index_compact` (distinct over full rows) restores exact state
     on restart.
 
@@ -378,14 +381,6 @@ def ann_index_ingest_sink(
     from geoscan_fraud_spark.operators.similarity import ivf_index_append
 
     def inner(batch_df: DataFrame, batch_id: int) -> None:
-        import json
-        import os
-
-        meta_path = os.path.join(index_path, "centroids.json")
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if int(meta.get("last_stream_batch", -1)) >= batch_id:
-            return
         res = ivf_index_append(
             batch_df,
             index_path,
@@ -397,12 +392,6 @@ def ann_index_ingest_sink(
             # what lets ivf_index_compact heal it with distinct()
             src_batch=int(batch_id),
         )
-        # append rewrote the meta — re-read before committing the batch
-        with open(meta_path) as f:
-            meta = json.load(f)
-        meta["last_stream_batch"] = int(batch_id)
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
         if res.get("rebuild_recommended") and on_drift is not None:
             on_drift(res)
 

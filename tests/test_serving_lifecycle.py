@@ -106,6 +106,9 @@ def test_hybrid_search_over_persisted_stores(
         ann_path,
         k=5,
         nprobe=4,
+        # hybrid treats query ids as EXTERNAL (r09): no corpus-self
+        # exclusion, so the hand computation must match
+        exclude_self=False,
     ).select(
         F.col("query_id").cast("string").alias("query_id"),
         F.col("vec_id").alias("doc_id"),

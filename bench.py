@@ -517,6 +517,70 @@ def main():
             k=10,
         )
 
+    _tomb_state: dict[str, str] = {}
+
+    def bench_bm25_index_query_tombstoned(spark, sf_dir):
+        """Merge-on-read overhead of the BM25 tombstone path (VERDICT r08
+        #7): a SEPARATE index copy with ~10% of docs logically deleted,
+        timed on the same query set as `bm25_index_query` — shows the
+        broadcast anti-join cost pre-compaction is bounded."""
+        import tempfile
+
+        from geoscan_fraud_spark.operators.retrieval import (
+            text_index_delete,
+            text_index_query,
+            text_index_write,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        key = "bm25:" + sf_dir
+        if key not in _tomb_state:
+            path = tempfile.mkdtemp(prefix="bm25_tomb_idx_") + "/idx"
+            docs = load_fixture(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            text_index_write(docs, path, n_buckets=32)
+            text_index_delete(
+                spark, path, docs.filter(F.col("doc_id") % 10 == 0).select(
+                    "doc_id"
+                )
+            )
+            _tomb_state[key] = path
+        return text_index_query(spark, _tomb_state[key], _bm25_queries, k=10)
+
+    def bench_ivf_index_query_tombstoned(spark, sf_dir):
+        """Merge-on-read overhead of the IVF tombstone path: ~10% of
+        vectors logically deleted on a separate index copy; timed is the
+        same probe-pruned query as `ann_ivf_index_query` plus the
+        read-side broadcast anti-join."""
+        import tempfile
+
+        from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
+        from geoscan_fraud_spark.operators.similarity import (
+            ivf_index_delete,
+            ivf_index_query,
+            ivf_index_write,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        key = "ivf:" + sf_dir
+        e = load_fixture(spark, sf_dir, "embeddings")
+        if key not in _tomb_state:
+            path = tempfile.mkdtemp(prefix="ivf_tomb_") + "/index"
+            ivf_index_write(
+                e, path, centroids=_ivf_centroids("/root/testdata/sf0.01")
+            )
+            ivf_index_delete(
+                spark, path, e.filter(F.col("vec_id") % 10 == 0).select(
+                    "vec_id"
+                )
+            )
+            _tomb_state[key] = path
+        q = e.filter(F.col("vec_id") < 50)
+        return ivf_index_query(q, _tomb_state[key], k=10, nprobe=4)
+
     def bench_html_extract(spark, sf_dir):
         """HTML -> text extraction: the documents fixture wrapped in
         deterministic markup (tags, entities, a script block per doc),
@@ -578,6 +642,11 @@ def main():
         "bm25_index_query": bench_bm25_index_query,
         # round-8: persisted hybrid sparse+dense serving path
         "hybrid_index_query": bench_hybrid_index_query,
+        # round-9: append-lifecycle registered entry + merge-on-read
+        # tombstone overhead twins (VERDICT r08 #6/#7)
+        "bm25_incremental_query": QUERIES["bm25_incremental_query"],
+        "bm25_index_query_tombstoned": bench_bm25_index_query_tombstoned,
+        "ann_ivf_index_query_tombstoned": bench_ivf_index_query_tombstoned,
         # round-7: HTML ingest stage (map-only regexp chain)
         "html_extract": bench_html_extract,
         # round-8: hybrid sparse+dense RRF fusion (registered entry)

@@ -1738,21 +1738,53 @@ def _bm25_oracle() -> str:
     """
 
 
-@register("bm25_search", sql=_bm25_oracle())
 def bm25_search(spark, sf_dir):
-    """One-shot relational BM25 top-k (`operators/retrieval.py::bm25_topk`,
-    r08 rotation — the lexical complement of `ann_cosine_topk`): exploded
-    corpus tokens semi-join the BROADCAST query vocabulary BEFORE the one
+    """One-shot relational BM25 top-k (`operators/retrieval.py::bm25_topk`
+    — the lexical complement of `ann_cosine_topk`): exploded corpus
+    tokens semi-join the BROADCAST query vocabulary BEFORE the one
     posting shuffle (shuffled rows ~ query-term postings, never corpus
-    tokens); (N, avgdl) ride the plan as a lazy one-row broadcast. The
-    oracle replays tokenize/tf/df/idf/score/rank as plain SQL algebra —
-    scores round to 6dp pre-rank on both sides so cross-engine float
-    summation order cannot flip the top-k."""
+    tokens); (N, avgdl) ride the plan as a lazy one-row broadcast.
+
+    Folded r09 (the slot funds `bm25_incremental_query`): the identical
+    BM25 algebra is load-bearing inside the hash-green `rrf_fusion`
+    entry (its oracle replays the full tokenize/tf/df/idf/score/rank
+    chain) and inside `bm25_incremental_query`'s one-shot oracle;
+    python value pin in `tests/test_retrieval.py::
+    test_bm25_matches_python_reference`; bench.py still times it."""
     from geoscan_fraud_spark.operators.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     qs = spark.createDataFrame(_BM25_QUERIES, "query_id string, query string")
     return bm25_topk(docs, qs, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@register("bm25_incremental_query", sql=_bm25_oracle())
+def bm25_incremental_query(spark, sf_dir):
+    """Serving-path BM25 over an INCREMENTALLY-GROWN persisted index
+    (r09 rotation — puts the r08 append lifecycle under the driver's
+    hash gate, not just pytest): build `text_index_write` over the even
+    doc_ids, `text_index_append` the odd half, then `text_index_query`
+    with the standard query set. The oracle is the ONE-SHOT BM25 SQL
+    over the full corpus — hash-equality certifies the append contract
+    end-to-end: integer (n_docs, total_dl) counter merges, the
+    sum-mergeable per-term df log, and bucket-pruned serving must
+    reproduce a from-scratch build BIT-EXACTLY (scores round to 6dp
+    pre-rank on both sides)."""
+    import tempfile
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_append,
+        text_index_query,
+        text_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bm25_inc_entry_") + "/idx"
+    text_index_write(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=32)
+    text_index_append(docs.filter(F.col("doc_id") % 2 == 1), path)
+    return text_index_query(spark, path, _BM25_QUERIES, k=10).withColumn(
         "rank", F.col("rank").cast("long")
     )
 

@@ -275,8 +275,10 @@ def dedup_span_store(raw: DataFrame) -> DataFrame:
     artifacts. Rows of UNKNOWN origin (``src_batch = -1``, written when
     re-compacting a pre-r07 base that lost provenance) are structurally
     non-dedupable and pass through untouched — for those, compact's
-    manual crash recovery remains the contract. One extra store-sized
-    (never corpus-sized) shuffle on the gram hash."""
+    manual crash recovery remains the contract until the one-shot
+    `migrate_span_store_origins` collapses them into dedupable
+    ``MIGRATED_ORIGIN`` rows. One extra store-sized (never
+    corpus-sized) shuffle on the gram hash."""
     cols = set(raw.columns)
     if "src_batch" in cols and "batch_id" in cols:
         origin = F.coalesce(F.col("src_batch"), F.col("batch_id"))
@@ -294,6 +296,87 @@ def dedup_span_store(raw: DataFrame) -> DataFrame:
         F.col("__origin").isNull() | (F.col("__origin") == -1)
     )
     return known.unionByName(unknown).select("gh", "cnt")
+
+
+#: The reserved origin `migrate_span_store_origins` stamps on collapsed
+#: legacy rows: a KNOWN origin for `dedup_span_store` (dedupable), but
+#: still negative so `sources/io.expire_index` ages it with the oldest
+#: data (the documented freshness-conservative reading of unknown age).
+MIGRATED_ORIGIN = -2
+
+
+def migrate_span_store_origins(spark, index_path: str) -> int:
+    """One-shot migration for a span-gram store whose ``batch_id=-1``
+    base carries provenance-free rows (``src_batch = -1`` from a pre-r07
+    re-compaction, or a pre-r07 base with no ``src_batch`` column at
+    all): collapse ALL unknown-origin rows into ONE group-summed row per
+    gram, stamped ``src_batch = MIGRATED_ORIGIN``. Returns the number of
+    unknown-origin rows collapsed (0 = nothing to migrate).
+
+    Why this closes the `dedup_span_store` caveat: the store contract is
+    at most one legitimate row per (gh, origin), which is exactly what
+    the group-sum restores for the migrated generation — so a FUTURE
+    crashed compaction that duplicates a migrated row is again detected
+    and dropped by the (gh, origin) dedup, and `expire_index` can age a
+    base it previously had to refuse (no ``src_batch`` column).
+
+    PRECONDITION (the one thing the migration cannot check): the store
+    must be CLEAN of crash artifacts when this runs — a lingering
+    half-swapped duplicate would be group-summed INTO the migrated row
+    and the over-count baked in permanently. Run compact_index's manual
+    crash recovery first (the same ``__old__``/``__compact__`` leftover
+    discipline applies here and is refused below). Single-writer, like
+    every store maintenance op; rename-swap on the base dir only."""
+    import os
+    import shutil
+
+    for leftover in ("__old__", "__compact__"):
+        p = index_path.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} exists — a previous compaction crashed mid-swap; "
+                f"recover per the compact_index docstring before migrating"
+            )
+    base = os.path.join(index_path, "batch_id=-1")
+    if not os.path.isdir(base):
+        raise ValueError(
+            f"{base} does not exist — nothing to migrate (origins only go "
+            f"missing through compaction into the base)"
+        )
+    df = spark.read.parquet(base)
+    if "src_batch" in df.columns:
+        unknown_origin = F.col("src_batch").isNull() | (
+            F.col("src_batch") == -1
+        )
+        unknown = df.filter(unknown_origin)
+        # NULL-safe complement: ~(null) is null and would drop rows
+        known = df.filter(
+            F.col("src_batch").isNotNull() & (F.col("src_batch") != -1)
+        )
+    else:
+        unknown, known = df, None
+    n_unknown = unknown.count()
+    if n_unknown == 0:
+        return 0
+    migrated = (
+        unknown.groupBy("gh")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("src_batch", F.lit(MIGRATED_ORIGIN))
+        .select("gh", "cnt", "src_batch")
+    )
+    out = (
+        migrated
+        if known is None
+        else known.select("gh", "cnt", "src_batch").unionByName(migrated)
+    )
+    tmp = index_path.rstrip("/") + ".__compact__"
+    out.write.mode("overwrite").parquet(tmp)
+    old = index_path.rstrip("/") + ".__old__"
+    os.makedirs(old, exist_ok=True)
+    os.rename(base, os.path.join(old, "batch_id=-1"))
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+    return int(n_unknown)
 
 
 def remove_spans_against_index(

@@ -411,3 +411,94 @@ def test_ivf_query_numeric_external_id_keeps_colliding_doc(spark, tmp_path):
     assert top["vec_id"] == 5 and top["sim"] >= 0.999
     without = ivf_index_query(probe, path, k=3)  # default contract intact
     assert 5 not in {r["vec_id"] for r in without.collect()}
+
+
+# -------------------------------------------------- span-store migration
+
+
+def test_migrate_span_store_origins(spark, tmp_path):
+    """VERDICT r08 #8: provenance-free (src_batch=-1) base rows become a
+    single group-summed MIGRATED_ORIGIN row per gram — gram totals are
+    preserved, known-origin rows untouched, and the migrated generation
+    is dedupable again (a future crash duplicate is dropped)."""
+    from geoscan_fraud_spark.operators.spans import (
+        MIGRATED_ORIGIN,
+        dedup_span_store,
+        merge_span_index,
+        migrate_span_store_origins,
+        span_gram_index,
+    )
+
+    docs = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),
+        (2, "q r s t u v w x y z"),
+    ]
+    rows = span_gram_index(
+        spark.createDataFrame(docs, "doc_id int, text string"), min_len=5
+    )
+    path = str(tmp_path / "span_store")
+    # legacy base: two unknown-origin copies of the same grams (two
+    # pre-r07 batches whose provenance was lost) + one known-origin row set
+    legacy = rows.withColumn("src_batch", F.lit(-1))
+    legacy.unionByName(legacy).unionByName(
+        rows.withColumn("src_batch", F.lit(7))
+    ).write.parquet(f"{path}/batch_id=-1")
+    rows.write.parquet(f"{path}/batch_id=9")  # live partition, untouched
+
+    before = merge_span_index(
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("gh", "cnt")
+    ).orderBy("gh").collect()
+
+    n = migrate_span_store_origins(spark, path)
+    assert n == 2 * rows.count()
+
+    base = spark.read.parquet(f"{path}/batch_id=-1")
+    unknown = base.filter(
+        F.col("src_batch").isNull() | (F.col("src_batch") == -1)
+    )
+    assert unknown.count() == 0  # caveat gone
+    mig = base.filter(F.col("src_batch") == MIGRATED_ORIGIN)
+    # one row per gram in the migrated generation
+    assert mig.count() == mig.select("gh").distinct().count() == rows.count()
+    # gram TOTALS preserved exactly (store semantics are count sums)
+    after = merge_span_index(
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("gh", "cnt")
+    ).orderBy("gh").collect()
+    assert after == before
+
+    # the migrated generation is dedupable: a future crashed re-fold
+    # duplicating it is collapsed by the store read guard
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    crashed = raw.unionByName(
+        base.filter(F.col("src_batch") == MIGRATED_ORIGIN).withColumn(
+            "batch_id", F.lit(-1)
+        ).select(raw.columns)
+    )
+    healed = merge_span_index(dedup_span_store(crashed)).orderBy("gh").collect()
+    assert healed == [  # == the clean store's totals
+        r for r in merge_span_index(
+            dedup_span_store(raw)
+        ).orderBy("gh").collect()
+    ]
+
+    # idempotent: a second run finds nothing to migrate
+    assert migrate_span_store_origins(spark, path) == 0
+
+
+def test_migrate_span_store_refuses_leftovers_and_missing_base(
+    spark, tmp_path
+):
+    from geoscan_fraud_spark.operators.spans import migrate_span_store_origins
+
+    path = str(tmp_path / "store")
+    os.makedirs(path)
+    with pytest.raises(ValueError, match="does not exist"):
+        migrate_span_store_origins(spark, path)
+    os.makedirs(path + ".__old__")
+    with pytest.raises(ValueError, match="crashed mid-swap"):
+        migrate_span_store_origins(spark, path)

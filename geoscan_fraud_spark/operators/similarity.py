@@ -798,13 +798,17 @@ def ivf_index_append(
         list_id = F.array_position(d, F.array_min(d)) - F.lit(
             0 if meta["one_based"] else 1
         )
+        # persisted for the call: the k-means assignment (O(dim *
+        # n_centroids) per row) runs ONCE — the stats agg materializes
+        # the cache and the quantize+write below reads it back, instead
+        # of recomputing every centroid distance on the second pass
         assigned = c.select(
             "vec_id",
             "c_emb",
             list_id.alias("list_id"),
             F.array_min(d).alias("__d2"),
             F.size("c_emb").alias("__dim"),
-        )
+        ).persist()
         stats = assigned.agg(
             F.count(F.lit(1)).alias("rows"),
             F.avg("__d2").alias("mean_d2"),
@@ -812,6 +816,7 @@ def ivf_index_append(
             F.max("__dim").alias("dim_max"),
         ).collect()[0]
         if stats["rows"] == 0:
+            assigned.unpersist()
             # still advance the stream cursor: an empty committed batch
             # replayed later must not look uncommitted
             if src_batch is not None:
@@ -825,35 +830,39 @@ def ivf_index_append(
                 "rebuild_recommended": False,
                 "skipped_replay": False,
             }
-        if stats["dim_min"] != meta["dim"] or stats["dim_max"] != meta["dim"]:
-            raise ValueError(
-                f"embedding dim mismatch: index expects {meta['dim']}, batch has "
-                f"[{stats['dim_min']}, {stats['dim_max']}]"
-            )
+        try:
+            if stats["dim_min"] != meta["dim"] or stats["dim_max"] != meta["dim"]:
+                raise ValueError(
+                    f"embedding dim mismatch: index expects {meta['dim']}, "
+                    f"batch has [{stats['dim_min']}, {stats['dim_max']}]"
+                )
 
-        batch = assigned.drop("__d2", "__dim")
-        keep = ["list_id"]
-        if int(meta.get("format", 1)) >= 2:
-            # stamp the ingest generation so `ivf_index_expire` can age
-            # rows. ``src_batch`` (the streaming sink passes its batch id)
-            # MUST be replay-stable: a crash-window replay then stamps the
-            # SAME value and stays bit-identical for the compaction heal.
-            # Direct callers default to the monotone appends counter
-            # (expire cutoffs are in whichever numbering fed the index).
-            # Legacy format-1 indexes have no src_batch column in their
-            # base files, and a mixed-schema lists dir would corrupt plain
-            # reads — so they stay unstamped.
-            gen = int(src_batch) if src_batch is not None else int(
-                meta.get("appends", 0)
-            ) + 1
-            batch = batch.withColumn("src_batch", F.lit(gen))
-            keep.append("src_batch")
-        q8 = quantize_embeddings(
-            batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
-        )
-        q8.write.mode("append").partitionBy("list_id").parquet(
-            os.path.join(path, "lists")
-        )
+            batch = assigned.drop("__d2", "__dim")
+            keep = ["list_id"]
+            if int(meta.get("format", 1)) >= 2:
+                # stamp the ingest generation so `ivf_index_expire` can
+                # age rows. ``src_batch`` (the streaming sink passes its
+                # batch id) MUST be replay-stable: a crash-window replay
+                # then stamps the SAME value and stays bit-identical for
+                # the compaction heal. Direct callers default to the
+                # monotone appends counter (expire cutoffs are in
+                # whichever numbering fed the index). Legacy format-1
+                # indexes have no src_batch column in their base files,
+                # and a mixed-schema lists dir would corrupt plain reads
+                # — so they stay unstamped.
+                gen = int(src_batch) if src_batch is not None else int(
+                    meta.get("appends", 0)
+                ) + 1
+                batch = batch.withColumn("src_batch", F.lit(gen))
+                keep.append("src_batch")
+            q8 = quantize_embeddings(
+                batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
+            )
+            q8.write.mode("append").partitionBy("list_id").parquet(
+                os.path.join(path, "lists")
+            )
+        finally:
+            assigned.unpersist()
 
         batch_d2 = float(stats["mean_d2"])
         build_d2 = meta.get("mean_assign_dist2")

@@ -490,6 +490,37 @@ def test_migrate_span_store_origins(spark, tmp_path):
     assert migrate_span_store_origins(spark, path) == 0
 
 
+def test_spans_row_scaling_is_linear(spark):
+    """VERDICT r08 #5 (the 400x-flood pattern applied to ROWS): k
+    disjoint shards of the same span workload must cost exactly k times
+    the marked rows and k times the gram-store rows — a structural
+    assertion that no stage pairs rows ACROSS shards (the blowup a
+    timing curve would only show statistically). Shards are made
+    disjoint by suffixing every token with the shard index, so
+    cross-shard gram overlap is zero by construction."""
+    from geoscan_fraud_spark.operators.spans import (
+        repeated_gram_starts,
+        span_gram_index,
+    )
+
+    def corpus(k):
+        rows = []
+        for i in range(k):
+            rep = " ".join(f"r{i}_{t}" for t in range(10))
+            for j in range(40):
+                body = " ".join(f"w{i}_{j}_{t}" for t in range(10))
+                rows.append((i * 1000 + j, body + " " + rep))
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    m1 = repeated_gram_starts(corpus(1), min_len=8).count()
+    g1 = span_gram_index(corpus(1), min_len=8).count()
+    assert m1 > 0 and g1 > 0
+    m4 = repeated_gram_starts(corpus(4), min_len=8).count()
+    g4 = span_gram_index(corpus(4), min_len=8).count()
+    assert m4 == 4 * m1  # marked rows: exactly linear in shards
+    assert g4 == 4 * g1  # gram store: exactly linear in shards
+
+
 def test_migrate_span_store_refuses_leftovers_and_missing_base(
     spark, tmp_path
 ):

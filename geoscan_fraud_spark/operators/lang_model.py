@@ -97,16 +97,17 @@ class LangModel:
         )
         meta_dir = os.path.join(path, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
-        with open(os.path.join(meta_dir, "labels.json"), "w") as f:
-            json.dump(
-                {
-                    "class": "LangModel",
-                    "labels": self.labels,
-                    "ngram_sizes": list(LANG_NGRAM_SIZES),
-                    "num_features": LANG_NUM_FEATURES,
-                },
-                f,
-            )
+        from geoscan_fraud_spark.sources.io import atomic_write_json
+
+        atomic_write_json(
+            os.path.join(meta_dir, "labels.json"),
+            {
+                "class": "LangModel",
+                "labels": self.labels,
+                "ngram_sizes": list(LANG_NGRAM_SIZES),
+                "num_features": LANG_NUM_FEATURES,
+            },
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LangModel":

@@ -224,8 +224,12 @@ class GeoscanPersonalizedModel(_Params):
         self.models.write.mode("overwrite").parquet(os.path.join(path, "data"))
         meta_dir = os.path.join(path, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
-        with open(os.path.join(meta_dir, "params.json"), "w") as f:
-            json.dump({"class": "GeoscanPersonalizedModel", **self.params_dict()}, f)
+        from geoscan_fraud_spark.sources.io import atomic_write_json
+
+        atomic_write_json(
+            os.path.join(meta_dir, "params.json"),
+            {"class": "GeoscanPersonalizedModel", **self.params_dict()},
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "GeoscanPersonalizedModel":

@@ -560,6 +560,105 @@ def text_index_stats(spark, path: str, top_terms: int = 0) -> DataFrame:
     return base.join(heavy, "bucket", "left")
 
 
+def text_index_fsck(spark, path: str) -> dict:
+    """Ops doctor for a persisted BM25 index — the read-only health
+    check that closes the lifecycle loop (build → append → delete →
+    compact → expire all have tests; this is what an operator RUNS when
+    something looks off). Returns::
+
+        {"status": "ok" | "attention", "findings": [str, ...],
+         "meta": {...}, "measured": {...}}
+
+    Checks, cheapest first:
+
+    * filesystem artifacts (`index_artifact_findings`): stale writer
+      lock, orphaned metadata ``.tmp``, crashed-swap leftovers;
+    * metadata readability (a torn pre-atomic stats.json reports as a
+      finding instead of raising);
+    * duplicate postings rows (count vs full-row distinct — pending
+      crash-replay heal, `text_index_compact` removes them);
+    * counter drift: n_docs/total_dl measured from the distinct
+      (doc_id, dl) pairs (+ the n_empty counter) vs the stats.json
+      values — drift beyond pending tombstones means a lost update
+      (e.g. pre-lock concurrent appends) and warrants a compaction;
+    * df-log consistency: the summed df log vs the distinct
+      (term, doc_id) posting count (over-count = replayed appends,
+      healed by compaction).
+
+    Pending tombstones are reported (deleted docs still inside the
+    measured counts by design — Lucene delete-then-merge). Three
+    column-pruned aggregates over the postings + one over the df log;
+    run it at maintenance cadence, not per query."""
+    from geoscan_fraud_spark.sources.io import index_artifact_findings
+
+    findings = index_artifact_findings(path, "stats.json", "postings")
+    report: dict = {"meta": None, "measured": {}}
+    try:
+        meta = read_index_meta(os.path.join(path, "stats.json"))
+        report["meta"] = meta
+    except ValueError as e:
+        findings.append(str(e))
+        report["status"] = "attention"
+        report["findings"] = findings
+        return report
+
+    p = spark.read.parquet(os.path.join(path, "postings"))
+    n_rows, n_distinct = p.select(
+        F.count(F.lit(1)),
+        F.count_distinct(*[F.col(c) for c in p.columns]),
+    ).first()
+    if n_rows != n_distinct:
+        findings.append(
+            f"{n_rows - n_distinct} duplicate posting rows (crash-window "
+            f"replay pending heal) — run text_index_compact"
+        )
+    n_live, dl_live = (
+        p.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
+        .first()
+    )
+    measured_docs = int(n_live) + int(meta.get("n_empty", 0))
+    measured_dl = int(dl_live)
+    report["measured"] = {"n_docs": measured_docs, "total_dl": measured_dl}
+
+    tpath = os.path.join(path, "tombstones")
+    n_tomb = 0
+    if os.path.isdir(tpath):
+        n_tomb = spark.read.parquet(tpath).distinct().count()
+        findings.append(
+            f"{n_tomb} pending tombstones (still idf-damping until "
+            f"text_index_compact applies them)"
+        )
+    if measured_docs != int(meta["n_docs"]) or measured_dl != int(
+        meta.get("total_dl", measured_dl)
+    ):
+        findings.append(
+            f"counter drift: stats.json says n_docs={meta['n_docs']} "
+            f"total_dl={meta.get('total_dl')}, postings measure "
+            f"n_docs={measured_docs} total_dl={measured_dl} — beyond "
+            f"pending tombstones this means a lost update; run "
+            f"text_index_compact to recompute"
+        )
+
+    df_log = (
+        spark.read.parquet(os.path.join(path, "terms"))
+        .agg(F.coalesce(F.sum("df"), F.lit(0)))
+        .first()[0]
+    )
+    true_df = p.select("term", "doc_id").distinct().count()
+    if int(df_log) != int(true_df):
+        findings.append(
+            f"df log sums to {df_log} but postings hold {true_df} distinct "
+            f"(term, doc_id) pairs — replayed appends or pending deletes; "
+            f"text_index_compact rebuilds df from ground truth"
+        )
+
+    report["status"] = "ok" if not findings else "attention"
+    report["findings"] = findings
+    return report
+
+
 def text_index_query(
     spark,
     path: str,

@@ -1065,6 +1065,128 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def ivf_index_fsck(spark, path: str) -> dict:
+    """Ops doctor for a persisted IVF index — the dense twin of
+    `text_index_fsck`. Returns ``{"status", "findings", "meta",
+    "measured"}``. Checks: filesystem artifacts (stale writer lock,
+    orphaned metadata ``.tmp``, crashed compaction/rebuild swap
+    leftovers), metadata readability (torn JSON reports instead of
+    raising), duplicate rows (count vs full-row distinct — pending
+    crash-replay heal), row-counter drift (measured distinct rows vs
+    the ``rows + appended_rows`` counters; beyond pending tombstones
+    that is a lost update), stored-vector dim vs the metadata dim, and
+    list ids outside the quantizer's range (corruption or a foreign
+    file). Two column-pruned aggregates over the lists; maintenance
+    cadence, not per query."""
+    import os
+
+    from geoscan_fraud_spark.sources.io import index_artifact_findings
+
+    findings = index_artifact_findings(path, "centroids.json", "lists")
+    report: dict = {"meta": None, "measured": {}}
+    try:
+        meta = read_index_meta(os.path.join(path, "centroids.json"))
+        report["meta"] = meta
+    except ValueError as e:
+        findings.append(str(e))
+        report["status"] = "attention"
+        report["findings"] = findings
+        return report
+
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    lo = 1 if meta["one_based"] else 0
+    hi = meta["n_centroids"] - (0 if meta["one_based"] else 1)
+    n_rows, n_distinct, dim_min, dim_max, bad_lists = lists.select(
+        F.count(F.lit(1)),
+        F.count_distinct(*[F.col(c) for c in lists.columns]),
+        F.min(F.size("qvec")),
+        F.max(F.size("qvec")),
+        F.coalesce(
+            F.sum(
+                ((F.col("list_id") < lo) | (F.col("list_id") > hi)).cast("long")
+            ),
+            F.lit(0),
+        ),
+    ).first()
+    report["measured"] = {"rows": int(n_distinct)}
+    if n_rows != n_distinct:
+        findings.append(
+            f"{n_rows - n_distinct} duplicate rows (crash-window replay "
+            f"pending heal) — run ivf_index_compact"
+        )
+    if n_rows and (dim_min != meta["dim"] or dim_max != meta["dim"]):
+        findings.append(
+            f"stored vector dims [{dim_min}, {dim_max}] != metadata dim "
+            f"{meta['dim']} — the index is corrupt or holds foreign files"
+        )
+    if int(bad_lists):
+        findings.append(
+            f"{bad_lists} rows with list_id outside [{lo}, {hi}] — "
+            f"corruption or files from another quantizer"
+        )
+
+    tpath = os.path.join(path, "tombstones")
+    if os.path.isdir(tpath):
+        n_tomb = spark.read.parquet(tpath).distinct().count()
+        findings.append(
+            f"{n_tomb} pending tombstones (hidden at read; "
+            f"ivf_index_compact applies them physically)"
+        )
+    expected = int(meta.get("rows", 0)) + int(meta.get("appended_rows", 0))
+    if int(n_distinct) != expected:
+        findings.append(
+            f"row-counter drift: metadata says {expected} "
+            f"(rows + appended_rows), lists hold {n_distinct} distinct — "
+            f"beyond pending tombstones/expiry this means a lost update"
+        )
+
+    report["status"] = "ok" if not findings else "attention"
+    report["findings"] = findings
+    return report
+
+
+def ivf_recall_at_k(
+    queries: DataFrame,
+    path: str,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank_corpus: DataFrame | None = None,
+) -> float:
+    """Measured recall@k of a persisted IVF index against brute-force
+    cosine ground truth over the SAME corpus — the quality number that
+    pairs with the drift guard (drift says "the quantizer aged";
+    recall says how much that costs where it matters). Returns
+    |IVF top-k ∩ exact top-k| / |exact top-k| averaged over queries.
+
+    Both sides run with self-exclusion (the corpus-self-join contract),
+    so pass corpus rows as queries. The exact side is the
+    `brute_force_topk` baseline (corpus never shuffles, one broadcast
+    of the query block); the IVF side is the partition-pruned serving
+    path. Recall < 1 has TWO sources: probe misses (a true neighbor in
+    an unprobed list) and int8 re-rank rounding at the k boundary —
+    pass ``rerank_corpus`` (the full-precision relation) to eliminate
+    the second and isolate the first (probing ALL lists with it is
+    pinned to exactly 1.0 in tests)."""
+    exact = brute_force_topk(
+        queries, corpus, k=k, emb_col=emb_col, id_col=id_col
+    ).select("query_id", "vec_id")
+    approx = ivf_index_query(
+        queries,
+        path,
+        k=k,
+        nprobe=nprobe,
+        emb_col=emb_col,
+        id_col=id_col,
+        rerank_corpus=rerank_corpus,
+    ).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    denom = exact.count()
+    return (hit / denom) if denom else 1.0
+
+
 def ivf_index_query(
     queries: DataFrame,
     path: str,

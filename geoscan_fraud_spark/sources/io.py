@@ -556,6 +556,51 @@ def index_writer_lock(path: str, op: str):
             pass
 
 
+def index_artifact_findings(path: str, meta_name: str, data_dir: str) -> list:
+    """Shared filesystem-level health sweep for a persisted serving
+    index (`text_index_fsck` / `ivf_index_fsck` front half): stale
+    writer lock, orphaned metadata ``.tmp`` (a crash between tmp-write
+    and replace — the LIVE metadata is intact, the tmp is garbage),
+    crashed-swap leftovers from compaction/rebuild. Returns a list of
+    human-readable findings (empty = clean). Pure os-walk — no Spark
+    job."""
+    findings = []
+    lock = os.path.join(path, ".writer.lock")
+    if os.path.exists(lock):
+        try:
+            with open(lock) as f:
+                holder = f.read().strip()
+        except OSError:
+            holder = "unknown"
+        findings.append(
+            f"writer lock present ({holder}) — a writer is active or "
+            f"crashed without releasing; verify and remove"
+        )
+    tmp = os.path.join(path, meta_name + ".tmp")
+    if os.path.exists(tmp):
+        findings.append(
+            f"{meta_name}.tmp leftover — a metadata commit crashed "
+            f"before replace; live metadata is intact, delete the tmp"
+        )
+    dpath = os.path.join(path, data_dir)
+    for leftover in ("__compact__", "__old__"):
+        p = dpath.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            findings.append(
+                f"{os.path.basename(p)} leftover — a compaction crashed "
+                f"mid-swap; recover per compact_partitioned before the "
+                f"next maintenance run"
+            )
+    for leftover in ("__rebuild__", "__old__"):
+        p = path.rstrip("/") + f".{leftover}"
+        if os.path.exists(p):
+            findings.append(
+                f"index-level .{leftover} leftover — a rebuild crashed "
+                f"mid-swap; inspect/remove before re-running"
+            )
+    return findings
+
+
 def read_orc(
     spark: SparkSession,
     path: str,

@@ -151,6 +151,29 @@ def test_writer_lock_refuses_concurrent_ivf_append(spark, tmp_path):
     os.unlink(lock)
 
 
+def test_writer_lock_released_on_failure(spark, tmp_path):
+    """A failing write op (dim mismatch) must not leave a stale lock
+    behind — the finally-release is part of the contract."""
+    path = str(tmp_path / "ivf")
+    rows = _vec_corpus(20, seed=9, dim=6)
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 2)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_index_write(df, path, centroids=cent)
+    wrong_dim = spark.createDataFrame(
+        _vec_corpus(3, seed=10, dim=4, id0=100),
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        ivf_index_append(wrong_dim, path)
+    assert not os.path.exists(os.path.join(path, ".writer.lock"))
+    # and the index still accepts a good batch afterwards
+    good = spark.createDataFrame(
+        _vec_corpus(3, seed=10, dim=6, id0=100),
+        "vec_id long, embedding array<double>",
+    )
+    assert ivf_index_append(good, path)["rows"] == 3
+
+
 # ------------------------------------------------------- single-pass append
 
 

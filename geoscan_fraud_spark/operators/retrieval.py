@@ -219,53 +219,63 @@ def text_index_write(
     At 100 TB a term's postings list can itself be large (stopwords);
     the per-bucket directories keep the scan bounded and the (term)
     filter inside a bucket is an ordinary pushed predicate.
+
+    Holds the `index_writer_lock` for the whole build: rebuilding over
+    a LIVE index while an append/compact runs would interleave
+    overwrite and append file sets into an inconsistent store.
     """
-    # src_batch stamps each posting's ingest generation (-1 = build),
-    # enabling `text_index_expire`; format 2 = the column is in EVERY
-    # postings file (no mixed schemas)
-    postings = (
-        _doc_postings(docs, text_col, id_col)
-        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
-        .withColumn("src_batch", F.lit(-1))
-    )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
-    )
-    # df from the just-written postings: reading back costs one pruned
-    # scan and guarantees terms/ agrees with postings/ even if `docs`
-    # is nondeterministic upstream
-    written = postings.sparkSession.read.parquet(os.path.join(path, "postings"))
-    (
-        written.groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "terms"))
-    )
-    n_docs, total_dl = docs.select(
-        F.count(F.lit(1)),
-        F.coalesce(F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)),
-    ).first()
-    # docs with zero tokens leave no postings; counting them separately
-    # lets compaction recompute n_docs from postings alone (one pruned
-    # scan of the just-written doc_id column)
-    n_posting_docs = written.select(F.countDistinct("doc_id")).first()[0]
     os.makedirs(path, exist_ok=True)
-    # total_dl is an exact integer, so avgdl derives from it identically
-    # at build and after any number of `text_index_append` merges —
-    # incremental and from-scratch indexes stay bit-equal
-    atomic_write_json(
-        os.path.join(path, "stats.json"),
-        {
-            "n_docs": int(n_docs),
-            "total_dl": int(total_dl),
-            "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
-            "n_buckets": n_buckets,
-            "n_empty": int(n_docs) - int(n_posting_docs),
-            "format": 2,
-        },
-    )
-    return n_buckets
+    with index_writer_lock(path, "text_index_write"):
+        # src_batch stamps each posting's ingest generation (-1 =
+        # build), enabling `text_index_expire`; format 2 = the column
+        # is in EVERY postings file (no mixed schemas)
+        postings = (
+            _doc_postings(docs, text_col, id_col)
+            .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+            .withColumn("src_batch", F.lit(-1))
+        )
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(path, "postings")
+        )
+        # df from the just-written postings: reading back costs one
+        # pruned scan and guarantees terms/ agrees with postings/ even
+        # if `docs` is nondeterministic upstream
+        written = postings.sparkSession.read.parquet(
+            os.path.join(path, "postings")
+        )
+        (
+            written.groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "terms"))
+        )
+        n_docs, total_dl = docs.select(
+            F.count(F.lit(1)),
+            F.coalesce(
+                F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)
+            ),
+        ).first()
+        # docs with zero tokens leave no postings; counting them
+        # separately lets compaction recompute n_docs from postings
+        # alone (one pruned scan of the just-written doc_id column)
+        n_posting_docs = written.select(F.countDistinct("doc_id")).first()[0]
+        # total_dl is an exact integer, so avgdl derives from it
+        # identically at build and after any number of
+        # `text_index_append` merges — incremental and from-scratch
+        # indexes stay bit-equal
+        atomic_write_json(
+            os.path.join(path, "stats.json"),
+            {
+                "n_docs": int(n_docs),
+                "total_dl": int(total_dl),
+                "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
+                "n_buckets": n_buckets,
+                "n_empty": int(n_docs) - int(n_posting_docs),
+                "format": 2,
+            },
+        )
+        return n_buckets
 
 
 def text_index_append(

@@ -667,7 +667,25 @@ def ivf_index_write(
     between touching nprobe/n_centroids of the corpus and all of it.
     Vectors are stored int8 (`quantize_embeddings`, 8x smaller); exact
     re-rank at query time uses dequantized vectors by default or the
-    full-precision corpus if the caller passes it."""
+    full-precision corpus if the caller passes it.
+
+    Holds the `index_writer_lock` for the whole build: rebuilding over
+    a LIVE index while an append/compact runs would interleave
+    overwrite and append file sets into an inconsistent store
+    (`ivf_index_rebuild` builds into a scratch dir, so its inner build
+    locks the scratch, not the live index it already holds)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with index_writer_lock(path, "ivf_index_write"):
+        return _ivf_index_write_locked(
+            corpus, path, n_centroids, emb_col, id_col, seed, centroids
+        )
+
+
+def _ivf_index_write_locked(
+    corpus, path, n_centroids, emb_col, id_col, seed, centroids
+) -> int:
     import os
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))

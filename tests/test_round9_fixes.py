@@ -151,6 +151,33 @@ def test_writer_lock_refuses_concurrent_ivf_append(spark, tmp_path):
     os.unlink(lock)
 
 
+def test_writer_lock_covers_builds(spark, tmp_path):
+    """Rebuilding over a LIVE index is a write like any other: a held
+    lock refuses the build; the build releases the lock on success."""
+    path = str(tmp_path / "idx")
+    text_index_write(spark.createDataFrame(DOCS, SCHEMA), path, n_buckets=4)
+    lock = os.path.join(path, ".writer.lock")
+    assert not os.path.exists(lock)
+    with open(lock, "w") as f:
+        f.write("pid=1 op=append")
+    with pytest.raises(ValueError, match="writer"):
+        text_index_write(
+            spark.createDataFrame(DOCS, SCHEMA), path, n_buckets=4
+        )
+    os.unlink(lock)
+
+    ivf = str(tmp_path / "ivf")
+    rows = _vec_corpus(10, seed=3)
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 2)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_index_write(df, ivf, centroids=cent)
+    assert not os.path.exists(os.path.join(ivf, ".writer.lock"))
+    with open(os.path.join(ivf, ".writer.lock"), "w") as f:
+        f.write("pid=1 op=append")
+    with pytest.raises(ValueError, match="writer"):
+        ivf_index_write(df, ivf, centroids=cent)
+
+
 def test_writer_lock_released_on_failure(spark, tmp_path):
     """A failing write op (dim mismatch) must not leave a stale lock
     behind — the finally-release is part of the contract."""

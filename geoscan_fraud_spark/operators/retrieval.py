@@ -55,7 +55,11 @@ from pyspark.sql import functions as F
 
 from geoscan_fraud_spark.sources.io import (
     atomic_write_json,
+    gen_dir,
+    generation_findings,
+    index_vacuum,
     index_writer_lock,
+    list_index_generations,
     read_index_meta,
 )
 
@@ -220,12 +224,31 @@ def text_index_write(
     the per-bucket directories keep the scan bounded and the (term)
     filter inside a bucket is an ordinary pushed predicate.
 
-    Holds the `index_writer_lock` for the whole build: rebuilding over
-    a LIVE index while an append/compact runs would interleave
-    overwrite and append file sets into an inconsistent store.
+    Holds the `index_writer_lock` for the whole build. Rebuilding over
+    a LIVE index publishes a NEW GENERATION: a fresh build never
+    overwrites the directories in-flight readers resolved — it writes
+    ``postings.gN``/``terms.gN`` beside them and flips the metadata
+    pointer in one atomic commit (first build = generation 0, the bare
+    layout). Prior tombstones belong to the replaced snapshot and do
+    not carry over; stale generations remain until `text_index_vacuum`.
     """
     os.makedirs(path, exist_ok=True)
     with index_writer_lock(path, "text_index_write"):
+        prior = list_index_generations(
+            path, ["postings", "terms", "tombstones"]
+        )
+        prior_gens = [g for gs in prior.values() for g in gs]
+        try:
+            prior_gens.append(
+                int(read_index_meta(os.path.join(path, "stats.json")).get("gen", 0))
+            )
+        except (FileNotFoundError, ValueError):
+            pass  # no or torn metadata — a rebuild is exactly the cure
+        g_new = (max(prior_gens) + 1) if prior_gens else 0
+        meta_stub = {"gen": g_new}
+        postings_dir = gen_dir(path, "postings", meta_stub)
+        terms_dir = gen_dir(path, "terms", meta_stub)
+
         # src_batch stamps each posting's ingest generation (-1 =
         # build), enabling `text_index_expire`; format 2 = the column
         # is in EVERY postings file (no mixed schemas)
@@ -235,20 +258,18 @@ def text_index_write(
             .withColumn("src_batch", F.lit(-1))
         )
         postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
+            postings_dir
         )
         # df from the just-written postings: reading back costs one
         # pruned scan and guarantees terms/ agrees with postings/ even
         # if `docs` is nondeterministic upstream
-        written = postings.sparkSession.read.parquet(
-            os.path.join(path, "postings")
-        )
+        written = postings.sparkSession.read.parquet(postings_dir)
         (
             written.groupBy("bucket", "term")
             .agg(F.count(F.lit(1)).alias("df"))
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(path, "terms"))
+            .parquet(terms_dir)
         )
         n_docs, total_dl = docs.select(
             F.count(F.lit(1)),
@@ -264,6 +285,10 @@ def text_index_write(
         # identically at build and after any number of
         # `text_index_append` merges — incremental and from-scratch
         # indexes stay bit-equal
+        # the generation pointer flips HERE, in the same atomic commit
+        # as the stats — before this line the build never existed for
+        # readers; after it they resolve the new dirs (snapshot
+        # isolation — see text_index_compact)
         atomic_write_json(
             os.path.join(path, "stats.json"),
             {
@@ -273,6 +298,7 @@ def text_index_write(
                 "n_buckets": n_buckets,
                 "n_empty": int(n_docs) - int(n_posting_docs),
                 "format": 2,
+                "gen": g_new,
             },
         )
         return n_buckets
@@ -355,15 +381,18 @@ def text_index_append(
             postings = postings.withColumn("src_batch", F.lit(gen))
         postings = postings.persist()
         try:
+            # append INTO the live generation: new files beside immutable
+            # existing ones — a reader that listed earlier just doesn't
+            # see the batch yet (no in-place mutation, ever)
             postings.write.mode("append").partitionBy("bucket").parquet(
-                os.path.join(path, "postings")
+                gen_dir(path, "postings", meta)
             )
             (
                 postings.groupBy("bucket", "term")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .write.mode("append")
                 .partitionBy("bucket")
-                .parquet(os.path.join(path, "terms"))
+                .parquet(gen_dir(path, "terms", meta))
             )
             b_dl, n_posting_docs = postings.select(
                 F.coalesce(F.sum("tf"), F.lit(0)),
@@ -413,20 +442,28 @@ def text_index_delete(spark, path: str, doc_ids) -> None:
     from the stats counters. Caveat: a deleted EMPTY doc (no tokens)
     leaves no postings to measure, so its +1 in n_docs persists —
     token-free docs were never retrievable, so only idf damping at the
-    margin is affected."""
+    margin is affected.
+
+    Tombstones are generation-scoped and the delete takes the writer
+    lock: a takedown landing in a snapshot that a concurrent compaction
+    is about to replace would be silently vacuumed away with it — the
+    lock makes that a loud refusal instead (retry after maintenance)."""
     from pyspark.sql import DataFrame as _DF
 
     if not isinstance(doc_ids, _DF):
         doc_ids = spark.createDataFrame([(i,) for i in doc_ids], ["doc_id"])
     else:
         doc_ids = doc_ids.toDF("doc_id")
-    doc_ids.select("doc_id").write.mode("append").parquet(
-        os.path.join(path, "tombstones")
-    )
+    with index_writer_lock(path, "text_index_delete"):
+        meta = read_index_meta(os.path.join(path, "stats.json"))
+        doc_ids.select("doc_id").write.mode("append").parquet(
+            gen_dir(path, "tombstones", meta)
+        )
 
 
-def _anti_doc_tombstones(spark, path: str, postings: DataFrame) -> DataFrame:
-    tpath = os.path.join(path, "tombstones")
+def _anti_doc_tombstones(spark, tpath: str, postings: DataFrame) -> DataFrame:
+    """Hide tombstoned docs; ``tpath`` is the generation-resolved
+    tombstones dir (callers pass ``gen_dir(path, "tombstones", meta)``)."""
     if not os.path.isdir(tpath):
         return postings
     dead = spark.read.parquet(tpath).toDF("doc_id")
@@ -436,24 +473,35 @@ def _anti_doc_tombstones(spark, path: str, postings: DataFrame) -> DataFrame:
 def text_index_compact(spark, path: str, expire_below: int | None = None) -> int:
     """Maintenance for an appended `text_index_write` index: fold
     postings back to one file per bucket directory and collapse the
-    sum-mergeable df log to one row per (bucket, term). Single-writer,
-    rename-swap (see `compact_partitioned`). Returns the total
-    data-file count.
+    sum-mergeable df log to one row per (bucket, term). Single-writer.
+    Returns the total data-file count.
+
+    Publishes a NEW GENERATION instead of swapping in place: the folded
+    postings and rebuilt df land in ``postings.gN``/``terms.gN`` beside
+    the live dirs, and the ONE `atomic_write_json` that commits the
+    recomputed stats also flips the ``gen`` pointer — so the commit
+    point is a single atomic rename. Readers resolve their directories
+    through the metadata they load first (`gen_dir`), which makes this
+    MVCC for free: a query planned before the flip finishes against the
+    old snapshot (its files are never touched), a query starting after
+    it sees the compacted one. A crash ANYWHERE before the flip leaves
+    the live index byte-identical (the half-written new generation is
+    an unpublished orphan — fsck names it, `text_index_vacuum` removes
+    it, and a re-run simply publishes the next number). There is no
+    rows-missing window at all — strictly stronger than the previous
+    rename-swap, whose post-swap/pre-stats crash needed the idempotent
+    recompute to heal. Stale generations hold the pre-compaction
+    snapshot (and its tombstones) until `text_index_vacuum`.
 
     Doubles as the crash healer for `text_index_ingest_sink`: postings
     are deduped with full-row distinct() — a (doc_id, term) posting is
     unique per honest corpus, so identical full rows can only be a
     replayed append (bit-identical tokenization, incl. the src_batch
     stamp) and distinct() removes exactly those. The df relation is
-    then REBUILT from the deduped postings (exact per-term doc count),
-    not merged from the possibly-over-counted log — postings are the
-    ground truth. The stats.json counters are RECOMPUTED from the
-    surviving postings after the rewrite (count/sum over the distinct
-    (doc_id, dl) pairs, plus the ``n_empty`` zero-token-doc counter the
-    build/append paths maintain) — never subtracted from pre-measured
-    deltas, so a crash after the postings swap but before the stats
-    write is healed by simply re-running: the rerun measures the truth
-    on disk, not a delta that already half-applied (ADVICE r08).
+    REBUILT from the deduped postings (the ground truth), never merged
+    from the possibly-over-counted log, and the stats counters are
+    RECOMPUTED from the surviving postings (count/sum over the distinct
+    (doc_id, dl) pairs, plus the ``n_empty`` zero-token-doc counter).
 
     ``expire_below`` (format-2 indexes): also drop every doc whose
     ingest generation is below the cutoff — retention for
@@ -468,12 +516,18 @@ def text_index_compact(spark, path: str, expire_below: int | None = None) -> int
     damping at the margin is affected. Legacy indexes written before
     ``n_empty`` existed treat it as 0: their empty docs (if any) drop
     out of n_docs at first compaction."""
-    import shutil
-
-    from geoscan_fraud_spark.sources.io import compact_partitioned
-
     stats_path = os.path.join(path, "stats.json")
     with index_writer_lock(path, "text_index_compact"):
+        # refuse over a PRE-GENERATION crash's rename-swap leftovers:
+        # they may hold the only copy of data that needs manual recovery
+        for name in ("postings", "terms"):
+            for leftover in ("__compact__", "__old__"):
+                p = os.path.join(path, f"{name}.{leftover}")
+                if os.path.exists(p):
+                    raise ValueError(
+                        f"{p} exists — a pre-generation compaction crashed "
+                        f"mid-swap; recover it manually before re-running"
+                    )
         meta = read_index_meta(stats_path)
         if expire_below is not None and int(meta.get("format", 1)) < 2:
             raise ValueError(
@@ -485,50 +539,69 @@ def text_index_compact(spark, path: str, expire_below: int | None = None) -> int
             if expire_below is not None
             else F.lit(False)
         )
-        tpath = os.path.join(path, "tombstones")
+        # next generation = one past EVERYTHING on disk, so a crashed
+        # run's orphan is never half-reused
+        on_disk = list_index_generations(path, ["postings", "terms", "tombstones"])
+        g_new = (
+            max(
+                [int(meta.get("gen", 0))]
+                + [g for gs in on_disk.values() for g in gs]
+            )
+            + 1
+        )
+        new_meta = dict(meta, gen=g_new)
+        new_postings = gen_dir(path, "postings", new_meta)
+        new_terms = gen_dir(path, "terms", new_meta)
 
-        n_postings = compact_partitioned(
+        folded = _anti_doc_tombstones(
             spark,
-            os.path.join(path, "postings"),
-            ["bucket"],
-            transform=lambda d: _anti_doc_tombstones(
-                spark, path, d.distinct().filter(~expired)
-            ),
+            gen_dir(path, "tombstones", meta),
+            spark.read.parquet(gen_dir(path, "postings", meta))
+            .distinct()
+            .filter(~expired),
         )
-        n_terms = compact_partitioned(
-            spark,
-            os.path.join(path, "terms"),
-            ["bucket"],
-            # rebuilt from the just-deduped+deleted+expired postings (the
-            # ground truth), not merged from the log — heals replayed-append
-            # df over-counts and applies every removal to df in one pass
-            transform=lambda _log: (
-                spark.read.parquet(os.path.join(path, "postings"))
-                .groupBy("bucket", "term")
-                .agg(F.count(F.lit(1)).alias("df"))
-            ),
+        # hash repartition on the partition column: each bucket lands in
+        # exactly one task — one file per directory, the optimal serving
+        # layout (parquet is splittable, so no downstream fan-out cost)
+        (
+            folded.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(new_postings)
         )
-        # idempotent stats: measure the surviving postings (dl is
-        # functionally dependent on doc_id, so distinct (doc_id, dl)
-        # is one row per surviving non-empty doc) — one column-pruned
-        # scan of the just-compacted layout
+        (
+            spark.read.parquet(new_postings)
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(new_terms)
+        )
+        # stats measured from the new generation (dl is functionally
+        # dependent on doc_id, so distinct (doc_id, dl) is one row per
+        # surviving non-empty doc) — one column-pruned scan
         n_live, dl_live = (
-            spark.read.parquet(os.path.join(path, "postings"))
+            spark.read.parquet(new_postings)
             .select("doc_id", "dl")
             .distinct()
             .agg(F.count(F.lit(1)), F.coalesce(F.sum("dl"), F.lit(0)))
             .first()
         )
-        meta["n_docs"] = int(n_live) + int(meta.get("n_empty", 0))
-        meta["total_dl"] = int(dl_live)
-        meta["avgdl"] = (
-            float(meta["total_dl"]) / float(meta["n_docs"])
-            if meta["n_docs"]
+        new_meta["n_docs"] = int(n_live) + int(new_meta.get("n_empty", 0))
+        new_meta["total_dl"] = int(dl_live)
+        new_meta["avgdl"] = (
+            float(new_meta["total_dl"]) / float(new_meta["n_docs"])
+            if new_meta["n_docs"]
             else 0.0
         )
-        atomic_write_json(stats_path, meta)
-        shutil.rmtree(tpath, ignore_errors=True)
-        return n_postings + n_terms
+        # THE commit: stats + generation pointer in one atomic rename
+        atomic_write_json(stats_path, new_meta)
+        n = 0
+        for d in (new_postings, new_terms):
+            for _root, _dirs, files in os.walk(d):
+                n += sum(1 for f in files if not f.startswith(("_", ".")))
+        return n
 
 
 def text_index_expire(spark, path: str, min_src_batch: int) -> int:
@@ -539,6 +612,16 @@ def text_index_expire(spark, path: str, min_src_batch: int) -> int:
     return text_index_compact(spark, path, expire_below=min_src_batch)
 
 
+def text_index_vacuum(path: str) -> list:
+    """Remove generations the stats.json pointer no longer references —
+    stale pre-compaction snapshots (kept so in-flight readers finish
+    against complete data) and unpublished orphans from a crashed
+    maintenance run. Returns the removed directory names. Run it after
+    a grace period longer than the longest query (the Delta VACUUM
+    contract — see `sources.io.index_vacuum`)."""
+    return index_vacuum(path, "stats.json", ["postings", "terms", "tombstones"])
+
+
 def text_index_stats(spark, path: str, top_terms: int = 0) -> DataFrame:
     """Ops-side occupancy of a persisted BM25 index: per bucket,
     (bucket, n_postings, n_terms) — the lexical twin of
@@ -547,7 +630,10 @@ def text_index_stats(spark, path: str, top_terms: int = 0) -> DataFrame:
     hashes into them); ``top_terms > 0`` adds the per-bucket heaviest
     terms as a (term, df) struct array for naming the culprits. One
     column-pruned scan over the postings partitions."""
-    p = spark.read.parquet(os.path.join(path, "postings")).select("bucket", "term")
+    meta = read_index_meta(os.path.join(path, "stats.json"))
+    p = spark.read.parquet(gen_dir(path, "postings", meta)).select(
+        "bucket", "term"
+    )
     base = p.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
@@ -612,7 +698,15 @@ def text_index_fsck(spark, path: str) -> dict:
         report["findings"] = findings
         return report
 
-    p = spark.read.parquet(os.path.join(path, "postings"))
+    # generation adjudication: orphans (crashed maintenance, never
+    # published) are findings; stale pre-flip snapshots pending vacuum
+    # are normal operation and report informationally
+    gen_f, report["generations"] = generation_findings(
+        path, meta, ["postings", "terms", "tombstones"]
+    )
+    findings.extend(gen_f)
+
+    p = spark.read.parquet(gen_dir(path, "postings", meta))
     n_rows, n_distinct = p.select(
         F.count(F.lit(1)),
         F.count_distinct(*[F.col(c) for c in p.columns]),
@@ -632,7 +726,7 @@ def text_index_fsck(spark, path: str) -> dict:
     measured_dl = int(dl_live)
     report["measured"] = {"n_docs": measured_docs, "total_dl": measured_dl}
 
-    tpath = os.path.join(path, "tombstones")
+    tpath = gen_dir(path, "tombstones", meta)
     n_tomb = 0
     if os.path.isdir(tpath):
         n_tomb = spark.read.parquet(tpath).distinct().count()
@@ -652,7 +746,7 @@ def text_index_fsck(spark, path: str) -> dict:
         )
 
     df_log = (
-        spark.read.parquet(os.path.join(path, "terms"))
+        spark.read.parquet(gen_dir(path, "terms", meta))
         .agg(F.coalesce(F.sum("df"), F.lit(0)))
         .first()[0]
     )
@@ -704,15 +798,18 @@ def text_index_query(
     terms_list = sorted({t for _, t, _ in q_rows})
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms_list})
 
+    # all directories resolve through the metadata read above: the
+    # query is pinned to ONE generation even if a compaction publishes
+    # a new one mid-flight (snapshot isolation — gen_dir)
     postings = _anti_doc_tombstones(
         spark,
-        path,
-        spark.read.parquet(os.path.join(path, "postings"))
+        gen_dir(path, "tombstones", meta),
+        spark.read.parquet(gen_dir(path, "postings", meta))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms_list)),
     )
     dfreq = (
-        spark.read.parquet(os.path.join(path, "terms"))
+        spark.read.parquet(gen_dir(path, "terms", meta))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms_list))
         # terms/ is a sum-mergeable log: one row per (term, build) plus

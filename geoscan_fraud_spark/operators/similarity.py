@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from geoscan_fraud_spark.operators.dedup import cosine_expr, dot_expr, norm_expr
 from geoscan_fraud_spark.sources.io import (
     atomic_write_json,
+    gen_dir,
+    generation_findings,
+    index_vacuum,
     index_writer_lock,
+    list_index_generations,
     read_index_meta,
 )
 
@@ -669,23 +673,44 @@ def ivf_index_write(
     re-rank at query time uses dequantized vectors by default or the
     full-precision corpus if the caller passes it.
 
-    Holds the `index_writer_lock` for the whole build: rebuilding over
-    a LIVE index while an append/compact runs would interleave
-    overwrite and append file sets into an inconsistent store
-    (`ivf_index_rebuild` builds into a scratch dir, so its inner build
-    locks the scratch, not the live index it already holds)."""
+    Holds the `index_writer_lock` for the whole build. Rebuilding over
+    a LIVE index publishes a NEW GENERATION (first build = generation 0,
+    the bare ``lists/`` layout): the fresh lists land in ``lists.gN``
+    beside the dirs in-flight readers resolved, and the metadata pointer
+    flips in one atomic commit — prior tombstones belong to the replaced
+    snapshot and do not carry over; stale generations remain until
+    `ivf_index_vacuum`."""
     import os
 
     os.makedirs(path, exist_ok=True)
     with index_writer_lock(path, "ivf_index_write"):
+        prior = list_index_generations(path, ["lists", "tombstones"])
+        prior_gens = [g for gs in prior.values() for g in gs]
+        try:
+            prior_gens.append(
+                int(
+                    read_index_meta(
+                        os.path.join(path, "centroids.json")
+                    ).get("gen", 0)
+                )
+            )
+        except (FileNotFoundError, ValueError):
+            pass  # no or torn metadata — a rebuild is exactly the cure
+        g_new = (max(prior_gens) + 1) if prior_gens else 0
         return _ivf_index_write_locked(
-            corpus, path, n_centroids, emb_col, id_col, seed, centroids
+            corpus, path, n_centroids, emb_col, id_col, seed, centroids,
+            gen=g_new,
         )
 
 
 def _ivf_index_write_locked(
-    corpus, path, n_centroids, emb_col, id_col, seed, centroids
+    corpus, path, n_centroids, emb_col, id_col, seed, centroids,
+    gen=0, extra_meta=None,
 ) -> int:
+    """Core build: fit/assign, quantize, write ``lists`` at ``gen``,
+    commit metadata (with ``extra_meta`` merged — how `ivf_index_rebuild`
+    carries the stream cursor across) in one atomic flip. Caller holds
+    the writer lock."""
     import os
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
@@ -721,7 +746,7 @@ def _ivf_index_write_locked(
         keep_cols=["list_id", "src_batch"],
     )
     q8.write.mode("overwrite").partitionBy("list_id").parquet(
-        os.path.join(path, "lists")
+        gen_dir(path, "lists", {"gen": gen})
     )
     # drift baseline for `ivf_index_append`: mean squared distance of the
     # build corpus to its nearest centroid (the same `_centroid_dists`
@@ -742,7 +767,13 @@ def _ivf_index_write_locked(
         "appended_rows": 0,
         "mean_assign_dist2": float(base["mean_d2"]) if base["mean_d2"] is not None else None,
         "format": 2,
+        "gen": int(gen),
     }
+    if extra_meta:
+        meta.update(extra_meta)
+    # the generation pointer flips here, in the same atomic commit as
+    # the quantizer — before this line the build never existed for
+    # readers (snapshot isolation; see ivf_index_compact)
     atomic_write_json(os.path.join(path, "centroids.json"), meta)
     return len(cent)
 
@@ -876,8 +907,10 @@ def ivf_index_append(
             q8 = quantize_embeddings(
                 batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
             )
+            # append INTO the live generation: new files beside immutable
+            # existing ones — never an in-place mutation
             q8.write.mode("append").partitionBy("list_id").parquet(
-                os.path.join(path, "lists")
+                gen_dir(path, "lists", meta)
             )
         finally:
             assigned.unpersist()
@@ -907,6 +940,70 @@ def ivf_index_append(
         }
 
 
+def _ivf_relayout(spark, path: str, op: str, row_filter) -> int:
+    """Shared compact/expire body: publish a NEW GENERATION of the lists
+    (distinct -> ``row_filter`` -> anti-tombstones -> one file per list
+    dir) and flip the metadata pointer in one atomic commit. Readers
+    resolve their lists dir through the metadata they load first, so a
+    query planned before the flip finishes against the old snapshot —
+    its files are never touched — and a crash anywhere before the flip
+    leaves the live index byte-identical (the half-written generation
+    is an unpublished orphan: fsck names it, `ivf_index_vacuum` removes
+    it). The ``rows``/``appended_rows`` counters are RECOMPUTED from the
+    surviving rows so `ivf_index_fsck`'s drift check stays exact after
+    tombstones/expiry apply. Caller-visible contract unchanged: query
+    results identical for a pure relayout (pytest-pinned)."""
+    import os
+
+    meta_path = os.path.join(path, "centroids.json")
+    with index_writer_lock(path, op):
+        for leftover in ("__compact__", "__old__"):
+            p = os.path.join(path, f"lists.{leftover}")
+            if os.path.exists(p):
+                raise ValueError(
+                    f"{p} exists — a pre-generation compaction crashed "
+                    f"mid-swap; recover it manually before re-running"
+                )
+        meta = read_index_meta(meta_path)
+        keep = row_filter(meta)
+        on_disk = list_index_generations(path, ["lists", "tombstones"])
+        g_new = (
+            max(
+                [int(meta.get("gen", 0))]
+                + [g for gs in on_disk.values() for g in gs]
+            )
+            + 1
+        )
+        new_meta = dict(meta, gen=g_new)
+        new_lists = gen_dir(path, "lists", new_meta)
+        folded = _anti_tombstones(
+            spark,
+            gen_dir(path, "tombstones", meta),
+            spark.read.parquet(gen_dir(path, "lists", meta))
+            .distinct()
+            .filter(keep),
+            "vec_id",
+        )
+        # hash repartition on the partition column: each list lands in
+        # exactly one task — one file per directory
+        (
+            folded.repartition(F.col("list_id"))
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(new_lists)
+        )
+        new_meta["rows"] = int(
+            spark.read.parquet(new_lists).select("vec_id").count()
+        )
+        new_meta["appended_rows"] = 0
+        # THE commit: counters + generation pointer in one atomic rename
+        atomic_write_json(meta_path, new_meta)
+        n = 0
+        for _root, _dirs, files in os.walk(new_lists):
+            n += sum(1 for f in files if not f.startswith(("_", ".")))
+        return n
+
+
 def ivf_index_compact(spark, path: str) -> int:
     """Fold the small files `ivf_index_append` accretes back to one file
     per list directory (maintenance twin of the reference's OPTIMIZE,
@@ -915,26 +1012,16 @@ def ivf_index_compact(spark, path: str) -> int:
     and its meta commit replays the batch as bit-identical rows
     (deterministic assignment + quantization), so distinct() removes
     exactly the replay and can never collapse genuinely different data.
-    Tombstones (`ivf_index_delete`) are applied PHYSICALLY here and
-    cleared — after compaction the deleted rows are gone from disk, not
-    just filtered at read. Otherwise pure relayout: query results
-    unchanged (pytest-pinned)."""
-    import os
-    import shutil
-
-    from geoscan_fraud_spark.sources.io import compact_partitioned
-
-    with index_writer_lock(path, "ivf_index_compact"):
-        n = compact_partitioned(
-            spark,
-            os.path.join(path, "lists"),
-            ["list_id"],
-            transform=lambda d: _anti_tombstones(
-                spark, path, d.distinct(), "vec_id"
-            ),
-        )
-        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-        return n
+    Tombstones (`ivf_index_delete`) are applied PHYSICALLY into the new
+    generation — the compacted snapshot has the deleted rows gone from
+    disk, not just filtered at read; the old snapshot keeps serving its
+    in-flight readers (tombstone-filtered as before) until
+    `ivf_index_vacuum`. Publishes a new generation with one atomic
+    pointer flip — see `_ivf_relayout` for the crash story. Otherwise
+    pure relayout: query results unchanged (pytest-pinned)."""
+    return _ivf_relayout(
+        spark, path, "ivf_index_compact", lambda _meta: F.lit(True)
+    )
 
 
 def ivf_index_expire(spark, path: str, min_src_batch: int) -> int:
@@ -944,34 +1031,31 @@ def ivf_index_expire(spark, path: str, min_src_batch: int) -> int:
     (`sources/io.expire_index` applied to the serving store). Build-time
     rows (``src_batch = -1``) never expire: the backfill corpus is the
     quantizer's ground truth; age it out with `ivf_index_rebuild` on a
-    newer corpus instead. Runs as a compaction (rename-swap relayout,
-    also applies pending tombstones + replay dedup). Returns the
-    data-file count after."""
-    import os
-    import shutil
+    newer corpus instead. Runs as a compaction (new-generation relayout
+    + atomic pointer flip, also applies pending tombstones + replay
+    dedup — `_ivf_relayout`). Returns the data-file count after."""
 
-    from geoscan_fraud_spark.sources.io import compact_partitioned
-
-    with index_writer_lock(path, "ivf_index_expire"):
-        meta = read_index_meta(os.path.join(path, "centroids.json"))
+    def keep(meta):
         if int(meta.get("format", 1)) < 2:
             raise ValueError(
                 "ivf_index_expire needs a format-2 index (src_batch-stamped "
                 "rows); rebuild this legacy index with ivf_index_rebuild first"
             )
-        keep = (F.col("src_batch") == -1) | (
+        return (F.col("src_batch") == -1) | (
             F.col("src_batch") >= min_src_batch
         )
-        n = compact_partitioned(
-            spark,
-            os.path.join(path, "lists"),
-            ["list_id"],
-            transform=lambda d: _anti_tombstones(
-                spark, path, d.distinct().filter(keep), "vec_id"
-            ),
-        )
-        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-        return n
+
+    return _ivf_relayout(spark, path, "ivf_index_expire", keep)
+
+
+def ivf_index_vacuum(path: str) -> list:
+    """Remove generations the centroids.json pointer no longer
+    references — stale pre-maintenance snapshots (kept so in-flight
+    readers finish against complete data) and unpublished orphans from
+    a crashed run. Returns the removed directory names. Run it after a
+    grace period longer than the longest query (the Delta VACUUM
+    contract — see `sources.io.index_vacuum`)."""
+    return index_vacuum(path, "centroids.json", ["lists", "tombstones"])
 
 
 def ivf_index_rebuild(
@@ -993,10 +1077,16 @@ def ivf_index_rebuild(
     movement a rebuild exists to correct. The stream cursor
     (``last_stream_batch``) carries over so an `ann_index_ingest_sink`
     can resume against the rebuilt index without replaying committed
-    batches. Same single-writer rename-swap rules as
-    `compact_partitioned`; refuses over a previous crash's leftovers."""
+    batches.
+
+    Publishes a NEW GENERATION in place — the index path never vanishes
+    (the old whole-directory rename-swap had a window where it did, and
+    replaced centroids.json non-atomically): the re-fit lists land in
+    ``lists.gN`` beside the live ones, and the new quantizer + pointer
+    commit in one `atomic_write_json`. In-flight readers finish against
+    the old snapshot; a crash before the flip leaves the live index
+    byte-identical. Refuses over a pre-generation crash's leftovers."""
     import os
-    import shutil
 
     for leftover in ("__rebuild__", "__old__"):
         p = path.rstrip("/") + f".{leftover}"
@@ -1009,26 +1099,33 @@ def ivf_index_rebuild(
         meta = read_index_meta(os.path.join(path, "centroids.json"))
         k = n_centroids or meta["n_centroids"]
         # tombstoned vectors neither participate in the re-fit nor survive
-        # it — a rebuild is also a physical delete (the new index starts
-        # with an empty tombstone set)
+        # it — a rebuild is also a physical delete (the new generation
+        # starts with an empty tombstone set)
         vecs = dequantize_embeddings(
             _anti_tombstones(
                 spark,
-                path,
-                spark.read.parquet(os.path.join(path, "lists")),
+                gen_dir(path, "tombstones", meta),
+                spark.read.parquet(gen_dir(path, "lists", meta)),
                 "vec_id",
             )
         )
-        tmp = path.rstrip("/") + ".__rebuild__"
-        ivf_index_write(vecs, tmp, n_centroids=k, seed=seed)
-        new_meta = read_index_meta(os.path.join(tmp, "centroids.json"))
-        if "last_stream_batch" in meta:
-            new_meta["last_stream_batch"] = meta["last_stream_batch"]
-        atomic_write_json(os.path.join(tmp, "centroids.json"), new_meta)
-        old = path.rstrip("/") + ".__old__"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        on_disk = list_index_generations(path, ["lists", "tombstones"])
+        g_new = (
+            max(
+                [int(meta.get("gen", 0))]
+                + [g for gs in on_disk.values() for g in gs]
+            )
+            + 1
+        )
+        extra = (
+            {"last_stream_batch": meta["last_stream_batch"]}
+            if "last_stream_batch" in meta
+            else None
+        )
+        _ivf_index_write_locked(
+            vecs, path, k, "embedding", "vec_id", seed, None,
+            gen=g_new, extra_meta=extra,
+        )
         return k
 
 
@@ -1042,24 +1139,32 @@ def ivf_index_delete(spark, path: str, ids) -> None:
     tombstones physically during its relayout and clears them — the
     Lucene delete-then-merge lifecycle. List ids pass through with their
     own type (no int() coercion — string vec_ids are as tombstone-able
-    here as in `text_index_delete`; ADVICE r08)."""
+    here as in `text_index_delete`; ADVICE r08).
+
+    Tombstones are generation-scoped and the delete takes the writer
+    lock: a takedown landing in a snapshot that a concurrent compaction
+    is about to replace would be silently vacuumed away with it — the
+    lock makes that a loud refusal instead (retry after maintenance)."""
     import os
 
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
     else:
         ids = ids.toDF("vec_id")
-    ids.select("vec_id").write.mode("append").parquet(
-        os.path.join(path, "tombstones")
-    )
+    with index_writer_lock(path, "ivf_index_delete"):
+        meta = read_index_meta(os.path.join(path, "centroids.json"))
+        ids.select("vec_id").write.mode("append").parquet(
+            gen_dir(path, "tombstones", meta)
+        )
 
 
-def _anti_tombstones(spark, path: str, df: DataFrame, key: str) -> DataFrame:
-    """Filter rows whose ``key`` is tombstoned; no-op when no tombstone
-    dir exists (the common case pays only an os.path check)."""
+def _anti_tombstones(spark, tpath: str, df: DataFrame, key: str) -> DataFrame:
+    """Filter rows whose ``key`` is tombstoned; ``tpath`` is the
+    generation-resolved tombstones dir (callers pass
+    ``gen_dir(path, "tombstones", meta)``). No-op when no tombstone dir
+    exists (the common case pays only an os.path check)."""
     import os
 
-    tpath = os.path.join(path, "tombstones")
     if not os.path.isdir(tpath):
         return df
     dead = spark.read.parquet(tpath).toDF(key)
@@ -1076,8 +1181,9 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     over the list partitions — vec_id only, never the vectors."""
     import os
 
+    meta = read_index_meta(os.path.join(path, "centroids.json"))
     return (
-        spark.read.parquet(os.path.join(path, "lists"))
+        spark.read.parquet(gen_dir(path, "lists", meta))
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -1111,7 +1217,15 @@ def ivf_index_fsck(spark, path: str) -> dict:
         report["findings"] = findings
         return report
 
-    lists = spark.read.parquet(os.path.join(path, "lists"))
+    # generation adjudication: orphans (crashed maintenance, never
+    # published) are findings; stale pre-flip snapshots pending vacuum
+    # are normal operation and report informationally
+    gen_f, report["generations"] = generation_findings(
+        path, meta, ["lists", "tombstones"]
+    )
+    findings.extend(gen_f)
+
+    lists = spark.read.parquet(gen_dir(path, "lists", meta))
     lo = 1 if meta["one_based"] else 0
     hi = meta["n_centroids"] - (0 if meta["one_based"] else 1)
     n_rows, n_distinct, dim_min, dim_max, bad_lists = lists.select(
@@ -1143,7 +1257,7 @@ def ivf_index_fsck(spark, path: str) -> dict:
             f"corruption or files from another quantizer"
         )
 
-    tpath = os.path.join(path, "tombstones")
+    tpath = gen_dir(path, "tombstones", meta)
     if os.path.isdir(tpath):
         n_tomb = spark.read.parquet(tpath).distinct().count()
         findings.append(
@@ -1259,10 +1373,13 @@ def ivf_index_query(
         )
     )
     probe_ids = sorted({r["list_id"] for r in probes.select("list_id").distinct().collect()})
+    # directories resolve through the metadata read above: the query is
+    # pinned to ONE generation even if maintenance publishes a new one
+    # mid-flight (snapshot isolation — gen_dir)
     lists = _anti_tombstones(
         spark,
-        path,
-        spark.read.parquet(os.path.join(path, "lists")).filter(
+        gen_dir(path, "tombstones", meta),
+        spark.read.parquet(gen_dir(path, "lists", meta)).filter(
             F.col("list_id").isin(probe_ids)
         ),
         "vec_id",
@@ -1290,7 +1407,7 @@ def ivf_index_query(
         )
     else:
         full = dequantize_embeddings(
-            spark.read.parquet(os.path.join(path, "lists"))
+            spark.read.parquet(gen_dir(path, "lists", meta))
             .filter(F.col("list_id").isin(probe_ids))
         ).withColumnRenamed("embedding", "c_emb")
     rescored = shortlist.join(

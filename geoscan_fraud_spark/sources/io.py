@@ -548,8 +548,8 @@ def index_writer_lock(path: str, op: str):
         os.close(fd)
         yield
     finally:
-        # rebuild renames the whole index dir away, taking the lock file
-        # with it — missing_ok covers that (the lock is released either way)
+        # tolerate the lock file vanishing with its directory (an op
+        # that relocates the index) — the lock is released either way
         try:
             os.unlink(lock)
         except FileNotFoundError:
@@ -599,6 +599,93 @@ def index_artifact_findings(path: str, meta_name: str, data_dir: str) -> list:
                 f"mid-swap; inspect/remove before re-running"
             )
     return findings
+
+
+def gen_suffix(name: str, gen: int) -> str:
+    """On-disk name of an index data-dir family member at a generation:
+    generation 0 is the BARE name (the pre-generation layout, so every
+    index written before the pointer existed reads as gen 0 with no
+    migration), generation N > 0 is ``<name>.gN``."""
+    return name if int(gen) <= 0 else f"{name}.g{int(gen)}"
+
+
+def gen_dir(path: str, name: str, meta: dict) -> str:
+    """Resolve the data directory the index metadata currently
+    references — THE read-side contract of the generation pointer.
+    Every reader resolves its postings/terms/lists/tombstones dir
+    through the metadata it already loads first, so a maintenance op
+    that publishes a new generation (one `atomic_write_json` flip)
+    never changes the bytes under a query that resolved earlier: the
+    old snapshot stays complete on disk until `index_vacuum`."""
+    return os.path.join(path, gen_suffix(name, int(meta.get("gen", 0))))
+
+
+def list_index_generations(path: str, names: list[str]) -> dict:
+    """All on-disk generations per data-dir family (bare dir = 0).
+    Pure listdir — no Spark job."""
+    out: dict = {}
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return {n: [] for n in names}
+    for name in names:
+        gens = [0] if os.path.isdir(os.path.join(path, name)) else []
+        prefix = name + ".g"
+        for d in entries:
+            if d.startswith(prefix) and d[len(prefix):].isdigit():
+                gens.append(int(d[len(prefix):]))
+        out[name] = sorted(gens)
+    return out
+
+
+def index_vacuum(path: str, meta_name: str, names: list[str]) -> list[str]:
+    """Remove every data-dir generation the index metadata does NOT
+    reference — both STALE generations (pre-flip snapshots kept so
+    in-flight readers finish against complete data) and ORPHANS (a
+    maintenance op crashed after writing its new generation but before
+    the metadata flip, so the dir was never published). Returns the
+    removed directory names (empty = nothing to do).
+
+    The grace-period contract is the operator's (Delta VACUUM's rule):
+    run it only after every query that could have resolved an old
+    generation has finished — the pointer flip is atomic, so any query
+    STARTED after the flip is already on the live generation. Takes the
+    writer lock: racing a live compaction could delete the generation
+    it is about to publish."""
+    with index_writer_lock(path, "index_vacuum"):
+        meta = read_index_meta(os.path.join(path, meta_name))
+        cur = int(meta.get("gen", 0))
+        removed = []
+        for name, gens in list_index_generations(path, names).items():
+            for g in gens:
+                if g != cur:
+                    target = os.path.join(path, gen_suffix(name, g))
+                    shutil.rmtree(target)
+                    removed.append(os.path.basename(target))
+        return sorted(removed)
+
+
+def generation_findings(path: str, meta: dict, names: list[str]) -> tuple:
+    """Generation adjudication for the fscks: returns
+    ``(findings, generations)`` where findings flag ORPHAN generations
+    newer than the live pointer (a crashed maintenance op — harmless,
+    never published, vacuum removes) and ``generations`` reports the
+    live pointer plus any STALE ones pending vacuum (normal operation
+    between a flip and the next `index_vacuum`, NOT a health problem —
+    they are what in-flight readers finish against)."""
+    cur = int(meta.get("gen", 0))
+    gens = list_index_generations(path, names)
+    orphans = sorted({g for gs in gens.values() for g in gs if g > cur})
+    stale = sorted({g for gs in gens.values() for g in gs if g < cur})
+    findings = []
+    if orphans:
+        findings.append(
+            f"orphaned generation(s) {orphans} newer than the live "
+            f"generation {cur} — a compaction/rebuild crashed before its "
+            f"metadata flip (never published, queries unaffected); "
+            f"index_vacuum removes them"
+        )
+    return findings, {"live": cur, "stale": stale}
 
 
 def read_orc(

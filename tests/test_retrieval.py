@@ -295,8 +295,15 @@ def test_index_compact_collapses_df_log_and_preserves_results(
     fox_sum = sum(r["df"] for r in fox_rows)
 
     text_index_compact(spark, path)
+    # compaction publishes a NEW generation; the live terms dir resolves
+    # through the flipped metadata pointer
+    from geoscan_fraud_spark.sources.io import gen_dir, read_index_meta
+
+    live_terms = gen_dir(path, "terms", read_index_meta(path + "/stats.json"))
+    assert live_terms.endswith(".g1")  # the pointer really flipped
+    assert os.path.isdir(path + "/terms")  # old snapshot intact pre-vacuum
     fox2 = (
-        spark.read.parquet(path + "/terms").filter(F.col("term") == "fox")
+        spark.read.parquet(live_terms).filter(F.col("term") == "fox")
     ).collect()
     assert len(fox2) == 1 and fox2[0]["df"] == fox_sum
     after = {
@@ -430,10 +437,13 @@ def test_text_index_expire_parity_with_fresh_build(spark, docs_df, tmp_path):
         ref["total_dl"],
         ref["avgdl"],
     )
-    # build generation survived an aggressive cutoff
+    # build generation survived an aggressive cutoff (live postings
+    # resolve through the flipped pointer)
+    from geoscan_fraud_spark.sources.io import gen_dir
+
     gens = {
         r["src_batch"]
-        for r in spark.read.parquet(path + "/postings")
+        for r in spark.read.parquet(gen_dir(path, "postings", lived))
         .select("src_batch")
         .distinct()
         .collect()
@@ -482,15 +492,17 @@ def test_text_index_delete_lucene_semantics(spark, docs_df, tmp_path):
         assert score == before[key]
 
     text_index_compact(spark, path)
-    # physically gone + stats corrected
+    # physically gone from the LIVE generation + stats corrected
+    from geoscan_fraud_spark.sources.io import gen_dir
+
+    with open(path + "/stats.json") as f:
+        meta = json.load(f)
     assert (
-        spark.read.parquet(path + "/postings")
+        spark.read.parquet(gen_dir(path, "postings", meta))
         .filter(F.col("doc_id") == victim)
         .count()
         == 0
     )
-    with open(path + "/stats.json") as f:
-        meta = json.load(f)
     assert meta["n_docs"] == len(DOCS) - 1
     victim_dl = len(_py_tokens(dict(DOCS)[victim]))
     toks = [_py_tokens(t) for _, t in DOCS]

@@ -498,7 +498,10 @@ def test_ivf_index_compact_preserves_results_and_folds_files(
     }
 
     def files_per_dir():
-        lists = os.path.join(path, "lists")
+        # resolve the LIVE lists dir (compaction flips the gen pointer)
+        from geoscan_fraud_spark.sources.io import gen_dir, read_index_meta
+
+        lists = gen_dir(path, "lists", read_index_meta(path + "/centroids.json"))
         out = {}
         for d in os.listdir(lists):
             if d.startswith("list_id="):
@@ -572,7 +575,11 @@ def test_ivf_index_expire_ages_out_old_generations(spark, emb, tmp_path):
     assert gens == {-1, 1, 2}
 
     ivf_index_expire(spark, path, min_src_batch=2)
-    after = spark.read.parquet(path + "/lists")
+    from geoscan_fraud_spark.sources.io import gen_dir, read_index_meta
+
+    after = spark.read.parquet(
+        gen_dir(path, "lists", read_index_meta(path + "/centroids.json"))
+    )
     ids = {r["vec_id"] for r in after.select("vec_id").collect()}
     assert len(ids) == n + 30  # build + gen2 survive, gen1 aged out
     assert not any(1_000_000 <= i < 2_000_000 for i in ids)
@@ -682,6 +689,16 @@ def test_ivf_index_delete_tombstones_then_compact(spark, emb, tmp_path):
     assert total() == n
     ivf_index_compact(spark, path)
     assert total() == n - len(top1)
+    # the LIVE generation starts tombstone-free (the old snapshot keeps
+    # its tombstones for in-flight readers until vacuum removes both)
+    from geoscan_fraud_spark.operators.similarity import ivf_index_vacuum
+    from geoscan_fraud_spark.sources.io import gen_dir, read_index_meta
+
+    live_meta = read_index_meta(path + "/centroids.json")
+    assert not os.path.isdir(gen_dir(path, "tombstones", live_meta))
+    assert os.path.isdir(path + "/tombstones")  # old snapshot's, pre-vacuum
+    removed = ivf_index_vacuum(path)
+    assert "tombstones" in removed and "lists" in removed
     assert not os.path.isdir(path + "/tombstones")
     healed = ivf_index_query(q, path, k=5, nprobe=4).collect()
     key = lambda rows: {  # noqa: E731

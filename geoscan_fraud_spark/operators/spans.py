@@ -323,20 +323,21 @@ def migrate_span_store_origins(spark, index_path: str) -> int:
     PRECONDITION (the one thing the migration cannot check): the store
     must be CLEAN of crash artifacts when this runs — a lingering
     half-swapped duplicate would be group-summed INTO the migrated row
-    and the over-count baked in permanently. Run compact_index's manual
-    crash recovery first (the same ``__old__``/``__compact__`` leftover
-    discipline applies here and is refused below). Single-writer, like
-    every store maintenance op; rename-swap on the base dir only."""
+    and the over-count baked in permanently. `heal_pending_base` runs
+    first (it completes a crashed r09-style publish mechanically — the
+    publish dir holds every folded row, so healing cannot duplicate);
+    only a legacy pre-r09 ``__old__`` leftover still refuses for manual
+    recovery. Single-writer, like every store maintenance op; commits
+    through the same publish-then-retire sequence as `compact_index`
+    (rows never transiently missing)."""
     import os
-    import shutil
 
-    for leftover in ("__old__", "__compact__"):
-        p = index_path.rstrip("/") + f".{leftover}"
-        if os.path.exists(p):
-            raise ValueError(
-                f"{p} exists — a previous compaction crashed mid-swap; "
-                f"recover per the compact_index docstring before migrating"
-            )
+    from geoscan_fraud_spark.sources.io import (
+        _publish_folded_base,
+        heal_pending_base,
+    )
+
+    heal_pending_base(index_path)
     base = os.path.join(index_path, "batch_id=-1")
     if not os.path.isdir(base):
         raise ValueError(
@@ -371,11 +372,7 @@ def migrate_span_store_origins(spark, index_path: str) -> int:
     )
     tmp = index_path.rstrip("/") + ".__compact__"
     out.write.mode("overwrite").parquet(tmp)
-    old = index_path.rstrip("/") + ".__old__"
-    os.makedirs(old, exist_ok=True)
-    os.rename(base, os.path.join(old, "batch_id=-1"))
-    os.rename(tmp, base)
-    shutil.rmtree(old)
+    _publish_folded_base(index_path, tmp, [-1])
     return int(n_unknown)
 
 

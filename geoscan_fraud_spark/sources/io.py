@@ -705,6 +705,91 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+#: Reserved batch id for a compaction's PUBLISH directory: the folded
+#: base becomes visible here (readers' strictly-earlier ``batch_id < N``
+#: filter includes it — every negative id is earlier than every real
+#: batch) BEFORE any folded source dir is removed, so the store never
+#: transiently loses a row. -3 because -1 is the base and -2 is taken by
+#: `operators/spans.MIGRATED_ORIGIN` (a src_batch value, different
+#: column, but distinct numbers keep forensics unambiguous). The
+#: streaming sinks only ever write ids >= 0.
+PENDING_BASE_ID = -3
+
+
+def pending_base_dir(index_path: str) -> str:
+    return os.path.join(index_path, f"batch_id={PENDING_BASE_ID}")
+
+
+def heal_pending_base(index_path: str) -> bool:
+    """Complete a crashed store compaction/expiry/migration: if the
+    PUBLISH directory (``batch_id=-3``) exists, the crash happened
+    after every folded row became visible there — finishing is pure
+    bookkeeping: remove the source dirs its ``_folded.json`` manifest
+    names (their rows all live in the publish dir) and rename it into
+    place as the ``batch_id=-1`` base. Also clears a lone
+    ``<path>.__compact__`` scratch dir (never published, so the live
+    store cannot reference it) — but REFUSES while a legacy
+    ``<path>.__old__`` exists, because a pre-r09 rename-swap crash may
+    have parked the only copy of the base there (manual recovery per
+    the old compact_index contract). Returns True if anything was
+    healed. Idempotent; every store writer calls it first, so a crashed
+    maintenance run heals on the next write or maintenance op."""
+    old = index_path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        raise ValueError(
+            f"{old} exists — a pre-r09 compaction crashed mid-swap and may "
+            f"hold the only copy of the base; recover it manually (move "
+            f"missing batch_id=* dirs back) before any store write"
+        )
+    healed = False
+    pending = pending_base_dir(index_path)
+    if os.path.isdir(pending):
+        manifest = os.path.join(pending, "_folded.json")
+        try:
+            with open(manifest) as f:
+                folds = json.load(f)["folds"]
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            raise ValueError(
+                f"{pending} exists without a readable _folded.json "
+                f"({e}) — the publish rename is atomic so this should "
+                f"be impossible; inspect the store before proceeding"
+            ) from e
+        for i in folds:
+            d = os.path.join(index_path, f"batch_id={i}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.rename(pending, os.path.join(index_path, "batch_id=-1"))
+        healed = True
+    tmp = index_path.rstrip("/") + ".__compact__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # unpublished scratch — safe by construction
+        healed = True
+    return healed
+
+
+def _publish_folded_base(index_path: str, tmp: str, folds: list) -> None:
+    """The duplicates-only commit sequence shared by `compact_index`,
+    `expire_index`, and `migrate_span_store_origins`: stamp the manifest
+    into the scratch dir, rename it to the PUBLISH dir (every folded row
+    now visible twice — idempotent for the set-semantics signature
+    stores, collapsed by `operators/spans.dedup_span_store`'s
+    (gh, origin) guard for the count-summing gram store), remove the
+    folded source dirs, rename publish -> base. A crash at ANY point
+    leaves either untouched sources + unpublished scratch, or the
+    publish dir whose manifest lets `heal_pending_base` finish the job
+    mechanically — rows are never transiently missing (the old ordering
+    had a two-rename window where the base was)."""
+    with open(os.path.join(tmp, "_folded.json"), "w") as f:
+        json.dump({"folds": [int(i) for i in folds]}, f)
+    pending = pending_base_dir(index_path)
+    os.rename(tmp, pending)  # PUBLISH — duplicates only from here on
+    for i in folds:
+        d = os.path.join(index_path, f"batch_id={i}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.rename(pending, os.path.join(index_path, "batch_id=-1"))
+
+
 def compact_index(
     spark: SparkSession,
     index_path: str,
@@ -728,28 +813,24 @@ def compact_index(
     survivor. Same single-writer rule as `compact_files`: run between
     stream restarts, never under a live writer.
 
-    Crash-safety ordering (ADVICE r06): the new base is renamed INTO
-    place before the folded source dirs are moved aside. For a dedup
-    index the failure modes are asymmetric — a transient DUPLICATE
-    signature row is idempotent for `dedup_against_index` (same match
-    set), while a transiently MISSING row silently admits duplicates.
-    So the only window where rows are absent is the two back-to-back
-    renames swapping the old ``batch_id=-1`` for the new one; every
-    other intermediate state only over-counts. Manual recovery after a
-    crash: if ``<path>.__old__`` exists, any ``batch_id=*`` dirs inside
-    it that are missing from the live index should be moved back (they
-    were folded into the new base only if ``batch_id=-1`` has a newer
-    mtime); a leftover ``<path>.__compact__`` is an unreferenced
-    scratch dir and can be deleted. This function refuses to run while
-    either leftover exists."""
+    Crash-safety (r09 — publish-then-retire): for a dedup index the
+    failure modes are asymmetric — a transient DUPLICATE signature row
+    is idempotent for `dedup_against_index` (same match set; the
+    count-summing span store collapses duplicates by (gh, origin) at
+    read), while a transiently MISSING row silently admits duplicates.
+    So the fold commits through `_publish_folded_base`: the new base
+    appears as the reserved ``batch_id=-3`` PUBLISH dir (visible to
+    every reader's strictly-earlier filter) BEFORE any folded source
+    dir is removed, then renames into place — rows are never
+    transiently missing, at any crash point. A crashed run leaves
+    either unpublished scratch (auto-removed) or the publish dir with
+    its ``_folded.json`` manifest, which `heal_pending_base` — called
+    here, by `expire_index`, by the migration, and by the streaming
+    sinks at batch start — finishes mechanically. Only a legacy
+    pre-r09 ``<path>.__old__`` still demands manual recovery (it may
+    hold the only copy of the base) and is refused."""
     prefix = "batch_id="
-    for leftover in ("__old__", "__compact__"):
-        p = index_path.rstrip("/") + f".{leftover}"
-        if os.path.exists(p):
-            raise ValueError(
-                f"{p} exists — a previous compaction crashed mid-swap; "
-                f"recover per the compact_index docstring before re-running"
-            )
+    heal_pending_base(index_path)
     try:
         ids = sorted(
             int(d[len(prefix):])
@@ -803,19 +884,7 @@ def compact_index(
         folded = folded.join(F.broadcast(dead), "id", "left_anti")
     tmp = index_path.rstrip("/") + ".__compact__"
     folded.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = index_path.rstrip("/") + ".__old__"
-    os.makedirs(old, exist_ok=True)
-    base = os.path.join(index_path, f"{prefix}-1")
-    # swap the base FIRST (two atomic renames back-to-back — the only
-    # rows-missing window), THEN retire the folded dirs: from here on
-    # the index only has transient duplicates, which are idempotent
-    if -1 in fold:
-        os.rename(base, os.path.join(old, f"{prefix}-1"))
-    os.rename(tmp, base)
-    for i, d in zip(fold, fold_dirs):
-        if i != -1:
-            os.rename(d, os.path.join(old, f"{prefix}{i}"))
-    shutil.rmtree(old)
+    _publish_folded_base(index_path, tmp, fold)
     return len(fold)
 
 
@@ -878,24 +947,20 @@ def expire_index(
     with the oldest data (``-1 < min_batch_id`` always) — the
     freshness-conservative reading of "older than the horizon".
 
-    Crash-safety ordering matches `compact_index`: the filtered base is
-    written to scratch and swapped in with two renames before any batch
-    dir is deleted — for a dedup index transient duplicates are
-    idempotent, transiently missing rows are not (here rows are MEANT to
-    go missing; the swap just keeps unexpired rows always visible). The
-    replay guard is untouched: surviving partitions keep their ids, so
-    a replayed batch N still reads strictly-earlier state. Single-writer
-    rule: run between stream restarts."""
+    Crash-safety matches `compact_index` (r09 publish-then-retire): the
+    filtered base is written to scratch and committed through
+    `_publish_folded_base` — visible as the ``batch_id=-3`` publish dir
+    before the old base is removed, so UNEXPIRED rows are never
+    transiently missing (expired rows are meant to go; whole expired
+    batch dirs are simply rmtree'd, and a crash mid-delete re-runs to
+    completion). The replay guard is untouched: surviving partitions
+    keep their ids, so a replayed batch N still reads strictly-earlier
+    state. Single-writer rule: run between stream restarts; a crashed
+    run heals via `heal_pending_base` on the next store op."""
     if min_batch_id < 0:
         raise ValueError(f"min_batch_id must be >= 0, got {min_batch_id}")
     prefix = "batch_id="
-    for leftover in ("__old__", "__compact__"):
-        p = index_path.rstrip("/") + f".{leftover}"
-        if os.path.exists(p):
-            raise ValueError(
-                f"{p} exists — a previous compaction/expiry crashed "
-                f"mid-swap; recover per the compact_index docstring first"
-            )
+    heal_pending_base(index_path)
     try:
         ids = sorted(
             int(d[len(prefix):])
@@ -912,7 +977,6 @@ def expire_index(
     expire = [i for i in ids if 0 <= i < min_batch_id]
     base = os.path.join(index_path, f"{prefix}-1")
     base_rows_removed = 0
-    old = index_path.rstrip("/") + ".__old__"
 
     if -1 in ids:
         bdf = spark.read.parquet(base)
@@ -929,17 +993,10 @@ def expire_index(
         if base_rows_removed > 0:
             tmp = index_path.rstrip("/") + ".__compact__"
             keep.write.mode("overwrite").parquet(tmp)
-            os.makedirs(old, exist_ok=True)
-            os.rename(base, os.path.join(old, f"{prefix}-1"))
-            os.rename(tmp, base)
+            _publish_folded_base(index_path, tmp, [-1])
 
-    if expire:
-        os.makedirs(old, exist_ok=True)
-        for i in expire:
-            os.rename(
-                os.path.join(index_path, f"{prefix}{i}"),
-                os.path.join(old, f"{prefix}{i}"),
-            )
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    for i in expire:
+        # expired rows are MEANT to vanish; a crash mid-delete just
+        # re-runs to completion (each dir removal is independent)
+        shutil.rmtree(os.path.join(index_path, f"{prefix}{i}"))
     return {"batches_removed": len(expire), "base_rows_removed": base_rows_removed}

@@ -192,9 +192,18 @@ def incremental_ingest_sink(
     """
 
     def inner(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from pyspark.errors import AnalysisException
 
+        from geoscan_fraud_spark.sources.io import heal_pending_base
+
         spark = batch_df.sparkSession
+        # complete a crashed compaction/expiry before reading: the
+        # publish dir holds every folded row, so healing is mechanical
+        # and this sink is the store's single writer while streaming
+        if os.path.isdir(index_path):
+            heal_pending_base(index_path)
         try:
             raw = spark.read.parquet(index_path)
             # optional columns (e.g. the pre-banded 'bands' array) are
@@ -806,7 +815,14 @@ def span_ingest_sink(
 
         from pyspark.errors import AnalysisException
 
+        from geoscan_fraud_spark.sources.io import heal_pending_base
+
         spark = batch_df.sparkSession
+        # complete a crashed compaction before reading (this sink is the
+        # single writer while streaming; the publish dir holds every
+        # folded row, so healing is mechanical)
+        if os.path.isdir(index_path):
+            heal_pending_base(index_path)
         # Duplicates can ONLY exist once a compacted base (batch_id=-1)
         # is present — live batch_id=N dirs are single-writer overwrites
         # and cannot duplicate each other — so the steady pre-compaction

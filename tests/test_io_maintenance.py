@@ -136,3 +136,143 @@ def test_compact_index_preserves_streaming_dedup(spark, tmp_path):
     )
     corpus = spark.read.parquet(out_path)
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 11]
+
+
+def _sig_store(spark, tmp_path, name="pubstore", n=30, batches=3):
+    store = str(tmp_path / name)
+    rows = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7).alias("sig")
+    )
+    for b in range(batches):
+        rows.filter(F.col("doc_id") % batches == b).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch_id={b}")
+    return store
+
+
+def _crash_after_publish(spark, store, folds):
+    """Reproduce the exact crash-after-publish state: the folded rows
+    are visible in the batch_id=-3 publish dir (manifest included) while
+    every folded source dir is STILL in place — the only window the r09
+    protocol can leave behind besides unpublished scratch."""
+    import json
+
+    df = (
+        spark.read.option("basePath", store)
+        .option("mergeSchema", "true")
+        .parquet(*[f"{store}/batch_id={i}" for i in folds])
+    )
+    src = (
+        F.coalesce(F.col("src_batch"), F.col("batch_id"))
+        if "src_batch" in df.columns
+        else F.col("batch_id")
+    )
+    tmp = store + ".__compact__"
+    df.withColumn("src_batch", src).drop("batch_id").repartition(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    with open(os.path.join(tmp, "_folded.json"), "w") as f:
+        json.dump({"folds": folds}, f)
+    os.rename(tmp, f"{store}/batch_id=-3")
+
+
+def test_compact_publish_protocol_rows_never_missing(spark, tmp_path):
+    """At the crash-after-publish point every row is visible (possibly
+    twice — the idempotent direction for a dedup store); heal_pending_base
+    finishes mechanically and is idempotent; the healed store equals a
+    never-crashed compaction."""
+    from geoscan_fraud_spark.sources.io import heal_pending_base
+
+    store = _sig_store(spark, tmp_path)
+    _crash_after_publish(spark, store, [0, 1])
+
+    # window state: nothing missing — a reader's strictly-earlier filter
+    # (batch_id < 2) sees every folded doc despite the crash
+    window = spark.read.option("mergeSchema", "true").parquet(store)
+    seen = {
+        r["doc_id"]
+        for r in window.filter(F.col("batch_id") < 2)
+        .select("doc_id")
+        .collect()
+    }
+    assert seen == {i for i in range(30) if i % 3 != 2}  # dup-tolerant set
+
+    assert heal_pending_base(store) is True
+    assert heal_pending_base(store) is False  # idempotent
+    after = spark.read.option("mergeSchema", "true").parquet(store)
+    assert after.count() == 30  # duplicates resolved, nothing lost
+    assert sorted(
+        r["batch_id"] for r in after.select("batch_id").distinct().collect()
+    ) == [-1, 2]
+    # origins preserved through the healed fold
+    base = spark.read.parquet(f"{store}/batch_id=-1")
+    assert sorted(
+        r["src_batch"] for r in base.select("src_batch").distinct().collect()
+    ) == [0, 1]
+    # the next compaction runs clean on top
+    assert compact_index(spark, store, keep_last=0) == 2
+
+
+def test_compact_and_expire_heal_pending_state_themselves(spark, tmp_path):
+    """Every maintenance entry point self-heals a crashed publish before
+    doing its own work; a publish dir without its manifest refuses."""
+    from geoscan_fraud_spark.sources.io import expire_index
+
+    store = _sig_store(spark, tmp_path)
+    _crash_after_publish(spark, store, [0, 1])
+    res = expire_index(spark, store, min_batch_id=1)
+    # heal folded batches 0+1 into the base first, THEN expiry aged out
+    # the base rows from batch 0 and no whole batch dirs (2 survives)
+    assert res["batches_removed"] == 0 and res["base_rows_removed"] == 10
+    after = spark.read.option("mergeSchema", "true").parquet(store)
+    assert after.count() == 20
+
+    store2 = _sig_store(spark, tmp_path, name="pub2")
+    os.makedirs(f"{store2}/batch_id=-3")  # publish dir, no manifest
+    with pytest.raises(ValueError, match="_folded.json"):
+        compact_index(spark, store2)
+
+
+def test_span_sink_heals_crashed_compaction_on_restart(spark, tmp_path):
+    """A stream restarting over a crashed store compaction heals it in
+    the first micro-batch and produces the same output as a stream that
+    never saw a crash (rows in the window are duplicated, and the
+    (gh, origin) read guard already collapses them)."""
+    from geoscan_fraud_spark.streaming.scoring import span_ingest_sink
+
+    docs0 = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    docs1 = spark.createDataFrame(
+        [(2, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    base_args = dict(min_len=5, min_count=1)
+
+    crashed = {
+        "out": str(tmp_path / "c_out"),
+        "idx": str(tmp_path / "c_idx"),
+    }
+    clean = {"out": str(tmp_path / "k_out"), "idx": str(tmp_path / "k_idx")}
+    for p in (crashed, clean):
+        sink = span_ingest_sink(p["idx"], p["out"], **base_args)
+        sink(docs0, 0)
+
+    # crash a compaction of batch 0 on one store only
+    _crash_after_publish(spark, crashed["idx"], [0])
+    sink_c = span_ingest_sink(crashed["idx"], crashed["out"], **base_args)
+    sink_k = span_ingest_sink(clean["idx"], clean["out"], **base_args)
+    sink_c(docs1, 1)
+    sink_k(docs1, 1)
+
+    assert not os.path.isdir(f"{crashed['idx']}/batch_id=-3")  # healed
+    assert os.path.isdir(f"{crashed['idx']}/batch_id=-1")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(crashed["out"]).collect()
+    }
+    want = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(clean["out"]).collect()
+    }
+    assert got == want and 2 in got  # doc 2's repeated span removed same way

@@ -106,6 +106,9 @@ def test_pipeline_sig_text_collision_raises(spark):
 
 
 def test_compact_index_refuses_leftover_swap_dirs(spark, tmp_path):
+    """A legacy pre-r09 `__old__` leftover may hold the only copy of the
+    base and still demands manual recovery (refused); a lone
+    `__compact__` is unpublished scratch and is auto-cleaned (r09)."""
     store = str(tmp_path / "sigstore")
     rows = spark.range(20).select(
         F.col("id").alias("doc_id"), (F.col("id") * 7).alias("sig")
@@ -119,10 +122,8 @@ def test_compact_index_refuses_leftover_swap_dirs(spark, tmp_path):
         compact_index(spark, store)
     os.rmdir(store + ".__old__")
     os.makedirs(store + ".__compact__")
-    with pytest.raises(ValueError, match="crashed mid-swap"):
-        compact_index(spark, store)
-    os.rmdir(store + ".__compact__")
-    assert compact_index(spark, store) == 2  # recovers once clean
+    assert compact_index(spark, store) == 2  # scratch auto-cleaned, runs
+    assert not os.path.exists(store + ".__compact__")
 
 
 def test_lang_id_detects_non_latin_scripts(spark):

@@ -1682,19 +1682,21 @@ _BM25_QUERIES = [
 ]
 
 
-def _bm25_cte(qsrc: str, k: int = 10) -> str:
+def _bm25_cte(qsrc: str, k: int = 10, docs_src: str = "documents") -> str:
     """CTE chain `bq -> ... -> lex(query_id, doc_id, score, rank)`:
     the full Lucene/Robertson BM25 (+1 idf floor, k1=1.2, b=0.75)
     replayed relationally. Every float subexpression is forced DOUBLE
     (DuckDB parses bare decimal literals as DECIMAL, whose arithmetic
     would diverge from Spark's IEEE doubles); association order copies
     `retrieval._bm25_rank` exactly; scores ROUND(6) BEFORE the rank so
-    the top-k replays bit-stably (the module's published convention)."""
+    the top-k replays bit-stably (the module's published convention).
+    ``docs_src`` swaps the corpus relation — how the lifecycle oracle
+    scores against the post-takedown survivor set."""
     dtok = _SEARCH_TOK_SQL.format(c="text")
     qtok = _SEARCH_TOK_SQL.format(c="query")
     return f"""
     bq AS ({qsrc}),
-    dtok AS (SELECT doc_id, {dtok} AS tok FROM documents),
+    dtok AS (SELECT doc_id, {dtok} AS tok FROM {docs_src}),
     dd AS (SELECT doc_id, CAST(len(tok) AS INTEGER) AS dl, tok FROM dtok),
     st AS (SELECT count(*) AS n_docs,
                   COALESCE(avg(CAST(dl AS DOUBLE)), 0.0::DOUBLE) AS avgdl
@@ -1760,22 +1762,38 @@ def bm25_search(spark, sf_dir):
     )
 
 
-@register("bm25_incremental_query", sql=_bm25_oracle())
+def _bm25_survivors_oracle() -> str:
+    vals = ",\n      ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    qsrc = f"SELECT * FROM (VALUES\n      {vals}) AS v(query_id, query)"
+    survivors = "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"
+    return f"""
+    WITH {_bm25_cte(qsrc, docs_src=survivors)}
+    SELECT query_id, doc_id, score, rank FROM lex
+    """
+
+
+@register("bm25_incremental_query", sql=_bm25_survivors_oracle())
 def bm25_incremental_query(spark, sf_dir):
-    """Serving-path BM25 over an INCREMENTALLY-GROWN persisted index
-    (r09 rotation — puts the r08 append lifecycle under the driver's
-    hash gate, not just pytest): build `text_index_write` over the even
-    doc_ids, `text_index_append` the odd half, then `text_index_query`
-    with the standard query set. The oracle is the ONE-SHOT BM25 SQL
-    over the full corpus — hash-equality certifies the append contract
-    end-to-end: integer (n_docs, total_dl) counter merges, the
-    sum-mergeable per-term df log, and bucket-pruned serving must
-    reproduce a from-scratch build BIT-EXACTLY (scores round to 6dp
-    pre-rank on both sides)."""
+    """Serving-path BM25 over the FULL index lifecycle (r09 rotation,
+    widened this round to gate the MVCC machinery too): build
+    `text_index_write` over the even doc_ids, `text_index_append` the
+    odd half, tombstone every ``doc_id % 7 == 3`` (`text_index_delete`),
+    `text_index_compact` — which applies the tombstones physically,
+    rebuilds the df log from ground truth, recomputes the stats, and
+    publishes it all as a NEW generation with one atomic pointer flip —
+    then `text_index_query`. The oracle is the ONE-SHOT BM25 SQL over
+    the SURVIVOR corpus — hash-equality certifies end-to-end: the
+    integer (n_docs, total_dl) counter merges of the append, the
+    sum-mergeable df log, the takedown + compaction stats recompute,
+    generation-resolved serving, and bucket pruning must together
+    reproduce a from-scratch build over the post-delete corpus
+    BIT-EXACTLY (scores round to 6dp pre-rank on both sides)."""
     import tempfile
 
     from geoscan_fraud_spark.operators.retrieval import (
         text_index_append,
+        text_index_compact,
+        text_index_delete,
         text_index_query,
         text_index_write,
     )
@@ -1784,6 +1802,10 @@ def bm25_incremental_query(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="bm25_inc_entry_") + "/idx"
     text_index_write(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=32)
     text_index_append(docs.filter(F.col("doc_id") % 2 == 1), path)
+    text_index_delete(
+        spark, path, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    text_index_compact(spark, path)
     return text_index_query(spark, path, _BM25_QUERIES, k=10).withColumn(
         "rank", F.col("rank").cast("long")
     )

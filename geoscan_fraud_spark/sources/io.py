@@ -920,6 +920,157 @@ def store_tombstones(spark: SparkSession, index_path: str, id_col: str = "id"):
     return spark.read.parquet(tpath).toDF(id_col)
 
 
+def store_fsck(
+    spark: SparkSession,
+    index_path: str,
+    compact_after: int = 64,
+) -> dict:
+    """Ops doctor for an incremental-dedup store (the `batch_id=N`
+    layout the streaming sinks write) — the third fsck, completing the
+    symmetry with `text_index_fsck` / `ivf_index_fsck`. Read-only;
+    returns ``{"status": "ok" | "attention", "findings": [...],
+    "measured": {...}}``. Checks, cheapest first:
+
+    * crash artifacts: a legacy pre-r09 ``__old__`` (may hold the only
+      copy of the base — manual recovery), a pending ``batch_id=-3``
+      publish dir (a crashed publish-then-retire run — healed by the
+      next store write or `heal_pending_base`; rows are duplicated,
+      never missing), a lone ``__compact__`` scratch (auto-cleaned by
+      the next writer);
+    * layout pressure: live ``batch_id=N`` dir count vs
+      ``compact_after`` — the sink pays per-partition listing + footer
+      costs on every batch, so an unbounded dir count is the store's
+      scale failure mode (run `compact_index`);
+    * pending forget tombstones (hidden at read; applied physically at
+      the next fold);
+    * duplicate rows pending heal: full-row duplicates for a signature
+      store ('id' column), duplicate (gh, origin) keys for the
+      count-summing span store ('gh' column) — either means a crashed
+      publish is mid-heal (collapsed at read, removed by compaction);
+    * provenance-free base rows (``src_batch`` -1/NULL/absent): the
+      base cannot be aged by `expire_index` until
+      `migrate_span_store_origins` (span stores) or a rebuild restores
+      origins.
+
+    A couple of column-pruned aggregates over the store; run at
+    maintenance cadence, not per batch."""
+    findings: list = []
+    report: dict = {"measured": {}}
+    prefix = "batch_id="
+
+    old = index_path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        findings.append(
+            f"{os.path.basename(old)} leftover — a pre-r09 compaction "
+            f"crashed mid-swap and may hold the only copy of the base; "
+            f"recover manually before any store write"
+        )
+    if os.path.isdir(pending_base_dir(index_path)):
+        findings.append(
+            "batch_id=-3 publish dir pending — a compaction/expiry "
+            "crashed after publishing (rows duplicated, never missing); "
+            "heal_pending_base or any store write finishes it"
+        )
+    if os.path.exists(index_path.rstrip("/") + ".__compact__"):
+        findings.append(
+            ".__compact__ scratch leftover — unpublished, auto-cleaned "
+            "by the next store write"
+        )
+
+    try:
+        ids = sorted(
+            int(d[len(prefix):])
+            for d in os.listdir(index_path)
+            if d.startswith(prefix)
+        )
+    except FileNotFoundError:
+        raise ValueError(f"{index_path} does not exist")
+    live = [i for i in ids if i >= 0]
+    report["measured"]["batch_dirs"] = len(live)
+    report["measured"]["has_base"] = -1 in ids
+    if len(live) > compact_after:
+        findings.append(
+            f"{len(live)} live batch_id dirs (> {compact_after}) — every "
+            f"sink batch pays their listing/footer costs; run compact_index"
+        )
+
+    dead = store_tombstones(spark, index_path)
+    if dead is not None:
+        n_tomb = dead.distinct().count()
+        report["measured"]["pending_forgets"] = n_tomb
+        findings.append(
+            f"{n_tomb} pending forget tombstones (hidden at read; applied "
+            f"physically at the next compact_index fold)"
+        )
+
+    if ids:
+        df = spark.read.option("mergeSchema", "true").parquet(index_path)
+        cols = set(df.columns)
+        # a crash copy differs from its original only in LAYOUT columns
+        # (batch_id=-3 vs the live dir; src_batch materialized vs
+        # inherited), so duplicate detection compares payload identity
+        # plus the coalesced ORIGIN — the same identity the read guards
+        # and the fold use
+        origin = (
+            F.coalesce(F.col("src_batch"), F.col("batch_id"))
+            if "src_batch" in cols
+            else F.col("batch_id")
+        )
+        payload = [
+            F.col(c) for c in df.columns if c not in ("batch_id", "src_batch")
+        ]
+        if "gh" in cols:
+            n_rows, n_keys = df.select(
+                F.count(F.lit(1)),
+                F.count_distinct(F.col("gh"), origin),
+            ).first()
+            report["measured"]["rows"] = int(n_rows)
+            if n_rows != n_keys:
+                findings.append(
+                    f"{n_rows - n_keys} duplicate (gh, origin) rows "
+                    f"(crash-window publish — collapsed by the "
+                    f"dedup_span_store read guard); compact_index removes "
+                    f"them physically"
+                )
+        else:
+            n_rows, n_distinct = df.select(
+                F.count(F.lit(1)),
+                F.count_distinct(*payload, origin),
+            ).first()
+            report["measured"]["rows"] = int(n_rows)
+            if n_rows != n_distinct:
+                findings.append(
+                    f"{n_rows - n_distinct} duplicate signature rows "
+                    f"(crash-window publish pending heal — idempotent for "
+                    f"dedup); compact_index removes them"
+                )
+        if -1 in ids:
+            base = spark.read.parquet(
+                os.path.join(index_path, f"{prefix}-1")
+            )
+            if "src_batch" not in base.columns:
+                findings.append(
+                    "base has no src_batch column (pre-r07 compaction) — "
+                    "expire_index will refuse; rebuild the store or "
+                    "migrate to restore provenance"
+                )
+            else:
+                n_unknown = base.filter(
+                    F.col("src_batch").isNull() | (F.col("src_batch") == -1)
+                ).count()
+                if n_unknown:
+                    findings.append(
+                        f"{n_unknown} provenance-free base rows "
+                        f"(src_batch -1/NULL) — not crash-dedupable and "
+                        f"never expire; migrate_span_store_origins (span "
+                        f"stores) restores both"
+                    )
+
+    report["status"] = "ok" if not findings else "attention"
+    report["findings"] = findings
+    return report
+
+
 def expire_index(
     spark: SparkSession,
     index_path: str,

@@ -276,3 +276,86 @@ def test_span_sink_heals_crashed_compaction_on_restart(spark, tmp_path):
         for r in spark.read.parquet(clean["out"]).collect()
     }
     assert got == want and 2 in got  # doc 2's repeated span removed same way
+
+
+def test_store_fsck_clean_and_each_finding_surfaces(spark, tmp_path):
+    """The incremental-store ops doctor: a healthy store reports ok;
+    pending publish, forget tombstones, crash duplicates, dir pressure,
+    and provenance-free base rows each surface; compaction + heal
+    return the report to clean."""
+    from geoscan_fraud_spark.sources.io import (
+        forget_ids,
+        heal_pending_base,
+        store_fsck,
+    )
+
+    store = _sig_store(spark, tmp_path, name="fsck_store")
+    rep = store_fsck(spark, store)
+    assert rep["status"] == "ok" and rep["findings"] == []
+    assert rep["measured"] == {"batch_dirs": 3, "has_base": False, "rows": 30}
+
+    # dir pressure
+    rep = store_fsck(spark, store, compact_after=2)
+    assert rep["status"] == "attention"
+    assert any("compact_index" in f for f in rep["findings"])
+
+    # pending forgets
+    forget_ids(spark, store, [0, 3])
+    rep = store_fsck(spark, store)
+    assert any("forget tombstones" in f for f in rep["findings"])
+    assert rep["measured"]["pending_forgets"] == 2
+
+    # crashed publish: pending dir + duplicate rows both surface
+    _crash_after_publish(spark, store, [0, 1])
+    rep = store_fsck(spark, store)
+    text = " ".join(rep["findings"])
+    assert "publish dir pending" in text
+    assert "duplicate signature rows" in text
+
+    heal_pending_base(store)
+    compact_index(spark, store, keep_last=0)
+    rep = store_fsck(spark, store)
+    assert rep["measured"]["has_base"] is True
+    assert not any("duplicate" in f for f in rep["findings"])
+    assert not any("publish dir" in f for f in rep["findings"])
+
+
+def test_store_fsck_span_store_and_legacy_base(spark, tmp_path):
+    """Span-store shape: duplicate (gh, origin) keys surface; a base
+    without src_batch reports the expire refusal; provenance-free rows
+    point at the migration."""
+    import json
+
+    from geoscan_fraud_spark.operators.spans import span_gram_index
+    from geoscan_fraud_spark.sources.io import store_fsck
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    rows = span_gram_index(docs, min_len=5)
+    store = str(tmp_path / "span_store")
+    rows.write.parquet(f"{store}/batch_id=0")
+    rep = store_fsck(spark, store)
+    assert rep["status"] == "ok"
+
+    # crash shape: same rows live AND folded with the same origin
+    rows.withColumn("src_batch", F.lit(0)).write.parquet(
+        f"{store}/batch_id=-1"
+    )
+    rep = store_fsck(spark, store)
+    assert any("duplicate (gh, origin)" in f for f in rep["findings"])
+
+    # provenance-free base rows -> migration hint
+    store2 = str(tmp_path / "span2")
+    rows.withColumn("src_batch", F.lit(-1)).write.parquet(
+        f"{store2}/batch_id=-1"
+    )
+    rep = store_fsck(spark, store2)
+    assert any("migrate_span_store_origins" in f for f in rep["findings"])
+
+    # pre-r07 base without the column -> expire refusal hint
+    store3 = str(tmp_path / "span3")
+    rows.write.parquet(f"{store3}/batch_id=-1")
+    rep = store_fsck(spark, store3)
+    assert any("expire_index will refuse" in f for f in rep["findings"])

@@ -238,10 +238,20 @@ def text_index_write(
             path, ["postings", "terms", "tombstones"]
         )
         prior_gens = [g for gs in prior.values() for g in gs]
+        cursor = None
         try:
-            prior_gens.append(
-                int(read_index_meta(os.path.join(path, "stats.json")).get("gen", 0))
-            )
+            prior_meta = read_index_meta(os.path.join(path, "stats.json"))
+            prior_gens.append(int(prior_meta.get("gen", 0)))
+            # a rebuild over a streaming-fed index must carry the stream
+            # cursor (like ivf_index_rebuild): dropping it would let a
+            # crash-window replay of an already-committed batch pass the
+            # replay guard and double-count counters with postings that
+            # no compaction can heal (their src_batch differs from the
+            # build's -1). The rebuild corpus is the caller's truth —
+            # by the rebuild-over-live contract it contains every
+            # committed batch, so skipping their replays is correct.
+            if "last_stream_batch" in prior_meta:
+                cursor = int(prior_meta["last_stream_batch"])
         except (FileNotFoundError, ValueError):
             pass  # no or torn metadata — a rebuild is exactly the cure
         g_new = (max(prior_gens) + 1) if prior_gens else 0
@@ -289,18 +299,18 @@ def text_index_write(
         # as the stats — before this line the build never existed for
         # readers; after it they resolve the new dirs (snapshot
         # isolation — see text_index_compact)
-        atomic_write_json(
-            os.path.join(path, "stats.json"),
-            {
-                "n_docs": int(n_docs),
-                "total_dl": int(total_dl),
-                "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
-                "n_buckets": n_buckets,
-                "n_empty": int(n_docs) - int(n_posting_docs),
-                "format": 2,
-                "gen": g_new,
-            },
-        )
+        stats = {
+            "n_docs": int(n_docs),
+            "total_dl": int(total_dl),
+            "avgdl": (float(total_dl) / float(n_docs)) if n_docs else 0.0,
+            "n_buckets": n_buckets,
+            "n_empty": int(n_docs) - int(n_posting_docs),
+            "format": 2,
+            "gen": g_new,
+        }
+        if cursor is not None:
+            stats["last_stream_batch"] = cursor
+        atomic_write_json(os.path.join(path, "stats.json"), stats)
         return n_buckets
 
 
@@ -687,7 +697,7 @@ def text_index_fsck(spark, path: str) -> dict:
     run it at maintenance cadence, not per query."""
     from geoscan_fraud_spark.sources.io import index_artifact_findings
 
-    findings = index_artifact_findings(path, "stats.json", "postings")
+    findings = index_artifact_findings(path, "stats.json", ["postings", "terms"])
     report: dict = {"meta": None, "measured": {}}
     try:
         meta = read_index_meta(os.path.join(path, "stats.json"))

@@ -686,20 +686,25 @@ def ivf_index_write(
     with index_writer_lock(path, "ivf_index_write"):
         prior = list_index_generations(path, ["lists", "tombstones"])
         prior_gens = [g for gs in prior.values() for g in gs]
+        extra = None
         try:
-            prior_gens.append(
-                int(
-                    read_index_meta(
-                        os.path.join(path, "centroids.json")
-                    ).get("gen", 0)
-                )
-            )
+            prior_meta = read_index_meta(os.path.join(path, "centroids.json"))
+            prior_gens.append(int(prior_meta.get("gen", 0)))
+            # carry the stream cursor through a rebuild-over-live (the
+            # ivf_index_rebuild contract): dropping it would let a
+            # crash-window replay of a committed batch re-append and
+            # double-count — the rebuild corpus contains every committed
+            # batch by the rebuild-over-live contract
+            if "last_stream_batch" in prior_meta:
+                extra = {
+                    "last_stream_batch": int(prior_meta["last_stream_batch"])
+                }
         except (FileNotFoundError, ValueError):
             pass  # no or torn metadata — a rebuild is exactly the cure
         g_new = (max(prior_gens) + 1) if prior_gens else 0
         return _ivf_index_write_locked(
             corpus, path, n_centroids, emb_col, id_col, seed, centroids,
-            gen=g_new,
+            gen=g_new, extra_meta=extra,
         )
 
 

@@ -280,6 +280,23 @@ def dedup_span_store(raw: DataFrame) -> DataFrame:
     ``MIGRATED_ORIGIN`` rows. One extra store-sized (never
     corpus-sized) shuffle on the gram hash."""
     cols = set(raw.columns)
+    if "batch_id" in cols:
+        # a crashed publish-then-retire compaction (sources/io) can show
+        # BOTH the old base (batch_id=-1) and the publish dir
+        # (batch_id=-3), and the publish dir is a SUPERSET of the folded
+        # base by construction — so when pending rows are present the
+        # base rows are dropped wholesale. This covers the one shape the
+        # (gh, origin) dedup below cannot: provenance-free base rows
+        # (src_batch=-1) duplicated into the publish dir, which would
+        # otherwise 2x their counts (over-removal). One extra
+        # column-pruned aggregate over the signature-sized store,
+        # broadcast as a lazy scalar.
+        pending = raw.agg(
+            F.max((F.col("batch_id") == -3).cast("int")).alias("__pending")
+        )
+        raw = raw.crossJoin(F.broadcast(pending)).filter(
+            ~((F.col("batch_id") == -1) & (F.col("__pending") == 1))
+        )
     if "src_batch" in cols and "batch_id" in cols:
         origin = F.coalesce(F.col("src_batch"), F.col("batch_id"))
     elif "batch_id" in cols:

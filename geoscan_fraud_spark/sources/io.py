@@ -511,6 +511,40 @@ def read_index_meta(path: str) -> dict:
         ) from e
 
 
+def _try_steal_stale_lock(lock: str, holder: str) -> bool:
+    """Reclaim a lock whose recorded holder provably crashed: only when
+    the holder's hostname matches THIS host (cross-host liveness is
+    unknowable from here) and its pid no longer exists. The claim is an
+    atomic `os.rename` of the lock file — two racing stealers cannot
+    both win it, and the loser falls back to the refusal path (it then
+    sees the winner's fresh, live lock). Returns True if stolen."""
+    import socket
+
+    fields = dict(
+        kv.split("=", 1) for kv in holder.split() if "=" in kv
+    )
+    if fields.get("host") != socket.gethostname():
+        return False
+    try:
+        pid = int(fields.get("pid", ""))
+    except ValueError:
+        return False
+    try:
+        os.kill(pid, 0)
+        return False  # holder is alive
+    except ProcessLookupError:
+        pass  # provably dead on this host — stale
+    except PermissionError:
+        return False  # alive under another uid
+    claim = f"{lock}.stale-{os.getpid()}"
+    try:
+        os.rename(lock, claim)  # atomic: exactly one stealer wins
+    except (FileNotFoundError, OSError):
+        return False
+    os.unlink(claim)
+    return True
+
+
 @contextlib.contextmanager
 def index_writer_lock(path: str, op: str):
     """Mutual exclusion for serving-index WRITERS (append / compact /
@@ -522,29 +556,40 @@ def index_writer_lock(path: str, op: str):
     queries are read-only and see either pre- or post-commit metadata
     (atomic_write_json guarantees it is never torn).
 
-    A crash while holding the lock leaves it behind; the error message
-    names the holder (pid + op) so a stale lock is easy to adjudicate
-    and remove. That is the deliberate trade: serving-index maintenance
-    is a scheduled single-writer activity (the `compact_files` rule),
-    so a loud refusal beats a heuristic auto-steal that could break
-    true mutual exclusion."""
+    A crash while holding the lock leaves it behind. Because the
+    per-batch streaming appends also lock, a stale lock must not turn a
+    routine driver crash into a manual-intervention outage: when the
+    recorded holder is on THIS host and its pid provably no longer
+    exists, the lock is auto-reclaimed (atomic rename claim — two
+    racing stealers cannot both win). A holder on another host, alive,
+    or unparseable still refuses loudly with the holder named — the
+    conservative default, since cross-host liveness is unknowable from
+    a lock file."""
     lock = os.path.join(path, ".writer.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    import socket
+
+    me = f"pid={os.getpid()} host={socket.gethostname()} op={op}"
+    for attempt in (0, 1):
         try:
-            with open(lock) as f:
-                holder = f.read().strip()
-        except OSError:
-            holder = "unknown"
-        raise ValueError(
-            f"{lock} exists (held by {holder or 'unknown'}) — another writer "
-            f"is active on this index, or a previous writer crashed without "
-            f"releasing it; verify no writer is running, then remove the "
-            f"lock file and retry ({op} refused)"
-        ) from None
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = f.read().strip()
+            except OSError:
+                holder = ""
+            if attempt == 0 and holder and _try_steal_stale_lock(lock, holder):
+                continue  # reclaimed a dead same-host holder; retry once
+            raise ValueError(
+                f"{lock} exists (held by {holder or 'unknown'}) — another "
+                f"writer is active on this index, or a writer on another "
+                f"host crashed without releasing it; verify no writer is "
+                f"running, then remove the lock file and retry ({op} "
+                f"refused)"
+            ) from None
     try:
-        os.write(fd, f"pid={os.getpid()} op={op}".encode())
+        os.write(fd, me.encode())
         os.close(fd)
         yield
     finally:
@@ -556,14 +601,20 @@ def index_writer_lock(path: str, op: str):
             pass
 
 
-def index_artifact_findings(path: str, meta_name: str, data_dir: str) -> list:
+def index_artifact_findings(path: str, meta_name: str, data_dirs) -> list:
     """Shared filesystem-level health sweep for a persisted serving
     index (`text_index_fsck` / `ivf_index_fsck` front half): stale
     writer lock, orphaned metadata ``.tmp`` (a crash between tmp-write
     and replace — the LIVE metadata is intact, the tmp is garbage),
-    crashed-swap leftovers from compaction/rebuild. Returns a list of
-    human-readable findings (empty = clean). Pure os-walk — no Spark
-    job."""
+    crashed-swap leftovers from compaction/rebuild — swept for EVERY
+    data-dir family the index owns (``data_dirs`` is a name or a list:
+    a text index's crashed pre-generation compaction could leave
+    ``terms.__old__`` with ``postings`` clean, and the doctor must not
+    green-light an index whose maintenance path is blocked). Returns a
+    list of human-readable findings (empty = clean). Pure os-walk — no
+    Spark job."""
+    if isinstance(data_dirs, str):
+        data_dirs = [data_dirs]
     findings = []
     lock = os.path.join(path, ".writer.lock")
     if os.path.exists(lock):
@@ -582,15 +633,16 @@ def index_artifact_findings(path: str, meta_name: str, data_dir: str) -> list:
             f"{meta_name}.tmp leftover — a metadata commit crashed "
             f"before replace; live metadata is intact, delete the tmp"
         )
-    dpath = os.path.join(path, data_dir)
-    for leftover in ("__compact__", "__old__"):
-        p = dpath.rstrip("/") + f".{leftover}"
-        if os.path.exists(p):
-            findings.append(
-                f"{os.path.basename(p)} leftover — a compaction crashed "
-                f"mid-swap; recover per compact_partitioned before the "
-                f"next maintenance run"
-            )
+    for data_dir in data_dirs:
+        dpath = os.path.join(path, data_dir)
+        for leftover in ("__compact__", "__old__"):
+            p = dpath.rstrip("/") + f".{leftover}"
+            if os.path.exists(p):
+                findings.append(
+                    f"{os.path.basename(p)} leftover — a compaction crashed "
+                    f"mid-swap; recover per compact_partitioned before the "
+                    f"next maintenance run"
+                )
     for leftover in ("__rebuild__", "__old__"):
         p = path.rstrip("/") + f".{leftover}"
         if os.path.exists(p):
@@ -781,6 +833,9 @@ def _publish_folded_base(index_path: str, tmp: str, folds: list) -> None:
     had a two-rename window where the base was)."""
     with open(os.path.join(tmp, "_folded.json"), "w") as f:
         json.dump({"folds": [int(i) for i in folds]}, f)
+        f.flush()
+        os.fsync(f.fileno())  # the publish rename must never outrun the
+        # manifest's data blocks — heal_pending_base depends on reading it
     pending = pending_base_dir(index_path)
     os.rename(tmp, pending)  # PUBLISH — duplicates only from here on
     for i in folds:
@@ -1033,9 +1088,14 @@ def store_fsck(
                     f"them physically"
                 )
         else:
+            # identity wrapped in ONE struct: count(DISTINCT c1..cn)
+            # skips rows where ANY expression is NULL, and mixed-schema
+            # stores legitimately carry NULLs (optional columns like
+            # 'bands' on pre-upgrade rows) — a struct is never NULL, so
+            # every row counts
             n_rows, n_distinct = df.select(
                 F.count(F.lit(1)),
-                F.count_distinct(*payload, origin),
+                F.count_distinct(F.struct(*payload, origin.alias("__o"))),
             ).first()
             report["measured"]["rows"] = int(n_rows)
             if n_rows != n_distinct:

@@ -308,3 +308,101 @@ def test_delete_takes_the_writer_lock(spark, tmp_path):
         f.write("pid=1 op=compact")
     with pytest.raises(ValueError, match="writer"):
         ivf_index_delete(spark, ivf, [1])
+
+
+def test_rebuild_over_live_carries_stream_cursor(spark, tmp_path):
+    """A full rebuild (text_index_write / ivf_index_write over a live
+    index) must carry last_stream_batch like ivf_index_rebuild does:
+    dropping it would let a crash-window replay of a committed batch
+    pass the replay guard and double-count (review r09)."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    text_index_write(docs.filter(F.col("doc_id") <= 4), path, n_buckets=4)
+    text_index_append(docs.filter(F.col("doc_id") > 4), path, src_batch=5)
+    text_index_write(docs, path, n_buckets=4)  # rebuild over live
+    meta = read_index_meta(path + "/stats.json")
+    assert meta["last_stream_batch"] == 5
+    # the committed batch's replay is SKIPPED against the rebuilt index
+    res = text_index_append(
+        docs.filter(F.col("doc_id") > 4), path, src_batch=5
+    )
+    assert res["skipped_replay"] is True
+    assert read_index_meta(path + "/stats.json")["n_docs"] == len(DOCS)
+
+    rows = _vec_rows(30)
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 2)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = str(tmp_path / "ivf")
+    ivf_index_write(df, ivf, centroids=cent)
+    ivf_index_append(
+        df.select((F.col("vec_id") + 100).alias("vec_id"), "embedding"),
+        ivf,
+        src_batch=9,
+    )
+    ivf_index_write(df, ivf, centroids=cent)  # rebuild over live
+    meta = read_index_meta(ivf + "/centroids.json")
+    assert meta["gen"] == 1 and meta["last_stream_batch"] == 9
+    res = ivf_index_append(
+        df.select((F.col("vec_id") + 100).alias("vec_id"), "embedding"),
+        ivf,
+        src_batch=9,
+    )
+    assert res["skipped_replay"] is True
+
+
+def test_stale_writer_lock_auto_reclaimed_when_holder_dead(spark, tmp_path):
+    """A routine driver crash (SIGKILL mid-append) must not turn the
+    streaming ingest into a manual-intervention outage: a lock whose
+    recorded holder is on THIS host with a provably-dead pid is
+    auto-reclaimed; an alive holder, another host, or an unparseable
+    lock still refuses (review r09)."""
+    import socket
+    import subprocess
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    text_index_write(docs.filter(F.col("doc_id") <= 5), path, n_buckets=4)
+    lock = os.path.join(path, ".writer.lock")
+    host = socket.gethostname()
+
+    # provably-dead same-host pid -> reclaimed, append proceeds
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(lock, "w") as f:
+        f.write(f"pid={p.pid} host={host} op=append")
+    res = text_index_append(docs.filter(F.col("doc_id") > 5), path)
+    assert res["rows"] == 3 and not os.path.exists(lock)
+
+    # alive same-host pid -> refused
+    with open(lock, "w") as f:
+        f.write(f"pid={os.getpid()} host={host} op=append")
+    with pytest.raises(ValueError, match="writer"):
+        text_index_append(docs.filter(F.col("doc_id") > 5), path)
+    os.unlink(lock)
+
+    # other-host holder -> refused (liveness unknowable)
+    with open(lock, "w") as f:
+        f.write(f"pid=1 host=not-{host} op=append")
+    with pytest.raises(ValueError, match="writer"):
+        text_index_append(docs.filter(F.col("doc_id") > 5), path)
+    os.unlink(lock)
+
+    # legacy/unparseable lock content -> refused
+    with open(lock, "w") as f:
+        f.write("pid=1 op=append")
+    with pytest.raises(ValueError, match="writer"):
+        text_index_append(docs.filter(F.col("doc_id") > 5), path)
+
+
+def test_text_fsck_sweeps_terms_leftovers_too(spark, tmp_path):
+    """The doctor must not green-light an index whose maintenance path
+    is blocked: a crashed pre-generation terms swap surfaces even when
+    postings are clean (review r09)."""
+    path = str(tmp_path / "idx")
+    text_index_write(spark.createDataFrame(DOCS, SCHEMA), path, n_buckets=4)
+    os.makedirs(path + "/terms.__old__")
+    rep = text_index_fsck(spark, path)
+    assert rep["status"] == "attention"
+    assert any("terms.__old__" in f for f in rep["findings"])
+    os.rmdir(path + "/terms.__old__")
+    assert text_index_fsck(spark, path)["status"] == "ok"

@@ -359,3 +359,84 @@ def test_store_fsck_span_store_and_legacy_base(spark, tmp_path):
     rows.write.parquet(f"{store3}/batch_id=-1")
     rep = store_fsck(spark, store3)
     assert any("expire_index will refuse" in f for f in rep["findings"])
+
+
+def test_dedup_span_store_drops_base_when_publish_pending(spark, tmp_path):
+    """The one crash shape (gh, origin) dedup cannot cover: provenance-
+    free (src_batch=-1) base rows duplicated into the batch_id=-3
+    publish dir. The read guard drops the base wholesale when pending
+    rows are present — the publish dir is a superset of the folded base
+    by construction — so counts never double (review r09)."""
+    from geoscan_fraud_spark.operators.spans import (
+        dedup_span_store,
+        span_gram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    rows = span_gram_index(docs, min_len=5)
+    store = str(tmp_path / "span_pending")
+    # legacy base: provenance-free rows
+    rows.withColumn("src_batch", F.lit(-1)).write.parquet(
+        f"{store}/batch_id=-1"
+    )
+    # crashed publish: the SAME rows again, still provenance-free
+    rows.withColumn("src_batch", F.lit(-1)).write.parquet(
+        f"{store}/batch_id=-3"
+    )
+    raw = spark.read.option("mergeSchema", "true").parquet(store)
+    assert raw.count() == 2 * rows.count()  # duplicates really exist
+
+    got = {
+        (r["gh"], r["cnt"])
+        for r in dedup_span_store(raw).groupBy("gh")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    want = {(r["gh"], r["cnt"]) for r in rows.select("gh", "cnt").collect()}
+    assert got == want  # no 2x over-count despite the crash window
+
+    # without pending rows, a lone base passes through untouched
+    import shutil
+
+    shutil.rmtree(f"{store}/batch_id=-3")
+    raw = spark.read.parquet(store)
+    assert dedup_span_store(raw).count() == rows.count()
+
+
+def test_store_fsck_null_optional_columns_no_phantom_duplicates(
+    spark, tmp_path
+):
+    """A sink upgraded mid-stream leaves pre-upgrade rows with NULL
+    optional columns (the supported optional_index_cols case);
+    count(DISTINCT c1..cn) would skip those rows and fabricate
+    'duplicate signature rows' — the struct identity must not
+    (review r09)."""
+    from geoscan_fraud_spark.sources.io import store_fsck
+
+    store = str(tmp_path / "mixed")
+    spark.range(10).select(
+        F.col("id"), (F.col("id") * 7).alias("sig")
+    ).write.parquet(f"{store}/batch_id=0")
+    spark.range(10, 20).select(
+        F.col("id"),
+        (F.col("id") * 7).alias("sig"),
+        F.array(F.lit(1), F.lit(2)).alias("bands"),
+    ).write.parquet(f"{store}/batch_id=1")
+
+    rep = store_fsck(spark, store)
+    assert rep["measured"]["rows"] == 20
+    assert not any("duplicate" in f for f in rep["findings"])
+
+
+def test_stress_fit_slope_guards_degenerate_ladder():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from stress_pipeline import fit_slope
+
+    assert abs(fit_slope([10, 100], [1.0, 10.0]) - 1.0) < 0.01
+    with pytest.raises(ValueError, match="two distinct scales"):
+        fit_slope([10, 10], [1.0, 1.1])

@@ -109,12 +109,18 @@ def timed(fn) -> float:
 
 
 def fit_slope(rows: list[int], secs: list[float]) -> float:
-    """Least-squares slope of log(sec) vs log(rows)."""
+    """Least-squares slope of log(sec) vs log(rows). Requires >= 2
+    distinct row counts — a slope over one point is undefined."""
     xs = [math.log(r) for r in rows]
     ys = [math.log(max(s, 1e-6)) for s in secs]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        raise ValueError(
+            f"cannot fit a scaling slope over {sorted(set(rows))} — the "
+            f"ladder needs at least two distinct scales"
+        )
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
@@ -125,6 +131,13 @@ def main():
         if len(sys.argv) > 2
         else [1, 2, 4]
     )
+    if len(set(scales)) < 2:
+        # fail BEFORE minutes of measurement, not after (the slope fit
+        # needs two distinct rungs)
+        raise SystemExit(
+            f"scale ladder {scales} has fewer than two distinct rungs — "
+            f"pass e.g. 1,2,4"
+        )
     out_json = sys.argv[3] if len(sys.argv) > 3 else None
 
     from pyspark.sql import functions as F

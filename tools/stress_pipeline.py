@@ -19,8 +19,14 @@ Ops covered (the VERDICT list):
   remove_repeated_spans    - one-shot ExactSubstr-style span removal
   text_index_append        - BM25 serving-index ingest (batch-only work)
   text_index_query         - bucket-pruned BM25 serving read
+  text_index_compact       - MVCC generation publish (fold + df rebuild
+                             + stats recompute + atomic pointer flip);
+                             works over seed + batch, so the recorded
+                             batch-rows slope is conservative (a fixed
+                             seed offset only flattens it)
   ivf_index_append         - ANN serving-index ingest (map-only assign)
   ivf_index_query          - probe-pruned ANN serving read
+  ivf_index_compact        - MVCC generation publish for the lists
   prepared_serving_sink    - the whole gate->dedup->store->serve batch
 
 Usage:
@@ -146,11 +152,13 @@ def main():
     from geoscan_fraud_spark.operators import dedup as dd
     from geoscan_fraud_spark.operators.retrieval import (
         text_index_append,
+        text_index_compact,
         text_index_query,
         text_index_write,
     )
     from geoscan_fraud_spark.operators.similarity import (
         ivf_index_append,
+        ivf_index_compact,
         ivf_index_query,
         ivf_index_write,
     )
@@ -247,6 +255,11 @@ def main():
                     lambda: text_index_query(spark, tidx, queries, k=10).count()
                 ),
             )
+            record(
+                "text_index_compact",
+                n_docs,
+                timed(lambda: text_index_compact(spark, tidx)),
+            )
 
             aidx = f"{work}/ivf_idx_x{tag}"
             ivf_index_write(seed_emb, aidx, n_centroids=16, seed=42)
@@ -254,6 +267,11 @@ def main():
                 "ivf_index_append",
                 n_emb,
                 timed(lambda: ivf_index_append(emb, aidx)),
+            )
+            record(
+                "ivf_index_compact",
+                n_emb,
+                timed(lambda: ivf_index_compact(spark, aidx)),
             )
             qset = emb.limit(50)
             record(

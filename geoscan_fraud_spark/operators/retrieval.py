@@ -622,14 +622,21 @@ def text_index_expire(spark, path: str, min_src_batch: int) -> int:
     return text_index_compact(spark, path, expire_below=min_src_batch)
 
 
-def text_index_vacuum(path: str) -> list:
+def text_index_vacuum(path: str, min_age_sec: float = 0.0) -> list:
     """Remove generations the stats.json pointer no longer references —
     stale pre-compaction snapshots (kept so in-flight readers finish
     against complete data) and unpublished orphans from a crashed
-    maintenance run. Returns the removed directory names. Run it after
-    a grace period longer than the longest query (the Delta VACUUM
-    contract — see `sources.io.index_vacuum`)."""
-    return index_vacuum(path, "stats.json", ["postings", "terms", "tombstones"])
+    maintenance run. Returns the removed directory names.
+    ``min_age_sec`` mechanizes the grace period: generations younger
+    than it are skipped, so a scheduled vacuum(min_age_sec = 2x the
+    longest query) can never delete files under an in-flight straggler
+    (the Delta VACUUM contract — see `sources.io.index_vacuum`)."""
+    return index_vacuum(
+        path,
+        "stats.json",
+        ["postings", "terms", "tombstones"],
+        min_age_sec=min_age_sec,
+    )
 
 
 def text_index_stats(spark, path: str, top_terms: int = 0) -> DataFrame:

@@ -1053,14 +1053,18 @@ def ivf_index_expire(spark, path: str, min_src_batch: int) -> int:
     return _ivf_relayout(spark, path, "ivf_index_expire", keep)
 
 
-def ivf_index_vacuum(path: str) -> list:
+def ivf_index_vacuum(path: str, min_age_sec: float = 0.0) -> list:
     """Remove generations the centroids.json pointer no longer
     references — stale pre-maintenance snapshots (kept so in-flight
     readers finish against complete data) and unpublished orphans from
-    a crashed run. Returns the removed directory names. Run it after a
-    grace period longer than the longest query (the Delta VACUUM
-    contract — see `sources.io.index_vacuum`)."""
-    return index_vacuum(path, "centroids.json", ["lists", "tombstones"])
+    a crashed run. Returns the removed directory names.
+    ``min_age_sec`` mechanizes the grace period: generations younger
+    than it are skipped, so a scheduled vacuum(min_age_sec = 2x the
+    longest query) can never delete files under an in-flight straggler
+    (the Delta VACUUM contract — see `sources.io.index_vacuum`)."""
+    return index_vacuum(
+        path, "centroids.json", ["lists", "tombstones"], min_age_sec=min_age_sec
+    )
 
 
 def ivf_index_rebuild(

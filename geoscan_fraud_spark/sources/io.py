@@ -690,7 +690,9 @@ def list_index_generations(path: str, names: list[str]) -> dict:
     return out
 
 
-def index_vacuum(path: str, meta_name: str, names: list[str]) -> list[str]:
+def index_vacuum(
+    path: str, meta_name: str, names: list[str], min_age_sec: float = 0.0
+) -> list[str]:
     """Remove every data-dir generation the index metadata does NOT
     reference — both STALE generations (pre-flip snapshots kept so
     in-flight readers finish against complete data) and ORPHANS (a
@@ -701,19 +703,35 @@ def index_vacuum(path: str, meta_name: str, names: list[str]) -> list[str]:
     The grace-period contract is the operator's (Delta VACUUM's rule):
     run it only after every query that could have resolved an old
     generation has finished — the pointer flip is atomic, so any query
-    STARTED after the flip is already on the live generation. Takes the
-    writer lock: racing a live compaction could delete the generation
-    it is about to publish."""
+    STARTED after the flip is already on the live generation.
+    ``min_age_sec`` mechanizes it: a generation whose directory was
+    modified more recently than that is SKIPPED (returned next time),
+    so a scheduled ``vacuum(min_age_sec=2 * longest_query)`` can never
+    pull files out from under a straggler. Age is the dir's own mtime —
+    the moment its last file landed, i.e. when it stopped being the
+    write target. Takes the writer lock: racing a live compaction could
+    delete the generation it is about to publish."""
+    import time
+
     with index_writer_lock(path, "index_vacuum"):
         meta = read_index_meta(os.path.join(path, meta_name))
         cur = int(meta.get("gen", 0))
         removed = []
+        now = time.time()
         for name, gens in list_index_generations(path, names).items():
             for g in gens:
-                if g != cur:
-                    target = os.path.join(path, gen_suffix(name, g))
-                    shutil.rmtree(target)
-                    removed.append(os.path.basename(target))
+                if g == cur:
+                    continue
+                target = os.path.join(path, gen_suffix(name, g))
+                if min_age_sec > 0:
+                    try:
+                        age = now - os.path.getmtime(target)
+                    except OSError:
+                        continue
+                    if age < min_age_sec:
+                        continue  # inside the grace period — next time
+                shutil.rmtree(target)
+                removed.append(os.path.basename(target))
         return sorted(removed)
 
 

@@ -406,3 +406,25 @@ def test_text_fsck_sweeps_terms_leftovers_too(spark, tmp_path):
     assert any("terms.__old__" in f for f in rep["findings"])
     os.rmdir(path + "/terms.__old__")
     assert text_index_fsck(spark, path)["status"] == "ok"
+
+
+def test_vacuum_grace_period_spares_young_generations(spark, tmp_path):
+    """min_age_sec mechanizes the Delta-VACUUM grace period: a stale
+    generation younger than it survives the vacuum (an in-flight
+    straggler can still be reading it) and goes on the next pass."""
+    path = str(tmp_path / "idx")
+    text_index_write(spark.createDataFrame(DOCS, SCHEMA), path, n_buckets=4)
+    text_index_compact(spark, path)
+    assert os.path.isdir(path + "/postings")  # stale gen 0 present
+
+    assert text_index_vacuum(path, min_age_sec=3600) == []  # too young
+    assert os.path.isdir(path + "/postings")
+
+    # age the stale dirs past the horizon and vacuum again
+    old = 10_000
+    for d in ("postings", "terms"):
+        st = os.stat(os.path.join(path, d))
+        os.utime(os.path.join(path, d), (st.st_atime - old, st.st_mtime - old))
+    removed = text_index_vacuum(path, min_age_sec=3600)
+    assert "postings" in removed and "terms" in removed
+    assert not os.path.isdir(path + "/postings")

@@ -428,3 +428,25 @@ def test_vacuum_grace_period_spares_young_generations(spark, tmp_path):
     removed = text_index_vacuum(path, min_age_sec=3600)
     assert "postings" in removed and "terms" in removed
     assert not os.path.isdir(path + "/postings")
+
+
+def test_rebuild_recovers_torn_metadata_index(spark, tmp_path):
+    """read_index_meta's refusal advertises 'rebuild the index' as the
+    torn-metadata recovery path — with generations that really works:
+    text_index_write over a corrupt-stats index publishes the next
+    generation with fresh metadata, no manual cleanup."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    text_index_write(docs, path, n_buckets=4)
+    with open(path + "/stats.json", "w") as f:
+        f.write('{"torn')  # crash mid-write by a pre-atomic writer
+
+    with pytest.raises(ValueError, match="corrupt"):
+        text_index_query(spark, path, QUERIES, k=8)
+
+    text_index_write(docs, path, n_buckets=4)  # the advertised cure
+    meta = read_index_meta(path + "/stats.json")
+    assert meta["gen"] == 1  # skipped past the unreadable gen-0 layout
+    fresh = str(tmp_path / "fresh")
+    text_index_write(docs, fresh, n_buckets=4)
+    assert _bm25(spark, path) == _bm25(spark, fresh)

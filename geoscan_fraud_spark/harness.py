@@ -191,11 +191,11 @@ def p_drop_neq_filter(spark, sf_dir):
 
 # j1_join_single_key was a registered entry through r07; single-key
 # shuffle-equi-join + broadcast-dim + decimal-sum algebra stays
-# driver-evidenced by the hash-green `j2_join_two_keys` (the same join
-# machinery on a superset key count, same DECIMAL(18,2) sum idiom),
-# `u3_tfidf_relational` (single-key term join), and
-# `flagship_event_anomalies` (key-equality anti-join); the exact
-# three-table result stays pinned against pandas merge in
+# driver-evidenced by the hash-green `salted_join` (composite-key equi
+# join, same DECIMAL(18,2) sum idiom — also the named evidence for the
+# r10 j2 fold below), `u3_tfidf_relational` (single-key broadcast term
+# join), and `flagship_event_anomalies` (key-equality anti-join); the
+# exact three-table result stays pinned against pandas merge in
 # tests/test_round8_fixes.py, and the bench still times it. The slot
 # under the driver's 50-entry cap now funds `bm25_search` (round-8
 # rotation).
@@ -219,18 +219,16 @@ def j1_join_single_key(spark, sf_dir):
     )
 
 
-@register(
-    "j2_join_two_keys",
-    sql="""
-    WITH pq AS (
-      SELECT l_orderkey, l_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_qty
-      FROM lineitem GROUP BY l_orderkey, l_partkey)
-    SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, pq.part_qty
-    FROM lineitem l JOIN pq ON l.l_orderkey = pq.l_orderkey
-                           AND l.l_partkey = pq.l_partkey
-    """,
-)
+# J2 (two-key equi join) was a registered entry through r09 (hash-green
+# since r01); composite-key equi-join + decimal-sum algebra stays
+# driver-evidenced by the hash-green `salted_join` (a two-key — key +
+# salt — equi join with the same DECIMAL sum idiom, the skew-hardened
+# variant of this exact shape), `interval_join` / `asof_join` (richer
+# key+range join machinery), and `u3_tfidf_relational` (broadcast equi
+# join); the exact aggregate-then-self-join result stays pinned against
+# a pandas merge in tests/test_round10_fixes.py, and the bench still
+# times it. The slot under the driver's 50-entry cap now funds
+# `ann_ivf_incremental_query` (round-10 rotation, VERDICT r09 #1).
 def j2_join_two_keys(spark, sf_dir):
     """J2 — two-key equi join (`01:401` shape)."""
     li = _t(spark, sf_dir, "lineitem")

@@ -395,13 +395,16 @@ def _ivf_centroids(sf_dir: str) -> list[list[float]]:
     return _IVF_CENTROID_CACHE[sf_dir]
 
 
-def _ivf_oracle() -> str:
-    """IVF probe as DuckDB SQL over centroid literals. The correctness
-    gate runs at sf=0.01 (driver contract), so the quantizer is derived
-    from that fixture — the SAME fixed centroid set `ann_ivf_topk` feeds
-    the Spark plan, at every sf. Resolved lazily via `resolved_oracles`
-    (this reads a fixture file; at import time that would be a
-    single-point-of-failure for the whole registry)."""
+def _ivf_oracle_sql(corpus_where: str = "", reads: tuple = ()) -> str:
+    """IVF probe as DuckDB SQL over centroid literals, shared by
+    `ann_ivf_topk` and the lifecycle entry. The correctness gate runs at
+    sf=0.01 (driver contract), so the quantizer is derived from that
+    fixture — the SAME fixed centroid set the Spark plans feed, at every
+    sf. ``corpus_where`` restricts the INDEXED corpus only (queries stay
+    drawn from the full table — a deleted doc's embedding is still a
+    legal external query); ``reads`` cross-joins a ``read_mode`` tag so
+    one oracle covers both the live and the stale MVCC read of the same
+    survivor snapshot."""
     cent = _ivf_centroids("/root/testdata/sf0.01")
 
     def lit(v):
@@ -420,12 +423,12 @@ def _ivf_oracle() -> str:
         "list_dot_product(p.qe, a.e) / (sqrt(list_dot_product(p.qe, p.qe))"
         " * sqrt(list_dot_product(a.e, a.e)))"
     )
-    return f"""
+    topk = f"""
     WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT id AS query_id, e AS qe FROM c WHERE id < 5),
     assigned AS (
       SELECT id AS vec_id, e, list_position(d, list_min(d)) AS list_id
-      FROM (SELECT id, e, {d_corpus} AS d FROM c)),
+      FROM (SELECT id, e, {d_corpus} AS d FROM c{corpus_where})),
     qd AS (SELECT query_id, qe, {d_query} AS d FROM q),
     qpos AS (SELECT query_id, qe, i AS pos, d[i] AS dist
              FROM qd, range(1, {_IVF_N} + 1) t(i)),
@@ -437,12 +440,27 @@ def _ivf_oracle() -> str:
     scored AS (
       SELECT p.query_id, a.vec_id, ROUND({cos}, 6) AS sim
       FROM probes p JOIN assigned a USING (list_id)
-      WHERE p.query_id <> a.vec_id)
-    SELECT query_id, vec_id, sim, rank FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
-      FROM scored) WHERE rank <= {_IVF_K}
+      WHERE p.query_id <> a.vec_id),
+    topk AS (
+      SELECT query_id, vec_id, sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored) WHERE rank <= {_IVF_K})
     """
+    if not reads:
+        return topk + "SELECT query_id, vec_id, sim, rank FROM topk"
+    vals = ", ".join(f"('{r}')" for r in reads)
+    return topk + (
+        f"SELECT query_id, vec_id, sim, rank, read_mode FROM topk "
+        f"CROSS JOIN (VALUES {vals}) AS rm(read_mode)"
+    )
+
+
+def _ivf_oracle() -> str:
+    """Resolved lazily via `resolved_oracles` (this reads a fixture
+    file; at import time that would be a single-point-of-failure for
+    the whole registry)."""
+    return _ivf_oracle_sql()
 
 
 @register("ann_ivf_topk", sql=_ivf_oracle)
@@ -462,6 +480,72 @@ def ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(
         q, e, k=_IVF_K, n_centroids=_IVF_N, nprobe=_IVF_NPROBE, centroids=cent
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_lifecycle_oracle() -> str:
+    return _ivf_oracle_sql(
+        corpus_where=" WHERE id % 7 <> 3", reads=("live", "stale")
+    )
+
+
+@register("ann_ivf_incremental_query", sql=_ivf_lifecycle_oracle)
+def ann_ivf_incremental_query(spark, sf_dir):
+    """Serving-path ANN over the FULL index lifecycle — the dense twin of
+    `bm25_incremental_query` (VERDICT r09 #1) plus the MVCC stale-read
+    pin (VERDICT r09 #6). Build `ivf_index_write` over the even vec_ids
+    (the fixed sf0.01 Lloyd quantizer, so probes replay in SQL), append
+    the odd half against the frozen centroids, tombstone every
+    ``vec_id % 7 == 3`` (`ivf_index_delete`), snapshot the generation-0
+    metadata, `ivf_index_compact` — tombstones applied physically, rows
+    recomputed, published as generation 1 in one atomic pointer flip —
+    then query TWICE: the live read (post-flip gen 1) and the STALE read
+    planned against the pre-flip metadata handle while gen 1 is live.
+    Both are tagged and unioned; the oracle is the exact probed cosine
+    top-k over the survivor corpus, cross-joined with both tags — so
+    hash-equality certifies (a) the whole append/delete/compact/flip
+    lifecycle reproduces a from-scratch survivor index and (b) the MVCC
+    read contract itself: a reader holding gen-0 metadata mid-flip still
+    sees complete, tombstone-filtered data. ``rerank=64`` makes the
+    shortlist cover every probed candidate at the gate sf, so the int8
+    stage cannot perturb the exact re-rank (full-precision
+    ``rerank_corpus``); int8 shortlist recall is pinned separately by
+    `ivf_recall_at_k` tests."""
+    import tempfile
+
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_query,
+        ivf_index_write,
+    )
+    from geoscan_fraud_spark.sources.io import read_index_meta
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids("/root/testdata/sf0.01")
+    path = tempfile.mkdtemp(prefix="ivf_inc_entry_") + "/idx"
+    ivf_index_write(e.filter(F.col("vec_id") % 2 == 0), path, centroids=cent)
+    ivf_index_append(e.filter(F.col("vec_id") % 2 == 1), path)
+    ivf_index_delete(
+        spark, path, e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    import os as _os
+
+    stale_meta = read_index_meta(_os.path.join(path, "centroids.json"))
+    ivf_index_compact(spark, path)  # flips to gen 1 while we hold gen 0
+    q = e.filter(F.col("vec_id") < 5)
+
+    def read(meta, tag):
+        return ivf_index_query(
+            q, path, k=_IVF_K, nprobe=_IVF_NPROBE, rerank=64,
+            rerank_corpus=e, meta=meta,
+        ).withColumn("read_mode", F.lit(tag))
+
+    return (
+        read(None, "live")
+        .unionByName(read(stale_meta, "stale"))
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
 
 
 # ---------------------------------------------------------------------------

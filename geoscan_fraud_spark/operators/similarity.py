@@ -30,8 +30,13 @@ from geoscan_fraud_spark.sources.io import (
     index_vacuum,
     index_writer_lock,
     list_index_generations,
+    mark_retired_generations,
     read_index_meta,
 )
+
+#: every generation-scoped data-dir family an IVF index owns — shared by
+#: generation listing, vacuum, fsck, and the retire stamps
+_IVF_GEN_FAMILIES = ["lists", "tombstones"]
 
 
 def lloyd_centroids(
@@ -684,7 +689,7 @@ def ivf_index_write(
 
     os.makedirs(path, exist_ok=True)
     with index_writer_lock(path, "ivf_index_write"):
-        prior = list_index_generations(path, ["lists", "tombstones"])
+        prior = list_index_generations(path, _IVF_GEN_FAMILIES)
         prior_gens = [g for gs in prior.values() for g in gs]
         extra = None
         try:
@@ -780,6 +785,9 @@ def _ivf_index_write_locked(
     # the quantizer — before this line the build never existed for
     # readers (snapshot isolation; see ivf_index_compact)
     atomic_write_json(os.path.join(path, "centroids.json"), meta)
+    # stamp the outgoing generations NOW so vacuum's grace period ages
+    # from this flip, not from their last write (ADVICE r09)
+    mark_retired_generations(path, _IVF_GEN_FAMILIES, gen)
     return len(cent)
 
 
@@ -971,7 +979,7 @@ def _ivf_relayout(spark, path: str, op: str, row_filter) -> int:
                 )
         meta = read_index_meta(meta_path)
         keep = row_filter(meta)
-        on_disk = list_index_generations(path, ["lists", "tombstones"])
+        on_disk = list_index_generations(path, _IVF_GEN_FAMILIES)
         g_new = (
             max(
                 [int(meta.get("gen", 0))]
@@ -1003,6 +1011,8 @@ def _ivf_relayout(spark, path: str, op: str, row_filter) -> int:
         new_meta["appended_rows"] = 0
         # THE commit: counters + generation pointer in one atomic rename
         atomic_write_json(meta_path, new_meta)
+        # vacuum's grace period ages from this flip (ADVICE r09)
+        mark_retired_generations(path, _IVF_GEN_FAMILIES, g_new)
         n = 0
         for _root, _dirs, files in os.walk(new_lists):
             n += sum(1 for f in files if not f.startswith(("_", ".")))
@@ -1063,7 +1073,7 @@ def ivf_index_vacuum(path: str, min_age_sec: float = 0.0) -> list:
     longest query) can never delete files under an in-flight straggler
     (the Delta VACUUM contract — see `sources.io.index_vacuum`)."""
     return index_vacuum(
-        path, "centroids.json", ["lists", "tombstones"], min_age_sec=min_age_sec
+        path, "centroids.json", _IVF_GEN_FAMILIES, min_age_sec=min_age_sec
     )
 
 
@@ -1118,7 +1128,7 @@ def ivf_index_rebuild(
                 "vec_id",
             )
         )
-        on_disk = list_index_generations(path, ["lists", "tombstones"])
+        on_disk = list_index_generations(path, _IVF_GEN_FAMILIES)
         g_new = (
             max(
                 [int(meta.get("gen", 0))]
@@ -1156,13 +1166,12 @@ def ivf_index_delete(spark, path: str, ids) -> None:
     lock makes that a loud refusal instead (retry after maintenance)."""
     import os
 
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(i,) for i in ids], ["vec_id"])
-    else:
-        ids = ids.toDF("vec_id")
+    from geoscan_fraud_spark.sources.io import one_column_ids
+
+    ids = one_column_ids(spark, ids, "vec_id", "ivf_index_delete")
     with index_writer_lock(path, "ivf_index_delete"):
         meta = read_index_meta(os.path.join(path, "centroids.json"))
-        ids.select("vec_id").write.mode("append").parquet(
+        ids.write.mode("append").parquet(
             gen_dir(path, "tombstones", meta)
         )
 
@@ -1230,7 +1239,7 @@ def ivf_index_fsck(spark, path: str) -> dict:
     # published) are findings; stale pre-flip snapshots pending vacuum
     # are normal operation and report informationally
     gen_f, report["generations"] = generation_findings(
-        path, meta, ["lists", "tombstones"]
+        path, meta, _IVF_GEN_FAMILIES
     )
     findings.extend(gen_f)
 
@@ -1286,6 +1295,45 @@ def ivf_index_fsck(spark, path: str) -> dict:
     return report
 
 
+def ivf_index_maintain(
+    spark,
+    path: str,
+    compact_after: int = 64,
+    vacuum_min_age_sec: float = 0.0,
+) -> dict:
+    """One-call ops runbook for a persisted IVF index — the dense twin
+    of `text_index_maintain` (VERDICT r09 #2): heal → compact-if-needed
+    → vacuum → verify, returning ``{"healed", "compacted", "vacuumed",
+    "fsck", "status"}``. Heals an orphaned ``centroids.json.tmp`` and a
+    provably-dead writer lock; compacts when any ONE list directory
+    carries more data files than ``compact_after`` (append accretion —
+    every probe pays the probed lists' file listing/footer costs;
+    per-directory so the metric settles to 1 post-fold and maintain is
+    idempotent) or tombstones are pending (takedowns land physically);
+    vacuums retired/orphaned generations past the grace period. Single-writer; schedule between
+    ingest windows or via `prepared_serving_sink(maintain_every_n)`."""
+    import os
+
+    from geoscan_fraud_spark.sources.io import (
+        heal_index_artifacts,
+        serving_layout_pressure,
+    )
+
+    report: dict = {"healed": heal_index_artifacts(path, "centroids.json")}
+    meta = read_index_meta(os.path.join(path, "centroids.json"))
+    pressure = serving_layout_pressure(gen_dir(path, "lists", meta))
+    tombs = os.path.isdir(gen_dir(path, "tombstones", meta))
+    report["compacted"] = pressure > compact_after or tombs
+    if report["compacted"]:
+        ivf_index_compact(spark, path)
+    report["vacuumed"] = ivf_index_vacuum(
+        path, min_age_sec=vacuum_min_age_sec
+    )
+    report["fsck"] = ivf_index_fsck(spark, path)
+    report["status"] = report["fsck"]["status"]
+    return report
+
+
 def ivf_recall_at_k(
     queries: DataFrame,
     path: str,
@@ -1338,9 +1386,18 @@ def ivf_index_query(
     id_col: str = "vec_id",
     rerank_corpus: DataFrame | None = None,
     exclude_self: bool = True,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Query a persisted `ivf_index_write` index: (query_id, vec_id, sim,
     rank) — same contract as `ivf_topk`.
+
+    ``meta`` is the MVCC snapshot handle: pass a previously-loaded
+    ``centroids.json`` dict to plan THIS query against that generation
+    even if maintenance has flipped the pointer since — the read-side
+    half of the generation contract (`gen_dir`: a retired generation's
+    files are never touched until `ivf_index_vacuum`, so a reader that
+    resolved its metadata before a flip finishes against complete
+    data). Default None loads the live metadata — the ordinary case.
 
     Probe lists are collected driver-side (the query set is small by
     definition) and pushed as a STATIC ``list_id IN (...)`` filter, so
@@ -1360,7 +1417,8 @@ def ivf_index_query(
     import os
 
     spark = queries.sparkSession
-    meta = read_index_meta(os.path.join(path, "centroids.json"))
+    if meta is None:
+        meta = read_index_meta(os.path.join(path, "centroids.json"))
     cent = meta["centroids"]
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))

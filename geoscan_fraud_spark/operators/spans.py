@@ -256,7 +256,7 @@ def merge_span_index(index: DataFrame) -> DataFrame:
     return index.groupBy("gh").agg(F.sum("cnt").alias("cnt"))
 
 
-def dedup_span_store(raw: DataFrame) -> DataFrame:
+def dedup_span_store(raw: DataFrame, pending: bool | None = None) -> DataFrame:
     """Persisted-store read guard: collapse the transient physical
     duplicates a crashed `sources/io.compact_index` swap can leave
     behind (the same row visible BOTH as its original ``batch_id=K``
@@ -278,25 +278,39 @@ def dedup_span_store(raw: DataFrame) -> DataFrame:
     manual crash recovery remains the contract until the one-shot
     `migrate_span_store_origins` collapses them into dedupable
     ``MIGRATED_ORIGIN`` rows. One extra store-sized (never
-    corpus-sized) shuffle on the gram hash."""
+    corpus-sized) shuffle on the gram hash.
+
+    ``pending`` short-circuits the crashed-publish detection (ADVICE
+    r09): a caller that KNOWS whether a ``batch_id=-3`` publish dir is
+    present — the streaming sink, which calls `heal_pending_base` at
+    batch start so the state cannot exist on its hot path, or any
+    caller holding the store path (``os.path.isdir(pending_base_dir
+    (path))`` is the one-syscall test) — passes True/False and skips
+    the detection aggregate entirely. ``None`` (a bare DataFrame, no
+    path knowledge) keeps the self-contained in-plan scan."""
     cols = set(raw.columns)
-    if "batch_id" in cols:
+    if "batch_id" in cols and pending is not False:
         # a crashed publish-then-retire compaction (sources/io) can show
         # BOTH the old base (batch_id=-1) and the publish dir
-        # (batch_id=-3), and the publish dir is a SUPERSET of the folded
-        # base by construction — so when pending rows are present the
-        # base rows are dropped wholesale. This covers the one shape the
+        # (batch_id=-3). The publish dir is the post-maintenance TRUTH
+        # for the base — compact folds a superset, expire a filtered
+        # subset, but in every case its rows are what the base is ABOUT
+        # to become — so when pending rows are present the (stale) base
+        # rows are dropped wholesale. This covers the one shape the
         # (gh, origin) dedup below cannot: provenance-free base rows
         # (src_batch=-1) duplicated into the publish dir, which would
-        # otherwise 2x their counts (over-removal). One extra
-        # column-pruned aggregate over the signature-sized store,
-        # broadcast as a lazy scalar.
-        pending = raw.agg(
-            F.max((F.col("batch_id") == -3).cast("int")).alias("__pending")
-        )
-        raw = raw.crossJoin(F.broadcast(pending)).filter(
-            ~((F.col("batch_id") == -1) & (F.col("__pending") == 1))
-        )
+        # otherwise 2x their counts (over-removal). When ``pending`` is
+        # None the presence test is an extra column-pruned aggregate
+        # over the signature-sized store, broadcast as a lazy scalar.
+        if pending is True:
+            raw = raw.filter(F.col("batch_id") != -1)
+        else:
+            detected = raw.agg(
+                F.max((F.col("batch_id") == -3).cast("int")).alias("__pending")
+            )
+            raw = raw.crossJoin(F.broadcast(detected)).filter(
+                ~((F.col("batch_id") == -1) & (F.col("__pending") == 1))
+            )
     if "src_batch" in cols and "batch_id" in cols:
         origin = F.coalesce(F.col("src_batch"), F.col("batch_id"))
     elif "batch_id" in cols:

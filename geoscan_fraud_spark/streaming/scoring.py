@@ -720,6 +720,9 @@ def prepared_serving_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     emb_col: str | None = None,
+    maintain_every_n: int | None = None,
+    maintain_compact_after: int = 64,
+    maintain_vacuum_min_age_sec: float = 0.0,
     **prep_kwargs,
 ):
     """The whole platform in one foreachBatch: gate -> dedup -> store ->
@@ -735,7 +738,18 @@ def prepared_serving_sink(
     replayed batch's survivors is IDENTICAL — and both index appends
     skip batch ids they already committed. Crash windows are per-store
     and heal independently (`text_index_compact` / `ivf_index_compact`).
-    """
+
+    ``maintain_every_n`` (VERDICT r09 #2): every N-th micro-batch, AFTER
+    the batch commits, run the one-call maintain runbooks on every store
+    this sink owns — `store_maintain` on the dedup signature store and
+    `text_index_maintain` / `ivf_index_maintain` on the serving indexes
+    (heal -> compact-if-pressure/tombstones -> vacuum past
+    ``maintain_vacuum_min_age_sec``). The sink is the single writer, so
+    the runbooks' writer locks never contend with its own appends; set
+    the vacuum grace to cover your longest external query, since
+    EXTERNAL readers may still hold a retired generation. Maintenance
+    after a replayed batch is harmless (idempotent: compaction heals
+    duplicates, vacuum skips the live generation)."""
     from geoscan_fraud_spark.operators.retrieval import text_index_append
 
     if ann_index_path is not None and emb_col is None:
@@ -763,6 +777,32 @@ def prepared_serving_sink(
             )
         if ann_sink is not None:
             ann_sink(kept, batch_id)
+        if maintain_every_n and batch_id > 0 and batch_id % maintain_every_n == 0:
+            from geoscan_fraud_spark.operators.retrieval import (
+                text_index_maintain,
+            )
+            from geoscan_fraud_spark.operators.similarity import (
+                ivf_index_maintain,
+            )
+            from geoscan_fraud_spark.sources.io import store_maintain
+
+            store_maintain(
+                spark, index_path, compact_after=maintain_compact_after
+            )
+            if text_index_path is not None:
+                text_index_maintain(
+                    spark,
+                    text_index_path,
+                    compact_after=maintain_compact_after,
+                    vacuum_min_age_sec=maintain_vacuum_min_age_sec,
+                )
+            if ann_index_path is not None:
+                ivf_index_maintain(
+                    spark,
+                    ann_index_path,
+                    compact_after=maintain_compact_after,
+                    vacuum_min_age_sec=maintain_vacuum_min_age_sec,
+                )
 
     return inner
 
@@ -834,7 +874,12 @@ def span_ingest_sink(
                 # mergeSchema: the base carries the src_batch payload
                 # column that live batch_id=N partitions lack
                 raw = spark.read.option("mergeSchema", "true").parquet(index_path)
-                idx = dedup_span_store(raw.filter(F.col("batch_id") < batch_id))
+                # pending=False: heal_pending_base just ran above, so a
+                # batch_id=-3 publish dir cannot exist on this hot path
+                # — skip the per-read detection aggregate (ADVICE r09)
+                idx = dedup_span_store(
+                    raw.filter(F.col("batch_id") < batch_id), pending=False
+                )
             else:
                 raw = spark.read.parquet(index_path)
                 idx = raw.filter(F.col("batch_id") < batch_id).select("gh", "cnt")

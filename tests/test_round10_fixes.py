@@ -1,0 +1,494 @@
+"""Round-10 fixes, test-pinned:
+
+* writer-lock steal race (ADVICE r09 medium #1 + low #3, VERDICT r09 #3):
+  sentinel-serialized content-verified steal — two racing stealers can
+  never both win, a fresh live lock is never removed, a vanished lock is
+  retried instead of refused, and the lock is never visible without its
+  holder metadata;
+* vacuum grace period ages from the RETIRE flip, not last write
+  (ADVICE r09 medium #2);
+* exact n_empty accounting for deleted/expired zero-token docs
+  (VERDICT r09 #5 — the ``empty_docs`` list);
+* one-column takedown contract fail-fast (VERDICT r09 #7);
+* `dedup_span_store` pending flag (ADVICE r09 low #4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.retrieval import (
+    text_index_append,
+    text_index_compact,
+    text_index_delete,
+    text_index_expire,
+    text_index_fsck,
+    text_index_query,
+    text_index_vacuum,
+    text_index_write,
+)
+from geoscan_fraud_spark.operators.similarity import (
+    ivf_index_append,
+    ivf_index_compact,
+    ivf_index_delete,
+    ivf_index_vacuum,
+    ivf_index_write,
+    lloyd_centroids,
+)
+from geoscan_fraud_spark.sources.io import (
+    _try_steal_stale_lock,
+    forget_ids,
+    index_writer_lock,
+    list_index_generations,
+    read_index_meta,
+)
+
+HOST = socket.gethostname()
+
+
+def _dead_pid() -> int:
+    """A pid that provably does not exist: spawn-and-reap a child."""
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    return p.pid
+
+
+def _plant_lock(path: str, holder: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, ".writer.lock")
+    with open(lock, "w") as f:
+        f.write(holder)
+    return lock
+
+
+# ------------------------------------------------------------- writer lock
+
+
+def test_steal_verifies_content_before_removing(tmp_path):
+    """THE ADVICE r09 race: a stealer acting on a stale holder it read
+    earlier must never remove a FRESH lock that replaced it in the
+    window. The old rename-claim moved the fresh lock and broke mutual
+    exclusion; the new steal re-reads and verifies."""
+    path = str(tmp_path / "idx")
+    stale = f"pid={_dead_pid()} host={HOST} op=crashed token=aaaa"
+    lock = _plant_lock(path, stale)
+    # the window: another writer reclaimed and re-acquired — fresh lock
+    fresh = f"pid={os.getpid()} host={HOST} op=live token=bbbb"
+    with open(lock, "w") as f:
+        f.write(fresh)
+    # stealer B still believes `stale` is the holder
+    assert _try_steal_stale_lock(lock, stale) is False
+    assert open(lock).read().strip() == fresh  # untouched
+    # no sentinel leaked
+    assert [f for f in os.listdir(path) if ".steal-" in f] == []
+
+
+def test_steal_reclaims_dead_holder_and_cleans_up(tmp_path):
+    path = str(tmp_path / "idx")
+    stale = f"pid={_dead_pid()} host={HOST} op=crashed token=cccc"
+    lock = _plant_lock(path, stale)
+    assert _try_steal_stale_lock(lock, stale) is True
+    assert not os.path.exists(lock)
+    assert [f for f in os.listdir(path) if ".steal-" in f] == []
+
+
+def test_steal_vanished_lock_reports_free(tmp_path):
+    """A lock that vanished between the read and the steal is free —
+    the caller re-contends instead of refusing (VERDICT r09 #3)."""
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lock = os.path.join(path, ".writer.lock")
+    stale = f"pid={_dead_pid()} host={HOST} op=crashed token=dddd"
+    assert _try_steal_stale_lock(lock, stale) is True
+
+
+def test_steal_recovers_from_crashed_stealer_sentinel(tmp_path):
+    """A stealer that crashed mid-steal leaves its sentinel behind; the
+    next contender adjudicates the sentinel's own dead holder and
+    completes the steal instead of wedging forever."""
+    import hashlib
+
+    path = str(tmp_path / "idx")
+    stale = f"pid={_dead_pid()} host={HOST} op=crashed token=eeee"
+    lock = _plant_lock(path, stale)
+    sentinel = f"{lock}.steal-{hashlib.md5(stale.encode()).hexdigest()[:12]}"
+    with open(sentinel, "w") as f:
+        f.write(f"pid={_dead_pid()} host={HOST}")
+    assert _try_steal_stale_lock(lock, stale) is True
+    assert not os.path.exists(lock) and not os.path.exists(sentinel)
+
+
+def test_steal_backs_off_while_live_stealer_works(tmp_path):
+    import hashlib
+
+    path = str(tmp_path / "idx")
+    stale = f"pid={_dead_pid()} host={HOST} op=crashed token=ffff"
+    lock = _plant_lock(path, stale)
+    sentinel = f"{lock}.steal-{hashlib.md5(stale.encode()).hexdigest()[:12]}"
+    with open(sentinel, "w") as f:
+        f.write(f"pid={os.getpid()} host={HOST}")  # live stealer
+    assert _try_steal_stale_lock(lock, stale) is False
+    assert os.path.exists(lock)
+    os.unlink(sentinel)
+
+
+def test_lock_never_visible_without_holder(tmp_path):
+    """The link-claim writes holder metadata BEFORE the lock becomes
+    visible (ADVICE r09 low: the old create-then-write crash window left
+    an empty, forever-unstealable lock)."""
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+    lock = os.path.join(path, ".writer.lock")
+    with index_writer_lock(path, "test_op"):
+        content = open(lock).read()
+        fields = dict(kv.split("=", 1) for kv in content.split())
+        assert fields["pid"] == str(os.getpid())
+        assert fields["host"] == HOST
+        assert fields["op"] == "test_op"
+        assert len(fields["token"]) == 12  # unique per acquire (anti-ABA)
+        # the claim tmp is consumed
+        assert [f for f in os.listdir(path) if ".claim-" in f] == []
+    assert not os.path.exists(lock)
+
+
+def test_two_contenders_with_dead_holder_both_proceed(tmp_path):
+    """VERDICT r09 #3 'done' criterion: two threads contend over a
+    planted dead-holder lock; BOTH must eventually run their critical
+    sections, and never concurrently."""
+    path = str(tmp_path / "idx")
+    stale = f"pid={_dead_pid()} host={HOST} op=crashed token=gggg"
+    _plant_lock(path, stale)
+
+    inside = [0]
+    max_inside = [0]
+    done = []
+    errors = []
+
+    def contend(name):
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                with index_writer_lock(path, name):
+                    inside[0] += 1
+                    max_inside[0] = max(max_inside[0], inside[0])
+                    time.sleep(0.05)
+                    inside[0] -= 1
+                done.append(name)
+                return
+            except ValueError:
+                time.sleep(0.01)  # held by the other contender — retry
+        errors.append(f"{name} never acquired")
+
+    threads = [
+        threading.Thread(target=contend, args=(f"w{i}",)) for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert sorted(done) == ["w0", "w1"]
+    assert max_inside[0] == 1  # mutual exclusion held throughout
+    assert not os.path.exists(os.path.join(path, ".writer.lock"))
+
+
+def test_lock_still_refuses_live_and_foreign_holders(tmp_path):
+    path = str(tmp_path / "idx")
+    # live same-host holder
+    _plant_lock(path, f"pid={os.getpid()} host={HOST} op=x token=hhhh")
+    with pytest.raises(ValueError, match="writer is active"):
+        with index_writer_lock(path, "op"):
+            pass
+    # foreign host, dead-looking pid — cross-host liveness unknowable
+    _plant_lock(path, f"pid={_dead_pid()} host=elsewhere op=x token=iiii")
+    with pytest.raises(ValueError, match="writer is active"):
+        with index_writer_lock(path, "op"):
+            pass
+    os.unlink(os.path.join(path, ".writer.lock"))
+
+
+# ------------------------------------------------- vacuum retire-time grace
+
+DOCS = [
+    (0, "alpha beta gamma"),
+    (1, "alpha delta"),
+    (2, "beta beta gamma delta"),
+    (3, "gamma delta epsilon"),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _backdate(root: str, names, age: float) -> None:
+    t = time.time() - age
+    for name, gens in list_index_generations(root, list(names)).items():
+        for g in gens:
+            d = os.path.join(root, name if g == 0 else f"{name}.g{g}")
+            os.utime(d, (t, t))
+
+
+def test_vacuum_grace_ages_from_retire_not_last_write(spark, tmp_path):
+    """ADVICE r09 medium #2: a generation QUIESCENT for longer than the
+    grace period used to be vacuumable the instant it was retired. Now
+    the flip stamps outgoing dirs, so a fresh retirement always gets a
+    full grace period."""
+    path = str(tmp_path / "idx")
+    text_index_write(spark.createDataFrame(DOCS, SCHEMA), path, n_buckets=4)
+    # make generation 0 look long-quiescent (last write far in the past)
+    _backdate(path, ["postings", "terms"], age=3600)
+    text_index_compact(spark, path)  # flips to gen 1, stamps gen 0 = NOW
+    # a grace-period vacuum right after the flip must NOT remove gen 0
+    assert text_index_vacuum(path, min_age_sec=60) == []
+    assert os.path.isdir(os.path.join(path, "postings"))
+    # once the grace period has really elapsed since the RETIRE, it goes
+    _backdate(path, ["postings", "terms"], age=120)
+    removed = text_index_vacuum(path, min_age_sec=60)
+    assert "postings" in removed and "terms" in removed
+
+
+def test_ivf_vacuum_grace_ages_from_retire(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(40)]
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 4)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_index_write(df, path, centroids=cent)
+    _backdate(path, ["lists"], age=3600)
+    ivf_index_compact(spark, path)
+    assert ivf_index_vacuum(path, min_age_sec=60) == []
+    _backdate(path, ["lists"], age=120)
+    assert "lists" in ivf_index_vacuum(path, min_age_sec=60)
+
+
+# ------------------------------------------- exact empty-doc stat recompute
+
+EMPTY_DOCS = DOCS + [(4, ""), (5, "   ")]  # 4 and 5 tokenize to nothing
+
+
+def test_deleted_empty_doc_comes_off_n_docs_exactly(spark, tmp_path):
+    """VERDICT r09 #5: tombstoning a zero-token doc used to leave its +1
+    in n_docs forever. With the empty_docs list, compaction subtracts it
+    exactly and the result is bit-equal to a from-scratch build over the
+    survivor corpus."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(EMPTY_DOCS, SCHEMA)
+    text_index_write(docs.filter(F.col("doc_id") <= 3), path, n_buckets=4)
+    text_index_append(docs.filter(F.col("doc_id") > 3), path)
+    meta = read_index_meta(path + "/stats.json")
+    assert meta["n_docs"] == 6 and meta["n_empty"] == 2
+    assert meta["empties_tracked"] is True
+
+    # tombstone one empty doc and one real doc, compact
+    text_index_delete(spark, path, [1, 4])
+    text_index_compact(spark, path)
+    meta = read_index_meta(path + "/stats.json")
+    assert meta["n_empty"] == 1  # doc 5 survives, doc 4 is gone
+    assert meta["n_docs"] == 4  # docs 0, 2, 3, 5
+
+    # bit-parity with a from-scratch build over the survivors
+    ref = str(tmp_path / "ref")
+    text_index_write(
+        docs.filter(~F.col("doc_id").isin(1, 4)), ref, n_buckets=4
+    )
+    ref_meta = read_index_meta(ref + "/stats.json")
+    assert meta["n_docs"] == ref_meta["n_docs"]
+    assert meta["total_dl"] == ref_meta["total_dl"]
+    assert meta["avgdl"] == ref_meta["avgdl"]
+    qs = [("q1", "gamma delta"), ("q2", "alpha")]
+    got = {
+        tuple(r) for r in text_index_query(spark, path, qs, k=5).collect()
+    }
+    want = {
+        tuple(r) for r in text_index_query(spark, ref, qs, k=5).collect()
+    }
+    assert got == want
+
+    # idempotent: a second compaction changes nothing
+    text_index_compact(spark, path)
+    meta2 = read_index_meta(path + "/stats.json")
+    assert (meta2["n_docs"], meta2["n_empty"], meta2["total_dl"]) == (
+        meta["n_docs"], meta["n_empty"], meta["total_dl"]
+    )
+
+
+def test_expired_empty_doc_comes_off_n_docs(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(EMPTY_DOCS, SCHEMA)
+    text_index_write(docs.filter(F.col("doc_id") <= 3), path, n_buckets=4)
+    # batch 1 carries the empty docs; expire below 2 drops them
+    text_index_append(docs.filter(F.col("doc_id") > 3), path, src_batch=1)
+    text_index_expire(spark, path, min_src_batch=2)
+    meta = read_index_meta(path + "/stats.json")
+    assert meta["n_empty"] == 0
+    assert meta["n_docs"] == 4  # the four build docs (src_batch=-1 kept)
+
+
+def test_legacy_index_without_tracking_keeps_carry_forward(spark, tmp_path):
+    """An index whose stats.json lacks empties_tracked (pre-r10) keeps
+    the conservative counter carry-forward on compaction."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(EMPTY_DOCS, SCHEMA)
+    text_index_write(docs, path, n_buckets=4)
+    # simulate a pre-r10 index: drop the flag and the list
+    meta_path = path + "/stats.json"
+    m = json.load(open(meta_path))
+    del m["empties_tracked"]
+    with open(meta_path, "w") as f:
+        json.dump(m, f)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "empty_docs"))
+    text_index_delete(spark, path, [4])  # a (now-invisible) empty doc
+    text_index_compact(spark, path)
+    meta = read_index_meta(meta_path)
+    assert meta["n_empty"] == 2  # carry-forward, the documented legacy mode
+    assert meta["n_docs"] == 6  # 4 live + 2 empty (old caveat semantics)
+
+
+def test_empty_docs_fold_under_generations_and_vacuum(spark, tmp_path):
+    """The empty_docs family is generation-scoped like the others: a
+    compaction rewrites it at the new generation and vacuum removes the
+    stale copy."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(EMPTY_DOCS, SCHEMA)
+    text_index_write(docs, path, n_buckets=4)
+    text_index_compact(spark, path)
+    gens = list_index_generations(path, ["empty_docs"])["empty_docs"]
+    assert gens == [0, 1]
+    removed = text_index_vacuum(path)
+    assert "empty_docs" in removed
+    assert list_index_generations(path, ["empty_docs"])["empty_docs"] == [1]
+    rep = text_index_fsck(spark, path)
+    assert rep["status"] == "ok"
+
+
+# --------------------------------------------------- takedown id contract
+
+
+def test_takedown_rejects_multi_column_ids(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    path = str(tmp_path / "idx")
+    text_index_write(docs, path, n_buckets=4)
+    with pytest.raises(ValueError, match="ONE-column"):
+        text_index_delete(spark, path, docs)  # two columns
+    with pytest.raises(ValueError, match="ONE-column"):
+        forget_ids(spark, str(tmp_path / "store"), docs)
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 2)
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = str(tmp_path / "ivf")
+    ivf_index_write(vdf, ivf, centroids=cent)
+    with pytest.raises(ValueError, match="ONE-column"):
+        ivf_index_delete(spark, ivf, vdf)
+    # the happy paths still work
+    text_index_delete(spark, path, docs.select("doc_id"))
+    ivf_index_delete(spark, ivf, vdf.select("vec_id"))
+    forget_ids(spark, str(tmp_path / "store"), [1, 2])
+
+
+# ------------------------------------------------- j2 fold value pin (r10)
+
+
+def test_j2_join_two_keys_matches_pandas(spark, sf_dir):
+    """j2_join_two_keys rotated out of the 50-slot registry in r10 (slot
+    funds ann_ivf_incremental_query); its aggregate-then-self-join result
+    stays pinned here against a pandas groupby+merge."""
+    import pandas as pd
+
+    from geoscan_fraud_spark.harness import j2_join_two_keys
+
+    got = j2_join_two_keys(spark, sf_dir).toPandas()
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))[
+        ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"]
+    ]
+    pq = (
+        li.groupby(["l_orderkey", "l_partkey"], as_index=False)["l_quantity"]
+        .sum()
+        .rename(columns={"l_quantity": "part_qty"})
+    )
+    pq["part_qty"] = pq["part_qty"].round(2)  # the DECIMAL(18,2) contract
+    want = li.drop(columns="l_quantity").merge(
+        pq, on=["l_orderkey", "l_partkey"]
+    )
+    key = ["l_orderkey", "l_partkey", "l_linenumber"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ----------------------------------------------- MVCC stale-read snapshot
+
+
+def test_ivf_query_meta_handle_pins_generation(spark, tmp_path):
+    """`ivf_index_query(meta=...)` is the MVCC read handle: a query
+    planned against gen-N metadata after gen N+1 flipped still serves
+    the gen-N snapshot (tombstone-filtered), byte-complete — the
+    registered ann_ivf_incremental_query gates the equal-result case;
+    this pins the UNEQUAL case (stale read sees the pre-delete world
+    minus tombstones only when the delete landed in its generation)."""
+    path = str(tmp_path / "ivf")
+    rows = [(i, [float(i % 7), float(i % 4), 1.0]) for i in range(60)]
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 4)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_index_write(df, path, centroids=cent)
+    gen0 = read_index_meta(path + "/centroids.json")
+    # append lands in gen 0 AFTER the handle was taken: a stale reader
+    # sees it (appends go INTO the live generation, no flip)
+    ivf_index_append(
+        spark.createDataFrame(
+            [(100, [9.0, 5.0, 1.0])], "vec_id long, embedding array<double>"
+        ),
+        path,
+    )
+    ivf_index_compact(spark, path)  # flip to gen 1
+    # delete AFTER the flip: tombstones are generation-scoped to gen 1,
+    # so the stale gen-0 read must NOT see them
+    ivf_index_delete(spark, path, [100])
+    from geoscan_fraud_spark.operators.similarity import ivf_index_query
+
+    q = spark.createDataFrame(
+        [(999, [9.0, 5.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    live = ivf_index_query(
+        q, path, k=1, nprobe=4, rerank_corpus=df, exclude_self=False
+    )
+    stale = ivf_index_query(
+        q, path, k=1, nprobe=4, rerank_corpus=None, exclude_self=False,
+        meta=gen0,
+    )
+    # live read: 100 tombstoned -> nearest is some original vector;
+    # stale read: plans against gen 0 (pre-compact files, gen-0
+    # tombstones dir = none) -> 100 is still the nearest neighbor
+    assert live.filter(F.col("vec_id") == 100).count() == 0
+    assert stale.first()["vec_id"] == 100
+
+
+# --------------------------------------------------- span-store pending flag
+
+
+def test_dedup_span_store_pending_flag(spark):
+    from geoscan_fraud_spark.operators.spans import dedup_span_store
+
+    rows = spark.createDataFrame(
+        [(-1, 10, 2, 1), (-3, 10, 2, 1), (5, 11, 1, None)],
+        "batch_id int, gh long, cnt bigint, src_batch int",
+    )
+    # None: in-plan detection drops the superseded base rows
+    assert dedup_span_store(rows).count() == 2
+    # True: caller says a publish is pending — same result, no detection
+    assert dedup_span_store(rows, pending=True).count() == 2
+    # False: caller (the sink, post-heal) asserts no publish dir exists;
+    # base rows are kept as-is
+    clean = spark.createDataFrame(
+        [(-1, 10, 2, 1), (5, 11, 1, None)],
+        "batch_id int, gh long, cnt bigint, src_batch int",
+    )
+    assert dedup_span_store(clean, pending=False).count() == 2

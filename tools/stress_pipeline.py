@@ -29,6 +29,28 @@ Ops covered (the VERDICT list):
   ivf_index_compact        - MVCC generation publish for the lists
   prepared_serving_sink    - the whole gate->dedup->store->serve batch
 
+Skew rungs (VERDICT r09 #4): the uniform ladder is workload-linear by
+construction, so it cannot catch hot-KEY collapse. A second ladder
+plants a zipf-ish hot family at ~20% of rows — one near-duplicate text
+family (one MinHash band-bucket family AND one hot posting term) and
+one hot IVF list — and re-times `dedup_minhash_xxhash64`,
+`text_index_query`, `ivf_index_query` as ``*_skew`` entries. Recorded
+per skew op, flagged when out of bounds:
+  slope        - same log-log fit as the uniform ladder (> 1.35 flags);
+  skew_ratio   - skewed wall / uniform wall at the SAME rung (max over
+                 rungs; > 4.0 flags). This is the collapse observable:
+                 a hot key serializing 20% of the work onto one slot
+                 balloons wall time relative to the uniform twin, while
+                 the hot-bucket max_bucket guards / bucket layout / AQE
+                 keep it bounded.
+  max_task_ratio - best-effort max/median task runtime over the op's
+                 stages (UI REST API; null when unavailable). Recorded
+                 to make the planted skew VISIBLE (expected ~hot_share *
+                 task_slots when a single key cannot split further) —
+                 informational, not flagged, because wall time is what
+                 measures whether skew is HANDLED; max/median measures
+                 only whether it EXISTS.
+
 Usage:
   python tools/stress_pipeline.py [sf_dir] [scales] [out_json]
   python tools/stress_pipeline.py /root/testdata/sf0.1 1,2,4 BENCH_scale.json
@@ -49,6 +71,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 FLAG_SLOPE = 1.35
+#: skewed wall / uniform wall at the same rung above this flags
+#: hot-key collapse (generous: local single-run timings are noisy and a
+#: 20%-hot family legitimately costs a little more than uniform)
+SKEW_RATIO_BOUND = 4.0
 
 
 def scaled_docs(spark, sf_dir: str, k: int):
@@ -106,6 +132,118 @@ def scaled_emb(spark, sf_dir: str, k: int):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: the text planted into every hot doc: shared shingles put the whole
+#: family into the same MinHash band buckets (near-dup, not exact — a
+#: unique tail token is appended per doc) and `hotterm` concentrates 20%
+#: of all postings into one term bucket
+HOT_TEMPLATE = (
+    "hotterm alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+)
+
+
+def skewed_docs(spark, sf_dir: str, k: int):
+    """`scaled_docs` with a planted hot family: every 5th doc's text is
+    REPLACED by the shared template plus a per-doc unique tail (near-dup
+    family, one hot posting term), across ALL copies — a global zipf
+    head the content-disjoint uniform ladder cannot produce."""
+    from pyspark.sql import functions as F
+
+    base = scaled_docs(spark, sf_dir, k)
+    hot = F.col("doc_id") % 5 == 0
+    return base.select(
+        "doc_id",
+        F.when(
+            hot,
+            F.concat(
+                F.lit(HOT_TEMPLATE + " u"), F.col("doc_id").cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def skewed_emb(spark, sf_dir: str, k: int):
+    """`scaled_emb` with every 5th vector collapsed onto one direction
+    (~[10, 10, ...] plus a per-id first-coordinate nudge so rows stay
+    distinct) — the whole hot family lands in ONE inverted list."""
+    from pyspark.sql import functions as F
+
+    base = scaled_emb(spark, sf_dir, k)
+    hot = F.col("vec_id") % 5 == 0
+    hot_vec = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            i == 0,
+            F.lit(10.0) + (F.col("vec_id") % 97).cast("double") * F.lit(1e-4),
+        ).otherwise(F.lit(10.0)),
+    )
+    return base.select(
+        "vec_id",
+        F.when(hot, hot_vec).otherwise(F.col("embedding")).alias("embedding"),
+    )
+
+
+class TaskSkewProbe:
+    """Best-effort max/median task-runtime ratio over the stages an op
+    ran, via the Spark UI REST API (this tool enables the UI on its own
+    session; the engine's default session keeps it off). Every failure
+    path degrades to None — the probe is informational (see module
+    docstring: wall time is the flagged observable, max/median only
+    makes the planted skew visible)."""
+
+    def __init__(self, spark):
+        self._base = None
+        try:
+            url = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            if url:
+                self._base = f"{url}/api/v1/applications/{app_id}"
+        except Exception:
+            pass
+
+    def measure(self, since_epoch_ms: float, min_max_task_ms: float = 250.0):
+        """max over completed stages submitted after ``since`` of
+        (max task runtime / median task runtime), ignoring stages whose
+        max task is below ``min_max_task_ms`` (pure scheduling noise)."""
+        if self._base is None:
+            return None
+        import json as _json
+        import urllib.request
+        from datetime import datetime
+
+        def _ms(s):
+            return datetime.strptime(
+                s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            ).timestamp() * 1000.0
+
+        try:
+            with urllib.request.urlopen(
+                f"{self._base}/stages?status=complete", timeout=10
+            ) as r:
+                stages = _json.load(r)
+            worst = None
+            for st in stages:
+                sub = st.get("submissionTime")
+                if not sub or _ms(sub) < since_epoch_ms:
+                    continue
+                with urllib.request.urlopen(
+                    f"{self._base}/stages/{st['stageId']}/"
+                    f"{st['attemptId']}/taskSummary?quantiles=0.5,1.0",
+                    timeout=10,
+                ) as r:
+                    q = _json.load(r)
+                med, mx = q["executorRunTime"]
+                if mx < min_max_task_ms or med <= 0:
+                    continue
+                ratio = mx / med
+                worst = ratio if worst is None else max(worst, ratio)
+            return round(worst, 2) if worst is not None else None
+        except Exception:
+            return None
 
 
 def timed(fn) -> float:
@@ -166,7 +304,12 @@ def main():
     from geoscan_fraud_spark.sources.io import load_fixture
     from geoscan_fraud_spark.streaming.scoring import prepared_serving_sink
 
-    spark = get_spark(app_name="pipeline-stress")
+    # the UI is on ONLY here (engine default: off) — the TaskSkewProbe
+    # reads per-stage task summaries from its REST API
+    spark = get_spark(
+        app_name="pipeline-stress",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM / parquet footers so scale-1 isn't paying cold costs
@@ -177,14 +320,18 @@ def main():
 
     warmup = False
 
-    def record(op: str, rows: int, sec: float):
+    def record(op: str, rows: int, sec: float, ratio: float | None = None):
         if warmup:
             print(f"  {op}: warm-up {sec:.2f}s (discarded)", flush=True)
             return
         r = results.setdefault(op, {"rows": [], "secs": []})
         r["rows"].append(rows)
         r["secs"].append(round(sec, 3))
-        print(f"  {op}: {rows:,} rows -> {sec:.2f}s", flush=True)
+        extra = ""
+        if op.endswith("_skew"):
+            r.setdefault("max_task_ratio", []).append(ratio)
+            extra = f" (max/median task {ratio})"
+        print(f"  {op}: {rows:,} rows -> {sec:.2f}s{extra}", flush=True)
 
     work = tempfile.mkdtemp(prefix="stress_pipeline_")
     try:
@@ -297,6 +444,54 @@ def main():
 
             docs.unpersist()
             emb.unpersist()
+
+        # ---- skew rungs (VERDICT r09 #4): hot-key collapse detection.
+        # No separate warm-up: every op/plan shape is already JIT-warm
+        # from the uniform ladder above, and the uniform twin it is
+        # ratioed against ran under the same warm state.
+        probe = TaskSkewProbe(spark)
+        skew_queries = queries + [("hotq", "hotterm alpha beta gamma")]
+        for k in scales:
+            print(f"skew scale x{k}:", flush=True)
+            sdocs = skewed_docs(spark, sf_dir, k).persist()
+            n_docs = sdocs.count()
+            semb = skewed_emb(spark, sf_dir, k).persist()
+            n_emb = semb.count()
+
+            t0 = time.time() * 1000.0
+            sec = timed(
+                lambda: dd.minhash_dedup(
+                    sdocs, threshold=0.5, n=3, num_hashes=48, bands=12
+                ).count()
+            )
+            record(
+                "dedup_minhash_xxhash64_skew", n_docs, sec,
+                ratio=probe.measure(t0),
+            )
+
+            stidx = f"{work}/text_idx_skew_x{k}"
+            text_index_write(seed_docs, stidx, n_buckets=32)
+            text_index_append(sdocs, stidx)
+            t0 = time.time() * 1000.0
+            sec = timed(
+                lambda: text_index_query(
+                    spark, stidx, skew_queries, k=10
+                ).count()
+            )
+            record("text_index_query_skew", n_docs, sec, ratio=probe.measure(t0))
+
+            saidx = f"{work}/ivf_idx_skew_x{k}"
+            ivf_index_write(seed_emb, saidx, n_centroids=16, seed=42)
+            ivf_index_append(semb, saidx)
+            hotq = semb.filter(F.col("vec_id") % 5 == 0).limit(50)
+            t0 = time.time() * 1000.0
+            sec = timed(
+                lambda: ivf_index_query(hotq, saidx, k=10, nprobe=4).count()
+            )
+            record("ivf_index_query_skew", n_emb, sec, ratio=probe.measure(t0))
+
+            sdocs.unpersist()
+            semb.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -307,11 +502,27 @@ def main():
         r["superlinear"] = slope > FLAG_SLOPE
         if r["superlinear"]:
             flagged.append(op)
+        if op.endswith("_skew"):
+            # wall-clock collapse check against the uniform twin at the
+            # same rung — THE bounded-ness assertion for planted skew
+            base = results.get(op[: -len("_skew")])
+            if base:
+                ratios = [
+                    round(s / u, 3) if u > 0 else None
+                    for s, u in zip(r["secs"], base["secs"])
+                ]
+                r["skew_ratio_per_rung"] = ratios
+                worst = max(x for x in ratios if x is not None)
+                r["skew_ratio"] = worst
+                r["skew_collapsed"] = worst > SKEW_RATIO_BOUND
+                if r["skew_collapsed"]:
+                    flagged.append(op + ":wall_ratio")
 
     payload = {
         "sf_dir": sf_dir,
         "scales": scales,
         "flag_slope": FLAG_SLOPE,
+        "skew_ratio_bound": SKEW_RATIO_BOUND,
         "flagged": flagged,
         "ops": results,
     }

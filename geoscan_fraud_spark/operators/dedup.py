@@ -170,7 +170,10 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataF
 
 
 def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
-    """Drop rows in buckets larger than ``max_bucket`` (hot-bucket guard).
+    """Drop rows in buckets larger than ``max_bucket`` (hot-bucket guard;
+    used by the simhash / winnowing / embedding-LSH / incremental-store
+    self-joins — the MinHash banding path uses the strictly-better
+    `_star_capped_buckets` instead).
 
     A duplicate-heavy corpus puts k near-identical docs into one LSH
     bucket and the self-join emits k^2/2 candidate pairs BEFORE any
@@ -191,6 +194,46 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
         .filter(F.col("__bsz") <= max_bucket)
         .drop("__bsz")
     )
+
+
+def _star_capped_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int
+) -> tuple:
+    """Hot-bucket guard for the CONNECTED-COMPONENTS candidate join:
+    split the banded rows into (small_buckets, star_edges). Buckets at or
+    under ``max_bucket`` keep exact all-pairs LSH semantics (the common
+    case — the window count shares the partitioning the self-join
+    shuffles on). Buckets OVER it emit a linear STAR instead: every
+    member pairs with the bucket's min-id hub, k-1 edges instead of
+    k^2/2.
+
+    Why star beats drop here (r10 — the skew scale rung caught the
+    default-unguarded path going quadratic at 29x the uniform wall on a
+    planted 20% near-dup family): downstream consumers verify candidate
+    pairs and feed CONNECTED COMPONENTS, where a verified star over a
+    genuine near-dup family yields the same component as the verified
+    clique — the family still collapses. Dropping the bucket (the
+    `_cap_buckets` policy) exempts exactly the flood that most needs
+    deduping. Recall vs all-pairs: a member joins the family only
+    through the hub, so a member similar to its neighbors but NOT to
+    the hub under-links (bounded by the verification threshold);
+    strictly more recall than drop (star edges ⊃ nothing), strictly
+    bounded cost (k-1 vs k^2/2). Precision is untouched — every star
+    edge still goes through the same Jaccard verification."""
+    w = Window.partitionBy(*keys)
+    tagged = banded.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "__hub", F.min("id").over(w)
+    )
+    small = tagged.filter(F.col("__bsz") <= max_bucket).drop("__bsz", "__hub")
+    star = (
+        tagged.filter(
+            (F.col("__bsz") > max_bucket) & (F.col("id") != F.col("__hub"))
+        )
+        # hub is the bucket min, so id_a < id_b holds by construction —
+        # the same canonical orientation the self-join emits
+        .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return small, star
 
 
 def _sig_candidate_pairs(
@@ -230,16 +273,19 @@ def _sig_candidate_pairs(
     banded = sig.select(
         "id", F.posexplode(band_hashes).alias("band", "bh")
     )
+    star = None
     if max_bucket is not None:
-        banded = _cap_buckets(banded, ["band", "bh"], max_bucket)
+        banded, star = _star_capped_buckets(banded, ["band", "bh"], max_bucket)
     a = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"))
     b = banded.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"))
-    return (
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_candidate_pairs(
@@ -255,9 +301,11 @@ def minhash_candidate_pairs(
     """LSH candidates: (id_a, id_b) sharing >=1 signature band.
 
     bands x rows = num_hashes; collision prob ~ 1-(1-j^r)^b for Jaccard j.
-    ``max_bucket`` (optional) drops band buckets holding more than that
-    many docs before the self-join — the hot-bucket guard (`_cap_buckets`)
-    that keeps a duplicate-heavy corpus from going quadratic.
+    ``max_bucket`` (optional): band buckets holding more than that many
+    docs emit a linear min-id STAR instead of the quadratic all-pairs
+    self-join (`_star_capped_buckets` — the r10 hot-bucket guard that
+    keeps a near-dup-flooded corpus from going quadratic while the flood
+    still collapses through its hub in connected components).
     """
     sig = minhash_signature_table(df, text_col, id_col, n, num_hashes, sig_hash)
     return _sig_candidate_pairs(sig, num_hashes, bands, sig_hash, max_bucket)
@@ -358,7 +406,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
     precollapse_exact: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
     keep: str = "min_id",
     keep_score_col: str | None = None,
 ) -> DataFrame:
@@ -398,9 +446,18 @@ def minhash_dedup(
     representative's component with Jaccard 1 and CC keeps the
     component-min id — the representative the collapse kept; NULL and
     empty texts share the [''] shingle set and merge either way
-    (equivalence pinned in test_round6_fixes). ``max_bucket``
-    additionally caps residual hot buckets (distinct-but-near-identical
-    floods) with the `_cap_buckets` recall tradeoff."""
+    (equivalence pinned in test_round6_fixes). ``max_bucket`` (default
+    256 since r10 — the skew scale rung measured the unguarded default
+    going quadratic, 29x the uniform wall, on a planted 20% near-dup
+    family) additionally bounds residual hot buckets
+    (distinct-but-near-identical floods): oversized buckets emit a
+    linear min-id star instead of all pairs (`_star_capped_buckets`),
+    so the flood still collapses through its verified hub while the
+    candidate count stays O(k) per hot bucket. Below the cap the
+    semantics are exactly unguarded LSH — results only change for
+    corpora holding >256 near-identical distinct docs in one bucket,
+    where the difference is bounded under-linking of hub-dissimilar
+    members (vs certain quadratic blow-up)."""
     if precollapse_exact:
         # (digest, id) pairs only — the digest is evaluated in the scan
         # stage and collapses map-side. The representative-id list is

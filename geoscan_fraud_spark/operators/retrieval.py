@@ -909,6 +909,7 @@ def text_index_query(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Query a persisted `text_index_write` index: (query_id, doc_id,
     score, rank) — identical semantics to `bm25_topk` over the indexed
@@ -920,8 +921,16 @@ def text_index_query(
     `ivf_index_query` contract). The bucket set is pushed as a static
     ``bucket IN (...)`` filter on BOTH the postings and terms scans —
     partition pruning, then an ordinary pushed (term IN ...) predicate
-    inside the surviving directories."""
-    meta = read_index_meta(os.path.join(path, "stats.json"))
+    inside the surviving directories.
+
+    ``meta`` is the MVCC snapshot handle (the `ivf_index_query` twin):
+    pass a previously-loaded ``stats.json`` dict to plan this query
+    against that generation even if maintenance has flipped the pointer
+    since — a retired generation's files (and its tombstones) stay
+    complete on disk until `text_index_vacuum`. Default None loads the
+    live metadata."""
+    if meta is None:
+        meta = read_index_meta(os.path.join(path, "stats.json"))
     n_buckets = meta["n_buckets"]
 
     q_rows = []

@@ -471,6 +471,83 @@ def test_ivf_query_meta_handle_pins_generation(spark, tmp_path):
     assert stale.first()["vec_id"] == 100
 
 
+def test_text_query_meta_handle_pins_generation(spark, tmp_path):
+    """`text_index_query(meta=...)` — the lexical twin of the IVF MVCC
+    read handle: a reader holding gen-N metadata after the gen-N+1 flip
+    serves the gen-N snapshot with gen-N tombstone visibility (a delete
+    landing in gen N+1 is invisible to it)."""
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    text_index_write(docs, path, n_buckets=4)
+    gen0 = read_index_meta(path + "/stats.json")
+    text_index_compact(spark, path)  # flip to gen 1
+    text_index_delete(spark, path, [2])  # gen-1-scoped tombstone
+    qs = [("q1", "beta gamma")]
+    live = text_index_query(spark, path, qs, k=5)
+    stale = text_index_query(spark, path, qs, k=5, meta=gen0)
+    assert live.filter(F.col("doc_id") == 2).count() == 0
+    assert stale.filter(F.col("doc_id") == 2).count() == 1
+    # scores of the stale read equal the pre-delete world exactly
+    ref = text_index_query(spark, path, qs, k=5, meta=gen0).collect()
+    assert {tuple(r) for r in stale.collect()} == {tuple(r) for r in ref}
+
+
+# -------------------------------------------- star hot-bucket guard (skew)
+
+HOT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu "
+    "xi omicron pi rho sigma tau upsilon"
+)
+
+
+def test_star_guard_bounds_flood_and_still_collapses_it(spark):
+    """The r10 skew rung measured the unguarded minhash default going
+    quadratic (29x uniform wall) on a 20% near-dup family. The star
+    guard bounds candidates to O(k) per hot bucket AND the family still
+    collapses to one representative — unlike the drop guard, which
+    exempted the flood from dedup entirely."""
+    from geoscan_fraud_spark.operators import dedup as dd
+
+    rows = [(i, f"{HOT} tail{i} x{i} y{i}") for i in range(600)] + [
+        (1000 + i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = dd.minhash_candidate_pairs(
+        docs, n=3, num_hashes=48, bands=12, max_bucket=50
+    ).count()
+    # star: ~599 hub edges (+ small-bucket pairs), nowhere near 600^2/2
+    assert cand < 5_000
+    kept = {
+        r.doc_id
+        for r in dd.minhash_dedup(
+            docs, threshold=0.5, n=3, num_hashes=48, bands=12, max_bucket=50
+        ).select("doc_id").collect()
+    }
+    assert kept & set(range(600)) == {0}  # the flood collapsed via its hub
+    assert set(range(1000, 1020)) <= kept  # unrelated docs untouched
+
+
+def test_star_guard_inactive_below_cap(spark):
+    """Below the cap the guarded and unguarded candidate sets are
+    IDENTICAL — the default only changes behavior on 256+ hot buckets."""
+    from geoscan_fraud_spark.operators import dedup as dd
+
+    rows = [(i, f"{HOT} tail{i} x{i} y{i}") for i in range(40)] + [
+        (1000 + i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, num_hashes=48, bands=12)
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_candidate_pairs(docs, max_bucket=256, **kw).collect()
+    }
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_candidate_pairs(docs, max_bucket=None, **kw).collect()
+    }
+    assert guarded == unguarded
+
+
 # --------------------------------------------------- span-store pending flag
 
 

@@ -22,18 +22,23 @@ full-text-verify path is the batch operator `minhash_dedup`).
 100 TB shape: the index never shuffles wholesale — the band join is
 keyed by (band, band-hash), high-cardinality and naturally balanced,
 and the candidate restriction joins touch only signature rows whose ids
-appear in a candidate pair. The hot-bucket guard (`_cap_buckets`) is
-available on both sides.
+appear in a candidate pair. Hot buckets are star-guarded BY DEFAULT
+since r10 (``max_bucket=256``): an oversized index bucket collapses to
+its min-id hub (batch docs still test against the family's
+representative — a flood keeps being suppressed, never admitted) and
+the batch-internal self-join emits hub edges instead of all pairs; the
+embedding-store path keeps the opt-in drop guard (`_cap_buckets`).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geoscan_fraud_spark.operators.components import connected_components
 from geoscan_fraud_spark.operators.dedup import (
     _cap_buckets,
+    _star_capped_buckets,
     minhash_signature_table,
 )
 
@@ -173,7 +178,7 @@ def dedup_against_index(
     bands: int = 16,
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
     precollapse_exact: bool = True,
 ) -> DataFrame:
     """Dedup an incoming batch against a signature index AND within
@@ -198,6 +203,16 @@ def dedup_against_index(
     them up front does. The collapse groups BY the signature array on
     the already-checkpointed signature table (one small shuffle of
     ~8·H-byte rows).
+
+    ``max_bucket`` (default 256 since r10): hot band buckets are
+    star-guarded — an oversized INDEX bucket collapses to its min-id
+    hub (every batch doc still estimates against the family's
+    representative, so a near-dup flood keeps being SUPPRESSED; the old
+    opt-in drop guard admitted the whole incoming flood, the one
+    failure mode a dedup gate must not have), and the batch-internal
+    self-join emits hub edges instead of all pairs (verified by the
+    same estimate, collapsed by the same components). Below the cap,
+    semantics are bit-identical to unguarded banding.
 
     The estimator needs identical (n, num_hashes, sig_hash) between the
     index build and this call; banding (``bands``) may differ run-to-run
@@ -234,9 +249,35 @@ def dedup_against_index(
     ib = _banded_sig(idx_for_bands, num_hashes, bands, sig_hash).select(
         "band", "bh", F.col("id").alias("oid")
     )
+    nb_small, nb_star = nb, None
     if max_bucket is not None:
-        nb = _cap_buckets(nb, ["band", "bh"], max_bucket)
-        ib = _cap_buckets(ib, ["band", "bh"], max_bucket)
+        # index side (r10 — the star-guard idea applied to ingest): a HOT
+        # index bucket collapses to its min-id representative instead of
+        # being dropped. The batch x index join output for that bucket is
+        # then m_batch x 1 (linear), and every batch doc still tests its
+        # estimated Jaccard against the family's hub — a flood keeps
+        # being suppressed, where the old drop guard ADMITTED the whole
+        # incoming flood (the worst failure mode for a dedup gate: a
+        # missing suppression silently double-ingests). Under-suppression
+        # is bounded to batch docs similar to the family but not its hub.
+        wi = Window.partitionBy("band", "bh")
+        ib = (
+            ib.withColumn("__bsz", F.count(F.lit(1)).over(wi))
+            .withColumn("__hub", F.min("oid").over(wi))
+            .filter(
+                (F.col("__bsz") <= max_bucket)
+                | (F.col("oid") == F.col("__hub"))
+            )
+            .drop("__bsz", "__hub")
+        )
+        # batch side: the stage-2 SELF-join gets the same star split as
+        # minhash_dedup (hot buckets emit hub edges; components collapse
+        # through the verified hub). Stage 1 keeps the FULL batch side —
+        # each batch doc needs its own chance to match the index, and the
+        # index side above already bounds that join.
+        nb_small, nb_star = _star_capped_buckets(
+            nb, ["band", "bh"], max_bucket
+        )
 
     # stage 1 — batch vs index: band-bucket candidates, then estimate
     cand_ix = (
@@ -252,14 +293,18 @@ def dedup_against_index(
     )
 
     # stage 2 — batch-internal: band self-join, estimate, components
-    a = nb.select("band", "bh", F.col("id").alias("id_a"))
-    b = nb.select("band", "bh", F.col("id").alias("id_b"))
+    a = nb_small.select("band", "bh", F.col("id").alias("id_a"))
+    b = nb_small.select("band", "bh", F.col("id").alias("id_b"))
     cand_in = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if nb_star is not None:
+        # star edges are CANDIDATES like any other — they pass the same
+        # estimated-Jaccard verification below before linking components
+        cand_in = cand_in.unionByName(nb_star)
+    cand_in = cand_in.distinct()
     sa = new_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = new_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = (

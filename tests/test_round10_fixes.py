@@ -548,6 +548,107 @@ def test_star_guard_inactive_below_cap(spark):
     assert guarded == unguarded
 
 
+def test_ingest_star_guard_keeps_suppressing_hot_index_family(spark):
+    """`dedup_against_index` with a hot INDEX bucket: the star guard
+    collapses the bucket to its hub, so an incoming near-dup of the
+    family is still SUPPRESSED — the old drop guard admitted the whole
+    flood (the failure mode a dedup gate must not have)."""
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    indexed = spark.createDataFrame(
+        [(i, f"{HOT} tail{i} x{i} y{i}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    index = minhash_index(indexed, n=3, num_hashes=48)
+    batch = spark.createDataFrame(
+        [(9000, f"{HOT} tail9000 x9000 y9000"),  # family near-dup
+         (9001, " ".join(f"fresh{j}" for j in range(25)))],  # genuinely new
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_against_index(
+            batch, index, n=3, num_hashes=48, bands=12, threshold=0.5,
+            max_bucket=50,
+        ).select("doc_id").collect()
+    }
+    assert kept == {9001}  # flood member suppressed, new doc admitted
+    # the old drop guard admits the flood member — pin the contrast so a
+    # regression back to drop semantics is loud
+    from geoscan_fraud_spark.operators import dedup as dd
+
+    nb = dd._cap_buckets(
+        spark.createDataFrame([(1, 1, i) for i in range(60)], "band int, bh int, id int"),
+        ["band", "bh"], 50,
+    )
+    assert nb.count() == 0  # drop removes the whole hot bucket
+
+
+def test_ingest_star_guard_batch_internal_flood(spark):
+    """A batch-internal near-dup flood larger than the cap still
+    collapses to one kept member through the hub edges."""
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    index = minhash_index(
+        spark.createDataFrame(
+            [(0, " ".join(f"old{j}" for j in range(25)))],
+            "doc_id long, text string",
+        ),
+        n=3, num_hashes=48,
+    )
+    batch = spark.createDataFrame(
+        [(i, f"{HOT} tail{i} a{i} b{i}") for i in range(300)]
+        + [(5000, " ".join(f"new{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_against_index(
+            batch, index, n=3, num_hashes=48, bands=12, threshold=0.5,
+            max_bucket=50,
+        ).select("doc_id").collect()
+    }
+    assert kept == {0, 5000}  # flood -> its min-id member + the new doc
+
+
+def test_ingest_guard_inactive_below_cap(spark):
+    """Guarded (default 256) == unguarded on small buckets —
+    bit-identical kept sets."""
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    indexed = spark.createDataFrame(
+        [(i, f"{HOT} tail{i} x{i} y{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    index = minhash_index(indexed, n=3, num_hashes=48)
+    batch = spark.createDataFrame(
+        [(100 + i, f"{HOT} tail{100+i} x{100+i} y{100+i}") for i in range(10)]
+        + [(500 + i, " ".join(f"n{i}_{j}" for j in range(25))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, num_hashes=48, bands=12, threshold=0.5)
+    kept_g = {
+        r.doc_id
+        for r in dedup_against_index(batch, index, max_bucket=256, **kw)
+        .select("doc_id").collect()
+    }
+    kept_u = {
+        r.doc_id
+        for r in dedup_against_index(batch, index, max_bucket=None, **kw)
+        .select("doc_id").collect()
+    }
+    assert kept_g == kept_u
+
+
 # --------------------------------------------------- span-store pending flag
 
 

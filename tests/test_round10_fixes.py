@@ -10,7 +10,15 @@
 * exact n_empty accounting for deleted/expired zero-token docs
   (VERDICT r09 #5 — the ``empty_docs`` list);
 * one-column takedown contract fail-fast (VERDICT r09 #7);
-* `dedup_span_store` pending flag (ADVICE r09 low #4).
+* `dedup_span_store` pending flag (ADVICE r09 low #4);
+* MVCC snapshot read handles on both serving queries (``meta=`` — the
+  stale-generation contract VERDICT r09 #6 put under the hash gate);
+* the star hot-bucket guard (found BY the new skew scale rung): oversized
+  LSH buckets emit linear min-id hub edges instead of k^2/2 pairs, on by
+  default for `minhash_dedup` AND the streaming ingest gate
+  `dedup_against_index` — bounded cost, floods still collapse/suppress,
+  bit-identical below the cap;
+* j2_join_two_keys fold value pin (slot funds ann_ivf_incremental_query).
 """
 
 from __future__ import annotations

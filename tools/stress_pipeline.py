@@ -28,6 +28,9 @@ Ops covered (the VERDICT list):
   ivf_index_query          - probe-pruned ANN serving read
   ivf_index_compact        - MVCC generation publish for the lists
   prepared_serving_sink    - the whole gate->dedup->store->serve batch
+  dedup_incremental_gate   - per-batch near-dup suppression vs a k-scaled
+                             signature index (the r10 star-guarded read
+                             side of the streaming ingest gate)
 
 Skew rungs (VERDICT r09 #4): the uniform ladder is workload-linear by
 construction, so it cannot catch hot-KEY collapse. A second ladder
@@ -300,6 +303,10 @@ def main():
         ivf_index_query,
         ivf_index_write,
     )
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
     from geoscan_fraud_spark.operators.spans import remove_repeated_spans
     from geoscan_fraud_spark.sources.io import load_fixture
     from geoscan_fraud_spark.streaming.scoring import prepared_serving_sink
@@ -442,6 +449,29 @@ def main():
                 timed(lambda: sink(docs, 0)),
             )
 
+            # the incremental ingest GATE (r10): a k-scaled signature
+            # index vs a fixed-size batch of near-dups of copy 0 — the
+            # per-micro-batch suppression cost as the store grows. The
+            # index build is outside the timer (the gate's read side,
+            # not the build, is the per-batch cost).
+            idx_sig = minhash_index(docs, n=3, num_hashes=48).persist()
+            idx_sig.count()
+            batch_u = scaled_docs(spark, sf_dir, 1).select(
+                (F.col("doc_id") + F.lit(70_000_000)).alias("doc_id"),
+                "text",
+            )
+            record(
+                "dedup_incremental_gate",
+                n_docs,
+                timed(
+                    lambda: dedup_against_index(
+                        batch_u, idx_sig, n=3, num_hashes=48, bands=12,
+                        threshold=0.5,
+                    ).count()
+                ),
+            )
+            idx_sig.unpersist()
+
             docs.unpersist()
             emb.unpersist()
 
@@ -489,6 +519,30 @@ def main():
                 lambda: ivf_index_query(hotq, saidx, k=10, nprobe=4).count()
             )
             record("ivf_index_query_skew", n_emb, sec, ratio=probe.measure(t0))
+
+            # ingest gate vs a HOT index: 20% of the k-scaled index is
+            # one near-dup family; 20% of the fixed batch hits it. The
+            # star guard (default) keeps the bucket join linear AND
+            # keeps suppressing the flood — the old drop guard would
+            # admit it wholesale
+            sidx_sig = minhash_index(sdocs, n=3, num_hashes=48).persist()
+            sidx_sig.count()
+            batch_s = skewed_docs(spark, sf_dir, 1).select(
+                (F.col("doc_id") + F.lit(70_000_000)).alias("doc_id"),
+                "text",
+            )
+            t0 = time.time() * 1000.0
+            sec = timed(
+                lambda: dedup_against_index(
+                    batch_s, sidx_sig, n=3, num_hashes=48, bands=12,
+                    threshold=0.5,
+                ).count()
+            )
+            record(
+                "dedup_incremental_gate_skew", n_docs, sec,
+                ratio=probe.measure(t0),
+            )
+            sidx_sig.unpersist()
 
             sdocs.unpersist()
             semb.unpersist()

@@ -657,6 +657,35 @@ def test_ingest_guard_inactive_below_cap(spark):
     assert kept_g == kept_u
 
 
+def test_stale_generation_read_keeps_partition_pruning(spark, tmp_path):
+    """The MVCC snapshot handle must not cost the read its scale
+    property: a query planned against RETIRED gen-0 metadata (while gen
+    1 is live) still pushes the static ``list_id IN (...)`` probe filter
+    into the stale generation's file listing — snapshot isolation with
+    the same pruned scan, not a fallback full read."""
+    import re
+
+    from geoscan_fraud_spark.operators.similarity import ivf_index_query
+
+    rows = [(i, [float((i * 7) % 13), float(i % 5), 1.0]) for i in range(80)]
+    cent = lloyd_centroids(np.array([v for _, v in rows]), 8)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(df, path, centroids=cent)
+    gen0 = read_index_meta(path + "/centroids.json")
+    ivf_index_compact(spark, path)  # flip to gen 1; gen 0 now stale
+
+    out = ivf_index_query(
+        df.filter(F.col("vec_id") == 0), path, k=3, nprobe=2, meta=gen0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[list_id[^\]]*IN", plan), plan[:800]
+    # and the scan reads the STALE generation's bare directory, not .g1
+    files = [f for f in out.inputFiles() if "/lists" in f]
+    assert files and all("/lists/" in f for f in files), files[:5]
+    assert not any("lists.g1" in f for f in files)
+
+
 # --------------------------------------------------- span-store pending flag
 
 

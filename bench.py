@@ -246,6 +246,38 @@ def main():
         q = e.filter(F.col("vec_id") < 50)
         return ivf_index_query(q, _ivf_disk_index[sf_dir], k=10, nprobe=4)
 
+    _ivf_pq_index: dict[str, str] = {}
+
+    def bench_ivf_pq_index_query(spark, sf_dir):
+        """Serving-path ANN through the PQ tier: identical probe set and
+        exact re-rank as `ann_ivf_index_query`, but the shortlist scan
+        reads the m-byte ADC codes + stored norm instead of the int8
+        vectors (operators/pq.py — the compressed tier below int8). The
+        delta between the two rows is the cost/benefit of ADC at this
+        sf; at a scan-bound sf the PQ row wins on IO."""
+        import tempfile
+
+        from geoscan_fraud_spark.harness_pipeline import _ivf_centroids
+        from geoscan_fraud_spark.operators.similarity import (
+            ivf_index_query,
+            ivf_index_write,
+        )
+        from geoscan_fraud_spark.sources.io import load_fixture
+        from pyspark.sql import functions as F
+
+        e = load_fixture(spark, sf_dir, "embeddings")
+        if sf_dir not in _ivf_pq_index:
+            path = tempfile.mkdtemp(prefix="ivf_pq_bench_") + "/index"
+            ivf_index_write(
+                e, path, centroids=_ivf_centroids("/root/testdata/sf0.01"),
+                pq_m=8, pq_k=256,
+            )
+            _ivf_pq_index[sf_dir] = path
+        q = e.filter(F.col("vec_id") < 50)
+        return ivf_index_query(
+            q, _ivf_pq_index[sf_dir], k=10, nprobe=4, shortlist="pq"
+        )
+
     _inc_index: dict[str, object] = {}
 
     def bench_incremental_query(spark, sf_dir):
@@ -627,6 +659,8 @@ def main():
         "chunk_documents": QUERIES["chunk_documents"],
         "ann_ivf_quantized": bench_ivf_quantized,
         "ann_ivf_index_query": bench_ivf_index_query,
+        # round-10: IVF-PQ — the ADC compressed tier below int8
+        "ann_ivf_pq_index_query": bench_ivf_pq_index_query,
         # round-6 operators: three registered entries + the HLL profile
         "dedup_incremental": QUERIES["dedup_incremental"],
         "dedup_incremental_query": bench_incremental_query,

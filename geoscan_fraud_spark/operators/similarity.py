@@ -664,10 +664,24 @@ def ivf_index_write(
     id_col: str = "vec_id",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    pq_m: int | None = None,
+    pq_k: int = 256,
+    pq_train_rows: int = 4096,
+    pq_codebooks=None,
 ) -> int:
     """Build and persist an IVF-ANN index: ``path/lists`` holds the
     int8-quantized corpus PARTITIONED BY list id, ``path/centroids.json``
     the quantizer. Returns the number of inverted lists written.
+
+    ``pq_m`` additionally stores ``m``-byte product-quantization codes
+    plus the exact vector norm on every row (`operators/pq.py`) and the
+    trained per-subspace codebooks in the index metadata — the IVF-PQ
+    layout: `ivf_index_query(shortlist='pq')` then scans ~``m + 8``
+    bytes per candidate instead of the int8 vector, the ADC tier for a
+    corpus whose shortlist scan is IO-bound even at int8. Codebooks are
+    trained once at build (deterministic ``pq_train_rows``-row sample,
+    or pass ``pq_codebooks``) and FROZEN: appends encode against them,
+    exactly like the frozen coarse centroids.
 
     The layout is the serving-side point: a query probes ``nprobe``
     lists, and because each list is its own partition directory the scan
@@ -710,12 +724,15 @@ def ivf_index_write(
         return _ivf_index_write_locked(
             corpus, path, n_centroids, emb_col, id_col, seed, centroids,
             gen=g_new, extra_meta=extra,
+            pq_m=pq_m, pq_k=pq_k, pq_train_rows=pq_train_rows,
+            pq_codebooks=pq_codebooks,
         )
 
 
 def _ivf_index_write_locked(
     corpus, path, n_centroids, emb_col, id_col, seed, centroids,
     gen=0, extra_meta=None,
+    pq_m=None, pq_k=256, pq_train_rows=4096, pq_codebooks=None,
 ) -> int:
     """Core build: fit/assign, quantize, write ``lists`` at ``gen``,
     commit metadata (with ``extra_meta`` merged — how `ivf_index_rebuild`
@@ -749,11 +766,39 @@ def _ivf_index_write_locked(
     # src_batch stamps every row's ingest generation (-1 = the build),
     # making `ivf_index_expire` retention possible; format 2 marks the
     # column as present in EVERY list file (no mixed schemas)
+    base = assigned.withColumn("src_batch", F.lit(-1))
+    keep = ["list_id", "src_batch"]
+    pq_block = None
+    if pq_m is not None or pq_codebooks is not None:
+        from geoscan_fraud_spark.operators.pq import (
+            _np_codebooks,
+            pq_encode,
+            pq_train_sample,
+        )
+
+        if pq_codebooks is None:
+            pq_codebooks = pq_train_sample(
+                c, m=pq_m, k=pq_k, vec_col="c_emb", id_col="vec_id",
+                train_rows=pq_train_rows,
+            )
+        shape = _np_codebooks(pq_codebooks).shape
+        # codes + exact norm ride in the SAME list files as the int8
+        # vectors (all-or-nothing per index — mixed schemas would
+        # corrupt plain directory reads); appends mirror this
+        base = pq_encode(
+            base, pq_codebooks, vec_col="c_emb", id_col="vec_id",
+            keep_cols=keep, keep_vec=True,
+        )
+        keep = keep + ["vnorm", "codes"]
+        pq_block = {
+            "m": int(shape[0]),
+            "k": int(shape[1]),
+            "codebooks": [
+                [[float(v) for v in cw] for cw in book] for book in pq_codebooks
+            ],
+        }
     q8 = quantize_embeddings(
-        assigned.withColumn("src_batch", F.lit(-1)),
-        vec_col="c_emb",
-        id_col="vec_id",
-        keep_cols=["list_id", "src_batch"],
+        base, vec_col="c_emb", id_col="vec_id", keep_cols=keep
     )
     q8.write.mode("overwrite").partitionBy("list_id").parquet(
         gen_dir(path, "lists", {"gen": gen})
@@ -779,6 +824,8 @@ def _ivf_index_write_locked(
         "format": 2,
         "gen": int(gen),
     }
+    if pq_block is not None:
+        meta["pq"] = pq_block
     if extra_meta:
         meta.update(extra_meta)
     # the generation pointer flips here, in the same atomic commit as
@@ -917,6 +964,17 @@ def ivf_index_append(
                 ) + 1
                 batch = batch.withColumn("src_batch", F.lit(gen))
                 keep.append("src_batch")
+            if meta.get("pq"):
+                # IVF-PQ index: encode with the FROZEN build-time
+                # codebooks, the same frozen-model contract as the
+                # coarse centroids (drift shows in the same guard)
+                from geoscan_fraud_spark.operators.pq import pq_encode
+
+                batch = pq_encode(
+                    batch, meta["pq"]["codebooks"], vec_col="c_emb",
+                    id_col="vec_id", keep_cols=keep, keep_vec=True,
+                )
+                keep = keep + ["vnorm", "codes"]
             q8 = quantize_embeddings(
                 batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
             )
@@ -1343,6 +1401,7 @@ def ivf_recall_at_k(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     rerank_corpus: DataFrame | None = None,
+    rerank: int = 4,
 ) -> float:
     """Measured recall@k of a persisted IVF index against brute-force
     cosine ground truth over the SAME corpus — the quality number that
@@ -1367,6 +1426,7 @@ def ivf_recall_at_k(
         path,
         k=k,
         nprobe=nprobe,
+        rerank=rerank,
         emb_col=emb_col,
         id_col=id_col,
         rerank_corpus=rerank_corpus,
@@ -1387,9 +1447,21 @@ def ivf_index_query(
     rerank_corpus: DataFrame | None = None,
     exclude_self: bool = True,
     meta: dict | None = None,
+    shortlist: str = "auto",
 ) -> DataFrame:
     """Query a persisted `ivf_index_write` index: (query_id, vec_id, sim,
     rank) — same contract as `ivf_topk`.
+
+    ``shortlist`` picks the approximate scorer that ranks candidates
+    before the exact re-rank: ``'int8'`` scores the quantized vectors
+    natively (`dot_expr` over ``qvec``); ``'pq'`` runs the ADC table
+    scan over the ``m``-byte PQ codes (`operators/pq.py` — requires an
+    index built with ``pq_m``; the scan then reads only
+    (list_id, vec_id, vnorm, codes), ~16x less than a float32 scan).
+    ``'auto'`` (default) uses PQ when the index carries codebooks,
+    else int8 — so a pq-built index serves through its compressed tier
+    without callers changing. The exact re-rank contract is identical
+    either way; only shortlist RECALL differs (measured in tests).
 
     ``meta`` is the MVCC snapshot handle: pass a previously-loaded
     ``centroids.json`` dict to plan THIS query against that generation
@@ -1440,34 +1512,81 @@ def ivf_index_query(
         )
     )
     probe_ids = sorted({r["list_id"] for r in probes.select("list_id").distinct().collect()})
+    if shortlist not in ("auto", "int8", "pq"):
+        raise ValueError(
+            f"shortlist must be 'auto', 'int8', or 'pq', got {shortlist!r}"
+        )
+    if shortlist == "pq" and not meta.get("pq"):
+        raise ValueError(
+            "shortlist='pq' needs an index built with pq_m (no PQ "
+            "codebooks in this index's metadata); rebuild with "
+            "ivf_index_write(..., pq_m=...) or query with shortlist='int8'"
+        )
+    use_pq = shortlist == "pq" or (shortlist == "auto" and bool(meta.get("pq")))
+    probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
     # directories resolve through the metadata read above: the query is
     # pinned to ONE generation even if maintenance publishes a new one
     # mid-flight (snapshot isolation — gen_dir)
-    lists = _anti_tombstones(
-        spark,
-        gen_dir(path, "tombstones", meta),
-        spark.read.parquet(gen_dir(path, "lists", meta)).filter(
-            F.col("list_id").isin(probe_ids)
-        ),
-        "vec_id",
-    ).withColumn("__vn", norm_expr(F.col("qvec")))
-    probes = probes.withColumn("__qn", norm_expr(F.col("q_emb")))
-    cand = probes.join(lists, "list_id")
-    if exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
-    cand = (
-        cand
-        .withColumn(
-            "sim_q",
-            dot_expr(F.col("q_emb"), F.col("qvec")) / (F.col("__qn") * F.col("__vn")),
+    if use_pq:
+        from geoscan_fraud_spark.operators.pq import _adc_local_topk
+
+        # the ADC tier reads ONLY the code columns — column pruning
+        # reaches the parquet scan, so each probed row costs ~m+8 bytes
+        lists = _anti_tombstones(
+            spark,
+            gen_dir(path, "tombstones", meta),
+            spark.read.parquet(gen_dir(path, "lists", meta))
+            .filter(F.col("list_id").isin(probe_ids))
+            .select("list_id", "vec_id", "vnorm", "codes"),
+            "vec_id",
         )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("vec_id"))
-    shortlist = (
-        cand.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= rerank * k)
-        .select("query_id", "q_emb", "__qn", "vec_id")
-    )
+        cand = probes.join(lists, "list_id")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+        local = _adc_local_topk(
+            cand,
+            meta["pq"]["codebooks"],
+            rerank * k,
+            cand.schema["vec_id"].dataType,
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("sim_q"), F.asc("vec_id")
+        )
+        shortlist_df = (
+            local.withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= rerank * k)
+            .select("query_id", "vec_id")
+            .join(probes.select("query_id", "q_emb", "__qn").dropDuplicates(
+                ["query_id"]
+            ), "query_id")
+            .select("query_id", "q_emb", "__qn", "vec_id")
+        )
+    else:
+        lists = _anti_tombstones(
+            spark,
+            gen_dir(path, "tombstones", meta),
+            spark.read.parquet(gen_dir(path, "lists", meta)).filter(
+                F.col("list_id").isin(probe_ids)
+            ),
+            "vec_id",
+        ).withColumn("__vn", norm_expr(F.col("qvec")))
+        cand = probes.join(lists, "list_id")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+        cand = (
+            cand
+            .withColumn(
+                "sim_q",
+                dot_expr(F.col("q_emb"), F.col("qvec")) / (F.col("__qn") * F.col("__vn")),
+            )
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("vec_id"))
+        shortlist_df = (
+            cand.withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= rerank * k)
+            .select("query_id", "q_emb", "__qn", "vec_id")
+        )
+    shortlist = shortlist_df
     if rerank_corpus is not None:
         full = rerank_corpus.select(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")

@@ -1,0 +1,210 @@
+"""Crash-injection fuzz over the serving-index lifecycles.
+
+The planted-state tests (test_maintain, test_serving_lifecycle) check
+KNOWN torn states; this file instead injects a crash at EVERY metadata
+commit point a lifecycle passes through and asserts the documented
+recovery contract end-to-end:
+
+    crash anywhere -> retry the interrupted op -> maintain() ->
+    index serves byte-identically to a never-crashed twin, fsck clean.
+
+Injection faults `atomic_write_json` — the single funnel every durable
+pointer flip goes through (`sources/io.py:473`) — on its N-th call, for
+every N the clean run performs. A crash BEFORE a commit must leave the
+prior snapshot intact (plus inert debris maintain sweeps); the rows a
+half-done op already wrote must be healed by the replay guard + the
+compaction distinct() exactly as the append/compact docstrings promise.
+The retry uses the SAME ``src_batch`` a real pipeline would replay with.
+
+The IVF side runs with PQ enabled, so codebook metadata, codes columns,
+and the ADC serving tier ride through every crash window too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import geoscan_fraud_spark.operators.retrieval as retrieval
+import geoscan_fraud_spark.operators.similarity as similarity
+import geoscan_fraud_spark.sources.io as io
+from geoscan_fraud_spark.operators.retrieval import (
+    text_index_append,
+    text_index_compact,
+    text_index_delete,
+    text_index_fsck,
+    text_index_maintain,
+    text_index_query,
+    text_index_write,
+)
+from geoscan_fraud_spark.operators.similarity import (
+    ivf_index_append,
+    ivf_index_compact,
+    ivf_index_delete,
+    ivf_index_fsck,
+    ivf_index_maintain,
+    ivf_index_query,
+    ivf_index_write,
+)
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+#: modules that bound `atomic_write_json` by name at import; the fault
+#: must patch every binding or a commit sneaks through un-faulted
+_PATCH_SITES = (io, retrieval, similarity)
+
+
+class _Injector:
+    """Counts `atomic_write_json` calls; raises on call `boom_at` (1-based;
+    None = count only)."""
+
+    def __init__(self, boom_at=None):
+        self.calls = 0
+        self.boom_at = boom_at
+        self._real = io.atomic_write_json
+
+    def __call__(self, path, obj):
+        self.calls += 1
+        if self.boom_at is not None and self.calls == self.boom_at:
+            raise _InjectedCrash(f"injected at commit #{self.calls}: {path}")
+        return self._real(path, obj)
+
+    def __enter__(self):
+        for m in _PATCH_SITES:
+            m.atomic_write_json = self
+        return self
+
+    def __exit__(self, *exc):
+        for m in _PATCH_SITES:
+            m.atomic_write_json = self._real
+        return False
+
+
+def _run_lifecycle(steps, boom_at=None):
+    """Run the step list under injection. Returns (commit_calls,
+    crashed_step). On an injected crash the interrupted step is retried
+    ONCE un-faulted (what a real pipeline's task retry does) and the
+    remaining steps run to completion."""
+    with _Injector(boom_at) as inj:
+        for i, step in enumerate(steps):
+            try:
+                step()
+            except _InjectedCrash:
+                for m in _PATCH_SITES:  # un-fault for retry + remainder
+                    m.atomic_write_json = inj._real
+                step()
+                for later in steps[i + 1 :]:
+                    later()
+                return inj.calls, i
+    return inj.calls, None
+
+
+DOCS = [
+    (0, "alpha beta gamma"),
+    (1, "alpha delta"),
+    (2, "beta beta gamma delta"),
+    (3, "gamma delta epsilon"),
+    (4, "epsilon zeta alpha"),
+    (5, "zeta zeta beta"),
+    (6, "alpha epsilon beta beta"),
+    (7, "delta zeta gamma"),
+]
+SCHEMA = "doc_id long, text string"
+QUERIES = [("q1", "alpha beta"), ("q2", "gamma zeta")]
+
+
+def _text_steps(spark, docs, path):
+    return [
+        lambda: text_index_write(
+            docs.filter(F.col("doc_id") < 4), path, n_buckets=4
+        ),
+        lambda: text_index_append(
+            docs.filter(F.col("doc_id") >= 4), path, src_batch=1
+        ),
+        lambda: text_index_delete(spark, path, [1, 6]),
+        lambda: text_index_compact(spark, path),
+    ]
+
+
+def _text_serve(spark, path):
+    return sorted(
+        tuple(r) for r in text_index_query(spark, path, QUERIES, k=5).collect()
+    )
+
+
+def test_text_index_crash_fuzz(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    twin = str(tmp_path / "twin")
+    total, crashed = _run_lifecycle(_text_steps(spark, docs, twin))
+    # build/append/compact each flip metadata; delete commits via a
+    # parquet append alone (Spark's committer covers that tear)
+    assert crashed is None and total >= 3
+    want = _text_serve(spark, twin)
+
+    for n in range(1, total + 1):
+        path = str(tmp_path / f"crash{n}")
+        _, step = _run_lifecycle(_text_steps(spark, docs, path), boom_at=n)
+        assert step is not None, f"commit #{n} fired outside every step?"
+        report = text_index_maintain(spark, path, compact_after=1)
+        assert report["status"] == "ok", (n, step, report)
+        assert text_index_fsck(spark, path)["findings"] == []
+        assert _text_serve(spark, path) == want, (
+            f"crash at commit #{n} (step {step}) diverged after heal"
+        )
+
+
+def _mk_emb(spark):
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _ivf_steps(spark, emb, path):
+    return [
+        lambda: ivf_index_write(
+            emb.filter(F.col("vec_id") % 2 == 0), path,
+            n_centroids=2, pq_m=4, pq_k=8, pq_train_rows=30,
+        ),
+        lambda: ivf_index_append(
+            emb.filter(F.col("vec_id") % 2 == 1), path, src_batch=1
+        ),
+        lambda: ivf_index_delete(
+            spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+        ),
+        lambda: ivf_index_compact(spark, path),
+    ]
+
+
+def _ivf_serve(spark, emb, path):
+    q = emb.filter(F.col("vec_id") < 3)
+    return sorted(
+        tuple(r)
+        for r in ivf_index_query(
+            q, path, k=5, nprobe=2, rerank=100, rerank_corpus=emb
+        ).collect()
+    )
+
+
+def test_ivf_pq_index_crash_fuzz(spark, tmp_path):
+    emb = _mk_emb(spark)
+    twin = str(tmp_path / "twin")
+    total, crashed = _run_lifecycle(_ivf_steps(spark, emb, twin))
+    assert crashed is None and total >= 3
+    want = _ivf_serve(spark, emb, twin)
+
+    for n in range(1, total + 1):
+        path = str(tmp_path / f"crash{n}")
+        _, step = _run_lifecycle(_ivf_steps(spark, emb, path), boom_at=n)
+        assert step is not None
+        report = ivf_index_maintain(spark, path, compact_after=1)
+        assert report["status"] == "ok", (n, step, report)
+        assert ivf_index_fsck(spark, path)["findings"] == []
+        assert _ivf_serve(spark, emb, path) == want, (
+            f"crash at commit #{n} (step {step}) diverged after heal"
+        )

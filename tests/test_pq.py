@@ -1,0 +1,187 @@
+"""Product-quantization ANN (operators/pq.py + the IVF-PQ index tier).
+
+Pins: codebook training determinism, encode exactness invariants,
+ADC local-topk tie discipline, exact-equality of the full-probe /
+full-shortlist path with brute force, measured partial-probe recall,
+and the persisted IVF-PQ lifecycle (build -> append -> delete ->
+compact) serving identically through the PQ and int8 shortlist tiers.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoscan_fraud_spark.operators.pq import (
+    ivf_pq_topk,
+    pq_encode,
+    pq_reconstruct,
+    pq_train_codebooks,
+    pq_train_sample,
+)
+from geoscan_fraud_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index_append,
+    ivf_index_compact,
+    ivf_index_delete,
+    ivf_index_query,
+    ivf_index_write,
+    ivf_recall_at_k,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _rows(df):
+    return [tuple(r) for r in df.orderBy("query_id", "rank").collect()]
+
+
+# ---------------------------------------------------------------------------
+# training + encoding
+# ---------------------------------------------------------------------------
+
+
+def test_train_deterministic_and_validated():
+    rng = np.random.RandomState(7)
+    X = rng.randn(200, 16)
+    a = pq_train_codebooks(X, m=4, k=8)
+    b = pq_train_codebooks(X, m=4, k=8)
+    assert a == b  # bit-identical retrain (crash-replay byte-stability)
+    C = np.asarray(a)
+    assert C.shape == (4, 8, 4)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_codebooks(X, m=5, k=8)
+    with pytest.raises(ValueError, match=r"\[1, 256\]"):
+        pq_train_codebooks(X, m=4, k=300)
+    with pytest.raises(ValueError, match="sample has"):
+        pq_train_codebooks(X[:4], m=4, k=8)
+
+
+def test_encode_invariants(spark, emb):
+    cbs = pq_train_sample(emb, m=8, k=16, train_rows=200)
+    enc = pq_encode(emb.limit(100), cbs).orderBy("vec_id").toPandas()
+    assert list(enc.columns) == ["vec_id", "vnorm", "codes"]
+    codes = np.stack([np.asarray(c, np.int64) for c in enc["codes"]])
+    assert codes.shape[1] == 8
+    assert codes.min() >= -128 and codes.max() <= 127
+    # vnorm is the EXACT original norm (the ADC denominator is error-free)
+    orig = (
+        emb.limit(100).orderBy("vec_id").select("embedding").toPandas()
+    )
+    X = np.stack([np.asarray(v, np.float64) for v in orig["embedding"]])
+    assert np.allclose(enc["vnorm"].to_numpy(), np.sqrt((X * X).sum(axis=1)))
+    # reconstruction is a real approximation, not garbage: mean cosine
+    # of decoded vs original comfortably positive on this corpus
+    R = pq_reconstruct(codes, cbs)
+    cos = (R * X).sum(1) / (
+        np.linalg.norm(R, axis=1) * np.linalg.norm(X, axis=1)
+    )
+    assert cos.mean() > 0.6
+    # dim mismatch fails loudly in the encoder
+    bad = pq_encode(
+        emb.limit(5).withColumn("embedding", F.slice("embedding", 1, 32)), cbs
+    )
+    with pytest.raises(Exception, match="64-dim"):
+        bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# in-memory IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+def test_full_probe_full_shortlist_equals_brute_force(spark, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    got = ivf_pq_topk(
+        q, emb, k=5, n_centroids=4, nprobe=4, m=8, pq_k=16, rerank=n
+    )
+    assert _rows(got) == _rows(brute_force_topk(q, emb, k=5))
+
+
+def test_partial_probe_recall_measured(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(q, emb, k=10).select("query_id", "vec_id")
+    approx = ivf_pq_topk(
+        q, emb, k=10, n_centroids=8, nprobe=4, m=8, pq_k=16, rerank=8
+    ).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall = hit / exact.count()
+    # probing half the lists with an 8x shortlist: the floor is loose on
+    # purpose (the corpus is random synthetic, the hardest case for PQ);
+    # the full-probe test above pins the exact ceiling
+    assert recall >= 0.5, f"recall@10 collapsed: {recall}"
+
+
+def test_adc_tie_break_is_vec_id_asc(spark):
+    # 30 IDENTICAL vectors -> every sim ties exactly; the contract
+    # (sim desc, vec_id asc) must survive the per-batch local top-k and
+    # the global merge, so top-k = the k smallest non-self ids
+    rows = [(i, [1.0, 2.0] * 8) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 29)
+    got = ivf_pq_topk(
+        q, df, k=5, n_centroids=2, nprobe=2, m=8, pq_k=4, rerank=2
+    )
+    assert [r["vec_id"] for r in got.orderBy("rank").collect()] == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_pq_index_lifecycle_serves_identically(spark, emb):
+    path = tempfile.mkdtemp(prefix="pq_idx_") + "/idx"
+    ivf_index_write(
+        emb.filter(F.col("vec_id") % 2 == 0), path,
+        n_centroids=4, pq_m=8, pq_k=16, pq_train_rows=250,
+    )
+    ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), path)
+    ivf_index_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def serve(tier):
+        return ivf_index_query(
+            q, path, k=5, nprobe=4, rerank=100, rerank_corpus=emb,
+            shortlist=tier,
+        )
+
+    pre = _rows(serve("pq"))
+    assert pre == _rows(serve("auto"))  # auto resolves to the PQ tier
+    ivf_index_compact(spark, path)
+    post = _rows(serve("pq"))
+    # compaction is invisible: codes/vnorm/codebooks survive the relayout
+    assert pre == post
+    # both tiers, full probe + full shortlist -> the same exact top-k,
+    # which equals brute force over the tombstone-surviving corpus
+    assert post == _rows(serve("int8"))
+    survivors = emb.filter(F.col("vec_id") % 7 != 3)
+    assert post == _rows(brute_force_topk(q, survivors, k=5))
+    # the serving-quality probe runs through the auto(=PQ) tier
+    assert ivf_recall_at_k(
+        q, path, survivors, k=5, nprobe=4, rerank_corpus=emb, rerank=100
+    ) == 1.0
+
+
+def test_pq_shortlist_on_plain_index_refused(spark, emb):
+    path = tempfile.mkdtemp(prefix="plain_idx_") + "/idx"
+    ivf_index_write(emb.limit(100), path, n_centroids=2)
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="pq_m"):
+        ivf_index_query(q, path, k=3, shortlist="pq")
+    with pytest.raises(ValueError, match="shortlist must be"):
+        ivf_index_query(q, path, k=3, shortlist="adc")
+    # and auto on a plain index is exactly the int8 tier
+    assert _rows(ivf_index_query(q, path, k=3, nprobe=2, rerank=100)) == _rows(
+        ivf_index_query(q, path, k=3, nprobe=2, rerank=100, shortlist="int8")
+    )

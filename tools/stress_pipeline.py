@@ -26,6 +26,7 @@ Ops covered (the VERDICT list):
                              seed offset only flattens it)
   ivf_index_append         - ANN serving-index ingest (map-only assign)
   ivf_index_query          - probe-pruned ANN serving read
+  ivf_pq_index_query       - the same read through the PQ/ADC tier (r10)
   ivf_index_compact        - MVCC generation publish for the lists
   prepared_serving_sink    - the whole gate->dedup->store->serve batch
   dedup_incremental_gate   - per-batch near-dup suppression vs a k-scaled
@@ -433,6 +434,25 @@ def main():
                 n_emb,
                 timed(
                     lambda: ivf_index_query(qset, aidx, k=10, nprobe=4).count()
+                ),
+            )
+
+            # IVF-PQ twin (r10): same probe set through the ADC tier —
+            # the scan reads (vec_id, vnorm, codes) instead of qvec, so
+            # the rung measures whether the mapInPandas ADC scorer stays
+            # linear as the probed lists grow
+            apidx = f"{work}/ivf_pq_idx_x{tag}"
+            ivf_index_write(
+                seed_emb, apidx, n_centroids=16, seed=42, pq_m=8, pq_k=256
+            )
+            ivf_index_append(emb, apidx)
+            record(
+                "ivf_pq_index_query",
+                n_emb,
+                timed(
+                    lambda: ivf_index_query(
+                        qset, apidx, k=10, nprobe=4, shortlist="pq"
+                    ).count()
                 ),
             )
 

@@ -1154,7 +1154,9 @@ def ivf_index_rebuild(
     movement a rebuild exists to correct. The stream cursor
     (``last_stream_batch``) carries over so an `ann_index_ingest_sink`
     can resume against the rebuilt index without replaying committed
-    batches.
+    batches. An IVF-PQ index keeps its PQ tier: codebooks retrain at
+    the same (m, k) on the surviving corpus — they age with the
+    distribution exactly like the coarse centroids.
 
     Publishes a NEW GENERATION in place — the index path never vanishes
     (the old whole-directory rename-swap had a window where it did, and
@@ -1199,9 +1201,18 @@ def ivf_index_rebuild(
             if "last_stream_batch" in meta
             else None
         )
+        # an IVF-PQ index KEEPS its PQ tier across a rebuild: the
+        # codebooks are retrained (same m/k) on the surviving corpus —
+        # they age with the distribution exactly like the coarse
+        # centroids, which is the whole reason the rebuild runs
+        pq_m = pq_k = None
+        if meta.get("pq"):
+            pq_m = int(meta["pq"]["m"])
+            pq_k = int(meta["pq"]["k"])
         _ivf_index_write_locked(
             vecs, path, k, "embedding", "vec_id", seed, None,
             gen=g_new, extra_meta=extra,
+            pq_m=pq_m, pq_k=pq_k if pq_k is not None else 256,
         )
         return k
 

@@ -185,3 +185,38 @@ def test_pq_shortlist_on_plain_index_refused(spark, emb):
     assert _rows(ivf_index_query(q, path, k=3, nprobe=2, rerank=100)) == _rows(
         ivf_index_query(q, path, k=3, nprobe=2, rerank=100, shortlist="int8")
     )
+
+
+def test_rebuild_keeps_pq_tier(spark, emb):
+    """A drift-scheduled rebuild must not silently drop the compressed
+    tier: codebooks retrain at the same (m, k) on the index's own
+    surviving contents, and the rebuilt index still serves through ADC."""
+    from geoscan_fraud_spark.operators.similarity import ivf_index_rebuild
+    from geoscan_fraud_spark.sources.io import read_index_meta
+
+    path = tempfile.mkdtemp(prefix="pq_rebuild_") + "/idx"
+    ivf_index_write(
+        emb.filter(F.col("vec_id") < 300), path,
+        n_centroids=4, pq_m=8, pq_k=16, pq_train_rows=250,
+    )
+    ivf_index_delete(
+        spark, path, emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+    )
+    ivf_index_rebuild(spark, path, n_centroids=4)
+    meta = read_index_meta(path + "/centroids.json")
+    assert meta.get("pq") and meta["pq"]["m"] == 8 and meta["pq"]["k"] == 16
+    q = emb.filter(F.col("vec_id") < 3)
+    got = _rows(
+        ivf_index_query(q, path, k=5, nprobe=4, rerank=300, shortlist="pq")
+    )
+    # rebuild applied the tombstones physically and re-encoded: full
+    # probe + full shortlist + dequantized re-rank matches the int8 tier
+    assert got == _rows(
+        ivf_index_query(q, path, k=5, nprobe=4, rerank=300, shortlist="int8")
+    )
+    survivors = emb.filter(
+        (F.col("vec_id") < 300) & (F.col("vec_id") % 11 != 0)
+    )
+    assert {r[1] for r in got}.issubset(
+        {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    )

@@ -147,6 +147,9 @@ def pq_encode(
     id_col: str = "vec_id",
     keep_cols: list[str] | None = None,
     keep_vec: bool = False,
+    coarse_centroids=None,
+    one_based: bool = False,
+    list_col: str = "list_id",
 ) -> DataFrame:
     """Encode a vector column to PQ codes: (id, *keep_cols[, vec],
     vnorm double, codes array<tinyint>).
@@ -158,11 +161,34 @@ def pq_encode(
     norm (8 bytes), so ADC cosine error comes only from the numerator.
     ``keep_vec`` carries the original vector column through for callers
     that chain another encoder over the same rows (the IVF build chains
-    int8 quantization after this)."""
+    int8 quantization after this).
+
+    ``coarse_centroids`` switches to RESIDUAL encoding (Faiss IVFPQ
+    proper): each row's assigned coarse centroid (``list_col``, which
+    must then be in ``keep_cols``; ``one_based`` matches the index's
+    list-id convention) is subtracted before the subspace argmin, so
+    the codebooks spend their k codewords on the within-list residual
+    instead of the global spread — finer quantization for the same
+    bytes. The ADC score then needs the per-(query, list) base term
+    ``dot(q, c_list)`` added back (`_adc_local_topk`'s ``adot_base``)."""
     C = _np_codebooks(codebooks)
     m, k, dsub = C.shape
     dim = m * dsub
     keep = list(keep_cols or [])
+    if coarse_centroids is not None and list_col not in keep:
+        raise ValueError(
+            f"residual pq_encode needs {list_col!r} in keep_cols"
+        )
+    CC = (
+        np.asarray(coarse_centroids, dtype=np.float64)
+        if coarse_centroids is not None
+        else None
+    )
+    if CC is not None and CC.shape[1] != dim:
+        raise ValueError(
+            f"coarse centroids are {CC.shape[1]}-dim but codebooks "
+            f"encode {dim}-dim"
+        )
     cn2 = (C * C).sum(axis=2)  # (m, k) codeword squared norms
 
     cols = [id_col, *keep, vec_col]
@@ -191,6 +217,12 @@ def pq_encode(
                     f"codebooks encode {dim}-dim"
                 )
             n = len(X)
+            vnorm = np.sqrt((X * X).sum(axis=1))
+            if CC is not None:
+                lid = pdf[list_col].to_numpy().astype(np.int64) - (
+                    1 if one_based else 0
+                )
+                X = X - CC[lid]
             codes = np.empty((n, m), dtype=np.int16)
             Xs = X.reshape(n, m, dsub)
             for j in range(m):
@@ -201,7 +233,7 @@ def pq_encode(
             out = {c: pdf[c].to_numpy() for c in cols[:-1]}
             if keep_vec:
                 out[vec_col] = pdf[vec_col]
-            out["vnorm"] = np.sqrt((X * X).sum(axis=1))
+            out["vnorm"] = vnorm  # EXACT original norm, pre-residual
             out["codes"] = list((codes - _CODE_OFFSET).astype(np.int8))
             yield pd.DataFrame(out)
 
@@ -218,9 +250,14 @@ def _adc_local_topk(
     Local truncation is exact under the global (sim desc, vec_id asc)
     total order: a row outside a batch's top ``limit`` has ``limit``
     batch-mates strictly ahead of it globally too. Only these truncated
-    shortlists reach the merge shuffle."""
+    shortlists reach the merge shuffle.
+
+    If ``cand`` carries an ``adot_base`` column (residual encoding: the
+    exact ``dot(q, c_list)`` per probe pair, computed natively upstream)
+    it is added to each candidate's table sum before normalizing."""
     C = _np_codebooks(codebooks)
     m = C.shape[0]
+    has_base = "adot_base" in cand.columns
     qid_type = cand.schema["query_id"].dataType
     schema = T.StructType(
         [
@@ -247,6 +284,8 @@ def _adc_local_topk(
                     + _CODE_OFFSET
                 )
                 adot = table[np.arange(m)[None, :], codes].sum(axis=1)
+                if has_base:
+                    adot = adot + g["adot_base"].to_numpy()
                 vnorm = g["vnorm"].to_numpy()
                 sim = adot / (qn * np.where(vnorm == 0.0, 1.0, vnorm))
                 vec_ids = g["vec_id"].to_numpy()
@@ -270,9 +309,10 @@ def _adc_local_topk(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return cand.select(
-        "query_id", "q_emb", "__qn", "vec_id", "vnorm", "codes"
-    ).mapInPandas(run, schema)
+    score_cols = ["query_id", "q_emb", "__qn", "vec_id", "vnorm", "codes"]
+    if has_base:
+        score_cols.append("adot_base")
+    return cand.select(*score_cols).mapInPandas(run, schema)
 
 
 def ivf_pq_topk(

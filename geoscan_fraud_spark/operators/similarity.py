@@ -668,6 +668,7 @@ def ivf_index_write(
     pq_k: int = 256,
     pq_train_rows: int = 4096,
     pq_codebooks=None,
+    pq_residual: bool = False,
 ) -> int:
     """Build and persist an IVF-ANN index: ``path/lists`` holds the
     int8-quantized corpus PARTITIONED BY list id, ``path/centroids.json``
@@ -681,7 +682,10 @@ def ivf_index_write(
     corpus whose shortlist scan is IO-bound even at int8. Codebooks are
     trained once at build (deterministic ``pq_train_rows``-row sample,
     or pass ``pq_codebooks``) and FROZEN: appends encode against them,
-    exactly like the frozen coarse centroids.
+    exactly like the frozen coarse centroids. ``pq_residual`` encodes
+    ``v - c_list`` instead of ``v`` (Faiss IVFPQ proper — the codebooks
+    spend their codewords on the within-list spread; the query adds the
+    exact ``dot(q, c_list)`` base term back natively per probe pair).
 
     The layout is the serving-side point: a query probes ``nprobe``
     lists, and because each list is its own partition directory the scan
@@ -725,7 +729,7 @@ def ivf_index_write(
             corpus, path, n_centroids, emb_col, id_col, seed, centroids,
             gen=g_new, extra_meta=extra,
             pq_m=pq_m, pq_k=pq_k, pq_train_rows=pq_train_rows,
-            pq_codebooks=pq_codebooks,
+            pq_codebooks=pq_codebooks, pq_residual=pq_residual,
         )
 
 
@@ -733,6 +737,7 @@ def _ivf_index_write_locked(
     corpus, path, n_centroids, emb_col, id_col, seed, centroids,
     gen=0, extra_meta=None,
     pq_m=None, pq_k=256, pq_train_rows=4096, pq_codebooks=None,
+    pq_residual=False,
 ) -> int:
     """Core build: fit/assign, quantize, write ``lists`` at ``gen``,
     commit metadata (with ``extra_meta`` merged — how `ivf_index_rebuild`
@@ -770,13 +775,35 @@ def _ivf_index_write_locked(
     keep = ["list_id", "src_batch"]
     pq_block = None
     if pq_m is not None or pq_codebooks is not None:
+        import numpy as np
+
         from geoscan_fraud_spark.operators.pq import (
             _np_codebooks,
             pq_encode,
+            pq_train_codebooks,
             pq_train_sample,
         )
 
-        if pq_codebooks is None:
+        one_based = centroids is not None
+        if pq_codebooks is None and pq_residual:
+            # train on the residuals the codes will actually encode:
+            # sample rows WITH their assignment, subtract driver-side
+            pdf = (
+                assigned.select("vec_id", "c_emb", "list_id")
+                .orderBy("vec_id")
+                .limit(pq_train_rows)
+                .toPandas()
+            )
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]]
+            )
+            lid = pdf["list_id"].to_numpy().astype(np.int64) - (
+                1 if one_based else 0
+            )
+            pq_codebooks = pq_train_codebooks(
+                X - np.asarray(cent, dtype=np.float64)[lid], m=pq_m, k=pq_k
+            )
+        elif pq_codebooks is None:
             pq_codebooks = pq_train_sample(
                 c, m=pq_m, k=pq_k, vec_col="c_emb", id_col="vec_id",
                 train_rows=pq_train_rows,
@@ -788,11 +815,14 @@ def _ivf_index_write_locked(
         base = pq_encode(
             base, pq_codebooks, vec_col="c_emb", id_col="vec_id",
             keep_cols=keep, keep_vec=True,
+            coarse_centroids=cent if pq_residual else None,
+            one_based=one_based,
         )
         keep = keep + ["vnorm", "codes"]
         pq_block = {
             "m": int(shape[0]),
             "k": int(shape[1]),
+            "residual": bool(pq_residual),
             "codebooks": [
                 [[float(v) for v in cw] for cw in book] for book in pq_codebooks
             ],
@@ -973,6 +1003,10 @@ def ivf_index_append(
                 batch = pq_encode(
                     batch, meta["pq"]["codebooks"], vec_col="c_emb",
                     id_col="vec_id", keep_cols=keep, keep_vec=True,
+                    coarse_centroids=(
+                        cent if meta["pq"].get("residual") else None
+                    ),
+                    one_based=bool(meta["one_based"]),
                 )
                 keep = keep + ["vnorm", "codes"]
             q8 = quantize_embeddings(
@@ -1206,13 +1240,16 @@ def ivf_index_rebuild(
         # they age with the distribution exactly like the coarse
         # centroids, which is the whole reason the rebuild runs
         pq_m = pq_k = None
+        pq_residual = False
         if meta.get("pq"):
             pq_m = int(meta["pq"]["m"])
             pq_k = int(meta["pq"]["k"])
+            pq_residual = bool(meta["pq"].get("residual"))
         _ivf_index_write_locked(
             vecs, path, k, "embedding", "vec_id", seed, None,
             gen=g_new, extra_meta=extra,
             pq_m=pq_m, pq_k=pq_k if pq_k is not None else 256,
+            pq_residual=pq_residual,
         )
         return k
 
@@ -1554,6 +1591,21 @@ def ivf_index_query(
         cand = probes.join(lists, "list_id")
         if exclude_self:
             cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+        if meta["pq"].get("residual"):
+            # residual codes approximate r = v - c_list; the exact base
+            # term dot(q, c_list) is pure column algebra over centroid
+            # literals, added per probe pair before the ADC table sum
+            arr = F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in ctr])
+                    for ctr in cent
+                ]
+            )
+            idx = F.col("list_id") + F.lit(0 if meta["one_based"] else 1)
+            cand = cand.withColumn(
+                "adot_base",
+                dot_expr(F.col("q_emb"), F.element_at(arr, idx.cast("int"))),
+            )
         local = _adc_local_topk(
             cand,
             meta["pq"]["codebooks"],

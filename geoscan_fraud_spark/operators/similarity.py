@@ -1381,6 +1381,38 @@ def ivf_index_fsck(spark, path: str) -> dict:
             f"corruption or files from another quantizer"
         )
 
+    if meta.get("pq"):
+        # the PQ tier's all-or-nothing contract: every row of a pq
+        # index carries codes of exactly m bytes + a stored norm
+        pq_m_meta = int(meta["pq"]["m"])
+        if "codes" not in lists.columns or "vnorm" not in lists.columns:
+            findings.append(
+                "metadata advertises a PQ tier but the lists lack "
+                "codes/vnorm columns — rebuild with pq_m to restore it"
+            )
+        else:
+            n_badcode, n_nullnorm = lists.select(
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("codes").isNull()
+                            | (F.size("codes") != pq_m_meta)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ),
+                F.coalesce(
+                    F.sum(F.col("vnorm").isNull().cast("long")), F.lit(0)
+                ),
+            ).first()
+            if int(n_badcode) or int(n_nullnorm):
+                findings.append(
+                    f"PQ tier corrupt: {n_badcode} rows with missing/"
+                    f"wrong-width codes (expect m={pq_m_meta}), "
+                    f"{n_nullnorm} rows with null vnorm — "
+                    f"ivf_index_rebuild re-encodes"
+                )
+
     tpath = gen_dir(path, "tombstones", meta)
     if os.path.isdir(tpath):
         n_tomb = spark.read.parquet(tpath).distinct().count()

@@ -297,3 +297,59 @@ def test_residual_index_lifecycle(spark, emb):
     meta = read_index_meta(path + "/centroids.json")
     assert meta["pq"].get("residual") is True
     assert serve() == _rows(brute_force_topk(q, survivors, k=5))
+
+
+def test_fsck_checks_pq_tier(spark, emb):
+    """The doctor knows the new columns: clean pq index reports ok; a
+    metadata pq block without the columns (or with a wrong m) is a
+    finding, not a silent serve-time crash."""
+    import json
+
+    from geoscan_fraud_spark.operators.similarity import ivf_index_fsck
+    from geoscan_fraud_spark.sources.io import atomic_write_json, read_index_meta
+
+    path = tempfile.mkdtemp(prefix="pq_fsck_") + "/idx"
+    ivf_index_write(
+        emb.limit(200), path, n_centroids=2, pq_m=8, pq_k=16,
+        pq_train_rows=200,
+    )
+    assert ivf_index_fsck(spark, path)["findings"] == []
+    # wrong advertised width -> every row flagged
+    meta = read_index_meta(path + "/centroids.json")
+    meta["pq"]["m"] = 5
+    atomic_write_json(path + "/centroids.json", meta)
+    bad = ivf_index_fsck(spark, path)["findings"]
+    assert any("wrong-width codes" in f for f in bad), bad
+    # pq block on an index whose lists never had the columns
+    plain = tempfile.mkdtemp(prefix="pq_fsck2_") + "/idx"
+    ivf_index_write(emb.limit(100), plain, n_centroids=2)
+    meta = read_index_meta(plain + "/centroids.json")
+    meta["pq"] = {"m": 8, "k": 16, "codebooks": [[[0.0] * 8] * 16] * 8}
+    atomic_write_json(plain + "/centroids.json", meta)
+    bad = ivf_index_fsck(spark, plain)["findings"]
+    assert any("lack codes/vnorm" in f for f in bad), bad
+
+
+def test_streaming_ingest_into_pq_index(spark, emb):
+    """`ann_index_ingest_sink` composed with a pq-built index: appends
+    encode codes meta-driven, replays are skipped, and the ADC tier
+    serves the streamed rows."""
+    from geoscan_fraud_spark.streaming.scoring import ann_index_ingest_sink
+
+    path = tempfile.mkdtemp(prefix="pq_stream_") + "/idx"
+    ivf_index_write(
+        emb.filter(F.col("vec_id") < 250), path,
+        n_centroids=4, pq_m=8, pq_k=16, pq_train_rows=250,
+    )
+    sink = ann_index_ingest_sink(path)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    sink(batch, 1)
+    sink(batch, 1)  # replay: must be skipped, not double-encoded
+    q = emb.filter(F.col("vec_id") < 3)
+    got = _rows(
+        ivf_index_query(
+            q, path, k=5, nprobe=4, rerank=100, rerank_corpus=emb,
+            shortlist="pq",
+        )
+    )
+    assert got == _rows(brute_force_topk(q, emb, k=5))

@@ -353,3 +353,34 @@ def test_streaming_ingest_into_pq_index(spark, emb):
         )
     )
     assert got == _rows(brute_force_topk(q, emb, k=5))
+
+
+def test_pq_scan_prunes_columns_and_partitions(spark, emb):
+    """The structural form of the IO claim: with an external re-rank
+    corpus, the ONLY scan of the index lists is the ADC shortlist scan,
+    its ReadSchema carries codes/vnorm but NOT the int8 vectors, and the
+    probe set is pushed as static PartitionFilters."""
+    import re
+
+    from geoscan_fraud_spark.plans.audit import formatted_plan
+
+    path = tempfile.mkdtemp(prefix="pq_plan_") + "/idx"
+    ivf_index_write(
+        emb.limit(300), path, n_centroids=4, pq_m=8, pq_k=16,
+        pq_train_rows=250,
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = formatted_plan(
+        ivf_index_query(
+            q, path, k=5, nprobe=2, rerank=4, rerank_corpus=emb,
+            shortlist="pq",
+        )
+    )
+    scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "codes" in s or "qvec" in s
+    ]
+    assert scans, plan  # the lists scan exists
+    for s in scans:
+        assert "codes" in s and "vnorm" in s and "qvec" not in s, s
+    assert re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*IN", plan), plan

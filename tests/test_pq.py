@@ -384,3 +384,42 @@ def test_pq_scan_prunes_columns_and_partitions(spark, emb):
     for s in scans:
         assert "codes" in s and "vnorm" in s and "qvec" not in s, s
     assert re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*IN", plan), plan
+
+
+def test_adc_identity_property():
+    """ADC's table-sum is EXACTLY dot(q, reconstruct(codes)) up to
+    float64 summation order — the algebraic identity the whole scorer
+    rests on, fuzzed over random shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 4).map(lambda m: m * 2),       # m in {2,4,6,8}
+        st.integers(2, 3),                            # dsub
+        st.integers(2, 8),                            # k
+        st.integers(0, 2**32 - 1),
+    )
+    def run(m, dsub, k, seed):
+        rng = np.random.RandomState(seed)
+        dim = m * dsub
+        X = rng.randn(max(k, 20), dim)
+        cbs = pq_train_codebooks(X, m=m, k=k)
+        C = np.asarray(cbs)
+        q = rng.randn(dim)
+        # encode one batch the way the executor does
+        cn2 = (C * C).sum(axis=2)
+        Xs = X.reshape(len(X), m, dsub)
+        codes = np.stack(
+            [
+                (cn2[j][None, :] - 2.0 * (Xs[:, j, :] @ C[j].T)).argmin(axis=1)
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        table = np.einsum("md,mkd->mk", q.reshape(m, dsub), C)
+        adot = table[np.arange(m)[None, :], codes].sum(axis=1)
+        recon = np.concatenate([C[j][codes[:, j]] for j in range(m)], axis=1)
+        assert np.allclose(adot, recon @ q, atol=1e-8)
+
+    run()

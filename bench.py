@@ -270,7 +270,7 @@ def main():
             path = tempfile.mkdtemp(prefix="ivf_pq_bench_") + "/index"
             ivf_index_write(
                 e, path, centroids=_ivf_centroids("/root/testdata/sf0.01"),
-                pq_m=8, pq_k=256,
+                pq_m=8, pq_k=256, pq_residual=True,
             )
             _ivf_pq_index[sf_dir] = path
         q = e.filter(F.col("vec_id") < 50)

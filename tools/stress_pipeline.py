@@ -443,7 +443,8 @@ def main():
             # linear as the probed lists grow
             apidx = f"{work}/ivf_pq_idx_x{tag}"
             ivf_index_write(
-                seed_emb, apidx, n_centroids=16, seed=42, pq_m=8, pq_k=256
+                seed_emb, apidx, n_centroids=16, seed=42,
+                pq_m=8, pq_k=256, pq_residual=True,
             )
             ivf_index_append(emb, apidx)
             record(

@@ -505,11 +505,18 @@ def ann_ivf_incremental_query(spark, sf_dir):
     hash-equality certifies (a) the whole append/delete/compact/flip
     lifecycle reproduces a from-scratch survivor index and (b) the MVCC
     read contract itself: a reader holding gen-0 metadata mid-flip still
-    sees complete, tombstone-filtered data. ``rerank=64`` makes the
-    shortlist cover every probed candidate at the gate sf, so the int8
-    stage cannot perturb the exact re-rank (full-precision
-    ``rerank_corpus``); int8 shortlist recall is pinned separately by
-    `ivf_recall_at_k` tests."""
+    sees complete, tombstone-filtered data. Since r10's second wave the
+    index builds with the RESIDUAL PQ tier (``pq_m=8``) and both reads
+    serve through it (``shortlist='auto'`` resolves to ADC) — so the
+    hash row also certifies the compressed tier's plumbing end to end:
+    residual encode at build, meta-driven encode at append, codes
+    through compaction, codebooks in both generations' metadata, and
+    the ``dot(q, c_list)`` base-term algebra. The oracle NEVER changes:
+    ``rerank=64`` makes the shortlist cover every probed candidate at
+    the gate sf, so neither the ADC nor an int8 stage can perturb the
+    exact re-rank (full-precision ``rerank_corpus``); approximate-tier
+    shortlist recall is pinned separately by `ivf_recall_at_k` and
+    `test_pq.py`."""
     import tempfile
 
     from geoscan_fraud_spark.operators.similarity import (
@@ -524,7 +531,10 @@ def ann_ivf_incremental_query(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     cent = _ivf_centroids("/root/testdata/sf0.01")
     path = tempfile.mkdtemp(prefix="ivf_inc_entry_") + "/idx"
-    ivf_index_write(e.filter(F.col("vec_id") % 2 == 0), path, centroids=cent)
+    ivf_index_write(
+        e.filter(F.col("vec_id") % 2 == 0), path, centroids=cent,
+        pq_m=8, pq_k=16, pq_residual=True,
+    )
     ivf_index_append(e.filter(F.col("vec_id") % 2 == 1), path)
     ivf_index_delete(
         spark, path, e.filter(F.col("vec_id") % 7 == 3).select("vec_id")

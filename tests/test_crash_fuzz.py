@@ -170,6 +170,7 @@ def _ivf_steps(spark, emb, path):
         lambda: ivf_index_write(
             emb.filter(F.col("vec_id") % 2 == 0), path,
             n_centroids=2, pq_m=4, pq_k=8, pq_train_rows=30,
+            pq_residual=True,
         ),
         lambda: ivf_index_append(
             emb.filter(F.col("vec_id") % 2 == 1), path, src_batch=1

@@ -209,3 +209,92 @@ def test_ivf_pq_index_crash_fuzz(spark, tmp_path):
         assert _ivf_serve(spark, emb, path) == want, (
             f"crash at commit #{n} (step {step}) diverged after heal"
         )
+
+
+def test_store_publish_crash_fuzz(spark, tmp_path):
+    """Third target, different injection point: the incremental dedup
+    store's publish-then-retire commits through os.rename/shutil.rmtree
+    (no JSON pointer), so the fault goes into THOSE calls — at every
+    filesystem mutation `_publish_folded_base` performs. The invariant
+    under test is the asymmetric one the design names: rows may be
+    transiently DUPLICATED at any crash point, never missing; and one
+    `store_maintain` call converges to the same distinct signature set
+    as a never-crashed twin."""
+    import os as _os
+    import shutil as _shutil
+
+    from geoscan_fraud_spark.sources.io import compact_index, store_fsck, store_maintain
+
+    def build(store):
+        for b in range(5):
+            spark.createDataFrame(
+                [(b * 10 + i, (b * 10 + i) % 17) for i in range(6)],
+                "id long, sig long",
+            ).write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+
+    def content(store):
+        return {
+            (r["id"], r["sig"])
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(store)
+            .select("id", "sig")
+            .distinct()
+            .collect()
+        }
+
+    twin = str(tmp_path / "twin")
+    build(twin)
+    pre = content(twin)
+    compact_index(spark, twin, keep_last=1)
+    want = content(twin)
+    assert want == pre  # the fold itself loses nothing
+
+    class _Counter:
+        def __init__(self, boom_at=None):
+            self.calls, self.boom_at = 0, boom_at
+            self._rename, self._rmtree = _os.rename, _shutil.rmtree
+
+        def _tick(self):
+            self.calls += 1
+            if self.boom_at is not None and self.calls == self.boom_at:
+                raise _InjectedCrash(f"fs mutation #{self.calls}")
+
+        def __enter__(self):
+            def rename(src, dst):
+                self._tick()
+                return self._rename(src, dst)
+
+            def rmtree(p, **kw):
+                self._tick()
+                return self._rmtree(p, **kw)
+
+            _os.rename, _shutil.rmtree = rename, rmtree
+            return self
+
+        def __exit__(self, *exc):
+            _os.rename, _shutil.rmtree = self._rename, self._rmtree
+            return False
+
+    count = str(tmp_path / "count")
+    build(count)
+    with _Counter() as c:
+        compact_index(spark, count, keep_last=1)
+    total = c.calls
+    assert total >= 3  # publish rename + >=1 retire rmtree + final rename
+
+    for n in range(1, total + 1):
+        store = str(tmp_path / f"crash{n}")
+        build(store)
+        try:
+            with _Counter(boom_at=n):
+                compact_index(spark, store, keep_last=1)
+            crashed = False
+        except _InjectedCrash:
+            crashed = True
+        assert crashed, f"fs mutation #{n} never fired?"
+        # rows are never transiently missing, even BEFORE the heal
+        assert content(store) == want, f"rows missing at crash point {n}"
+        report = store_maintain(spark, store, compact_after=1)
+        assert report["status"] == "ok", (n, report)
+        assert store_fsck(spark, store)["findings"] == []
+        assert content(store) == want, f"divergence after heal at {n}"

@@ -103,6 +103,12 @@ def pq_train_sample(
         .limit(train_rows)
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError(
+            "pq_train_sample: the corpus is empty — PQ codebooks cannot "
+            "train on zero rows (build the index without pq_m, or pass "
+            "pre-trained pq_codebooks)"
+        )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
     return pq_train_codebooks(X, m=m, k=k, iters=iters)
 

@@ -423,3 +423,8 @@ def test_adc_identity_property():
         assert np.allclose(adot, recon @ q, atol=1e-8)
 
     run()
+
+
+def test_empty_corpus_train_refused(spark, emb):
+    with pytest.raises(ValueError, match="zero rows"):
+        pq_train_sample(emb.filter(F.lit(False)), m=8, k=4)

@@ -1620,13 +1620,12 @@ def ivf_index_query(
             .select("list_id", "vec_id", "vnorm", "codes"),
             "vec_id",
         )
-        cand = probes.join(lists, "list_id")
-        if exclude_self:
-            cand = cand.filter(F.col("query_id") != F.col("vec_id"))
         if meta["pq"].get("residual"):
             # residual codes approximate r = v - c_list; the exact base
             # term dot(q, c_list) is pure column algebra over centroid
-            # literals, added per probe pair before the ADC table sum
+            # literals — evaluated on PROBES (one row per query x probed
+            # list) BEFORE the candidate join, so the fold runs
+            # |queries| * nprobe times, not once per candidate
             arr = F.array(
                 *[
                     F.array(*[F.lit(float(v)) for v in ctr])
@@ -1634,10 +1633,13 @@ def ivf_index_query(
                 ]
             )
             idx = F.col("list_id") + F.lit(0 if meta["one_based"] else 1)
-            cand = cand.withColumn(
+            probes = probes.withColumn(
                 "adot_base",
                 dot_expr(F.col("q_emb"), F.element_at(arr, idx.cast("int"))),
             )
+        cand = probes.join(lists, "list_id")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("vec_id"))
         local = _adc_local_topk(
             cand,
             meta["pq"]["codebooks"],

@@ -1653,9 +1653,9 @@ def ivf_index_query(
             local.withColumn("__r", F.row_number().over(wq))
             .filter(F.col("__r") <= rerank * k)
             .select("query_id", "vec_id")
-            .join(probes.select("query_id", "q_emb", "__qn").dropDuplicates(
-                ["query_id"]
-            ), "query_id")
+            # re-attach the query vector from q (one row per query by
+            # construction — no dedup aggregation needed; AQE broadcasts)
+            .join(q.withColumn("__qn", norm_expr(F.col("q_emb"))), "query_id")
             .select("query_id", "q_emb", "__qn", "vec_id")
         )
     else:

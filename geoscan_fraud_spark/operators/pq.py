@@ -352,7 +352,10 @@ def ivf_pq_topk(
     cost is measured, not guessed: `tests/test_pq.py` pins recall vs
     `brute_force_topk` and exact equality when every list is probed.
     ``codebooks=None`` trains on the ``train_rows`` lowest-id corpus
-    rows (deterministic; see `pq_train_sample`)."""
+    rows (deterministic; see `pq_train_sample`). Residual encoding is a
+    property of the PERSISTED index (`ivf_index_write(pq_residual=...)`),
+    where the frozen coarse centroids live; this in-memory form encodes
+    raw vectors."""
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
     if codebooks is None:

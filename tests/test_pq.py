@@ -428,3 +428,33 @@ def test_adc_identity_property():
 def test_empty_corpus_train_refused(spark, emb):
     with pytest.raises(ValueError, match="zero rows"):
         pq_train_sample(emb.filter(F.lit(False)), m=8, k=4)
+
+
+def test_expire_keeps_pq_tier(spark, emb):
+    """Retention on a pq index: expiry relays out the lists generically,
+    so codes/vnorm survive and the ADC tier serves exactly the
+    build + surviving-batch corpus."""
+    from geoscan_fraud_spark.operators.similarity import ivf_index_expire
+
+    path = tempfile.mkdtemp(prefix="pq_expire_") + "/idx"
+    ivf_index_write(
+        emb.filter(F.col("vec_id") < 200), path,
+        n_centroids=4, pq_m=8, pq_k=16, pq_train_rows=200, pq_residual=True,
+    )
+    ivf_index_append(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)),
+        path, src_batch=1,
+    )
+    ivf_index_append(emb.filter(F.col("vec_id") >= 350), path, src_batch=2)
+    ivf_index_expire(spark, path, min_src_batch=2)
+    q = emb.filter(F.col("vec_id") < 3)
+    got = _rows(
+        ivf_index_query(
+            q, path, k=5, nprobe=4, rerank=500, rerank_corpus=emb,
+            shortlist="pq",
+        )
+    )
+    survivors = emb.filter(
+        (F.col("vec_id") < 200) | (F.col("vec_id") >= 350)
+    )
+    assert got == _rows(brute_force_topk(q, survivors, k=5))

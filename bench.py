@@ -671,7 +671,10 @@ def main():
         "text_repetition": bench_text_repetition,
         "semantic_dedup": QUERIES["semantic_dedup"],
         "semantic_dedup_blas": bench_semantic_blas,
-        "lm_perplexity": QUERIES["lm_perplexity"],
+        # folded r11 (slot funds prepared_stream_query); still timed
+        "lm_perplexity": __import__(
+            "geoscan_fraud_spark.harness_pipeline", fromlist=["lm_perplexity"]
+        ).lm_perplexity,
         "bpe_segment": bench_bpe_segment,
         "prepared_ingest_stream": bench_prepared_ingest,
         "dsir_sample": bench_dsir,
@@ -700,6 +703,10 @@ def main():
         # round-8 second wave: PII scrub stage (registered entry —
         # map-only regexp_replace chain over the seeded corpus)
         "pii_redact": QUERIES["pii_redact"],
+        # round-11: the streaming serving pipeline under the hash gate
+        # (two availableNow cycles: gate + store dedup + corpus append +
+        # two text-index appends + serve — registered entry)
+        "prepared_stream_query": QUERIES["prepared_stream_query"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action
@@ -734,15 +741,34 @@ def main():
     load_per_run: list[float] = []
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
+    # VERDICT r10 #7: record each entry's Spark JOB count next to its
+    # seconds — the "job-floor dominated" argument for the lifecycle
+    # composites becomes a recorded fact instead of a re-derivation.
+    # A unique job group per (entry, pass) scopes the statusTracker
+    # query; counts are taken from the LAST recorded pass (steady
+    # state — per-process one-off builds have amortized by then).
+    job_counts: dict[str, int] = {}
+    sc = spark.sparkContext
+
+    def _timed(name, fn, r):
+        group = f"bench:{name}:r{r}"
+        sc.setJobGroup(group, name)
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+        finally:
+            sc.setJobGroup("", "")
+        job_counts[name] = len(sc.statusTracker().getJobIdsForGroup(group))
+        return dt
+
     for r in range(runs + 1):
         warmup = r == 0
         if not warmup:
             load_per_run.append(round(os.getloadavg()[0], 2))
         run_total = 0.0
         for name in headline:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = _timed(name, QUERIES[name], r)
             run_total += dt
             if not warmup and (name not in timings or dt < timings[name]):
                 timings[name] = dt
@@ -751,9 +777,7 @@ def main():
     for r in range(runs + 1):
         warmup = r == 0
         for name, fn in extras.items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = _timed(name, fn, r)
             if not warmup and (name not in extra_timings or dt < extra_timings[name]):
                 extra_timings[name] = dt
 
@@ -795,6 +819,7 @@ def main():
                 "load_per_run": load_per_run,
                 **({"load_note": load_note} if load_note else {}),
                 "queries_extra": extra_timings,
+                "jobs": job_counts,
             }
         )
     )

@@ -99,11 +99,11 @@ def _minhash_md5_oracle(n_hashes: int = 48, bands: int = 12, threshold: float = 
     hs AS (SELECT doc_id,
                   ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
            FROM sh),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {sig_aggs}
       FROM hs GROUP BY doc_id),
-    banded AS (
+    banded AS MATERIALIZED (
       {band_selects}),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1094,11 +1094,11 @@ def _incremental_md5_oracle(
     hs AS (SELECT doc_id,
                   ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
            FROM sh),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {sig_aggs}
       FROM hs GROUP BY doc_id),
-    banded AS (
+    banded AS MATERIALIZED (
       {band_selects}),
     bband AS (SELECT * FROM banded WHERE doc_id >= 1000000),
     iband AS (SELECT * FROM banded WHERE doc_id < 1000000),
@@ -1554,7 +1554,6 @@ def lm_bigram(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@register("lm_perplexity", sql=_lm_perplexity_oracle())
 def lm_perplexity(spark, sf_dir):
     """Unigram-LM perplexity scoring (operators/text.py): train an
     add-alpha unigram model on the doc_id % 10 != 0 slice (one groupBy
@@ -1563,7 +1562,14 @@ def lm_perplexity(spark, sf_dir):
     the OOV path — by mean negative log-probability. The CCNet-recipe
     quality filter in its simplest trainable form; the scoring join is
     broadcast (vocabulary-sized right side), so the corpus never
-    shuffles for it."""
+    shuffles for it.
+
+    Folded r11 (the slot funds `prepared_stream_query`): the identical
+    unigram-LM algebra is load-bearing inside the hash-green
+    `ppl_buckets` entry — its oracle literally embeds
+    `_lm_perplexity_oracle()` as the `base` CTE — and the closed-form
+    python value pin lives at `tests/test_semantic_lm.py::
+    test_lm_closed_form_tiny_corpus`; bench.py still times it."""
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
     lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
@@ -2111,3 +2117,216 @@ def pii_redact(spark, sf_dir):
         ).alias("text"),
     )
     return redact_pii(seeded)
+
+
+# ---------------------------------------------------------------------------
+# streaming serving pipeline under the hash gate (r11 rotation — VERDICT
+# r10 #4: §2.9 was the last pytest-only surface; slot funded by the
+# folded lm_perplexity, whose algebra is load-bearing inside the green
+# ppl_buckets oracle)
+# ---------------------------------------------------------------------------
+
+_PSQ_MIN_TOK = 20
+
+
+def _prepared_stream_oracle(
+    n_hashes: int = 48,
+    bands: int = 12,
+    threshold: float = 0.5,
+    min_tok: int = _PSQ_MIN_TOK,
+    k: int = 10,
+) -> str:
+    """The full two-micro-batch `prepared_serving_sink` cycle as one
+    DuckDB statement: per-batch token gate, batch A deduped within
+    itself against an empty store, batch B (odds + mutated evens)
+    deduped against A's SURVIVORS and within itself (signature-estimated
+    Jaccard, recursive-CTE components, the `_component_drop` rule), then
+    one-shot BM25 over the union of survivors — the corpus the streamed
+    text index must serve BIT-EXACTLY through its two appends."""
+    r = n_hashes // bands
+    a_mul, b_mul, c_xor = dd.minhash_mix_params(n_hashes)
+    lo_mask = (1 << 30) - 1
+    sig_aggs = ",\n             ".join(
+        f"min(({a_mul[i]} * (xor(h, {c_xor[i]}::BIGINT) & {lo_mask})"
+        f" + {b_mul[i]} * (xor(h, {c_xor[i]}::BIGINT) >> 30)"
+        f" + {i}) % {dd.MINHASH_MOD}) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh_{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
+    vals = ",\n      ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    qsrc = f"SELECT * FROM (VALUES\n      {vals}) AS v(query_id, query)"
+    gate = f"len(string_split(trim(text), ' ')) >= {min_tok}"
+    return f"""
+    WITH RECURSIVE
+    ga AS MATERIALIZED (SELECT doc_id, text FROM documents
+           WHERE doc_id % 2 = 0 AND {gate}),
+    braw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               [tok[i] FOR i IN range(1, len(tok) + 1) IF (i - 1) % 13 != 5], ' ')
+               AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+            WHERE doc_id % 2 = 0)),
+    gb AS MATERIALIZED (SELECT doc_id, text FROM braw WHERE {gate}),
+    alldocs AS MATERIALIZED (SELECT * FROM ga UNION ALL SELECT * FROM gb),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tok) >= 3
+               THEN [array_to_string(tok[i+1:i+3], ' ') FOR i IN range(0, len(tok) - 2)]
+               ELSE [array_to_string(tok, ' ')] END) AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM alldocs)),
+    hs AS (SELECT doc_id,
+                  ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
+           FROM sh),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {sig_aggs}
+      FROM hs GROUP BY doc_id),
+    banded AS MATERIALIZED (
+      {band_selects}),
+    ab AS (SELECT banded.* FROM banded JOIN ga USING (doc_id)),
+    acand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM ab x JOIN ab y ON x.band = y.band AND x.bh = y.bh
+                                 AND x.doc_id < y.doc_id),
+    apairs AS (SELECT c.id_a, c.id_b FROM acand c
+               JOIN sig a ON a.doc_id = c.id_a
+               JOIN sig b ON b.doc_id = c.id_b
+               WHERE ({eq_sum}) / {n_hashes}.0 >= {threshold}),
+    aedges AS (SELECT id_a AS ea, id_b AS eb FROM apairs
+               UNION ALL SELECT id_b, id_a FROM apairs),
+    areach(id, root) AS (
+      SELECT ea, ea FROM aedges GROUP BY ea
+      UNION
+      SELECT e.eb, areach.root FROM areach JOIN aedges e ON e.ea = areach.id),
+    acomp AS (SELECT id, min(root) AS component FROM areach GROUP BY id),
+    kepta AS MATERIALIZED (SELECT doc_id FROM ga
+              WHERE doc_id NOT IN (SELECT id FROM acomp WHERE id <> component)),
+    bb AS (SELECT banded.* FROM banded JOIN gb USING (doc_id)),
+    ib AS (SELECT banded.* FROM banded JOIN kepta USING (doc_id)),
+    cand_ix AS (SELECT DISTINCT nb.doc_id AS nid, ix.doc_id AS oid
+                FROM bb nb JOIN ib ix ON nb.band = ix.band AND nb.bh = ix.bh),
+    est_ix AS (SELECT DISTINCT c.nid AS id FROM cand_ix c
+               JOIN sig a ON a.doc_id = c.nid
+               JOIN sig b ON b.doc_id = c.oid
+               WHERE ({eq_sum}) / {n_hashes}.0 >= {threshold}),
+    bcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bb x JOIN bb y ON x.band = y.band AND x.bh = y.bh
+                                  AND x.doc_id < y.doc_id),
+    bpairs AS (SELECT c.id_a, c.id_b FROM bcand c
+               JOIN sig a ON a.doc_id = c.id_a
+               JOIN sig b ON b.doc_id = c.id_b
+               WHERE ({eq_sum}) / {n_hashes}.0 >= {threshold}),
+    bedges AS (SELECT id_a AS ea, id_b AS eb FROM bpairs
+               UNION ALL SELECT id_b, id_a FROM bpairs),
+    breach(id, root) AS (
+      SELECT ea, ea FROM bedges GROUP BY ea
+      UNION
+      SELECT e.eb, breach.root FROM breach JOIN bedges e ON e.ea = breach.id),
+    bcomp AS (SELECT id, min(root) AS component FROM breach GROUP BY id),
+    comp_matched AS (SELECT DISTINCT component FROM bcomp
+                     WHERE id IN (SELECT id FROM est_ix)),
+    bdrop AS (
+      SELECT id FROM est_ix
+      UNION
+      SELECT id FROM bcomp
+      WHERE component IN (SELECT component FROM comp_matched)
+      UNION
+      SELECT id FROM bcomp WHERE id <> component),
+    keptb AS (SELECT doc_id FROM gb
+              WHERE doc_id NOT IN (SELECT id FROM bdrop)),
+    survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM alldocs d JOIN kepta USING (doc_id)
+      UNION ALL
+      SELECT d.doc_id, d.text FROM alldocs d JOIN keptb USING (doc_id)),
+    {_bm25_cte(qsrc, k=k, docs_src="survivors")}
+    SELECT query_id, doc_id, score, rank FROM lex
+    """
+
+
+@register("prepared_stream_query", sql=_prepared_stream_oracle)
+def prepared_stream_query(spark, sf_dir):
+    """Streaming serving pipeline UNDER the hash gate (VERDICT r10 #4 —
+    the first §2.9 entry): a real two-cycle availableNow
+    `prepared_serving_sink` run — file-source micro-batches through the
+    quality gate, the store-backed MinHash dedup (md5 family, the
+    oracle-portable configuration), the corpus append, and TWO
+    `text_index_append`s into a bootstrap-empty BM25 index — then the
+    entry SERVES from that streamed index. Batch 0 is the even docs;
+    batch 1 is the odd docs plus mutated copies of the evens, so the
+    cross-batch store suppression does real work. The oracle replays
+    gate + both dedup stages + one-shot BM25 over the survivor corpus in
+    DuckDB; hash-equality certifies the streaming machinery end-to-end:
+    file-source batch splitting, checkpointed replay guards, the
+    strictly-earlier-batch store read, the integer stats merges of the
+    two appends, and bucket-pruned serving must together reproduce the
+    batch-SQL answer BIT-EXACTLY."""
+    import tempfile
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_query,
+        text_index_write,
+    )
+    from geoscan_fraud_spark.streaming.scoring import prepared_serving_sink
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    words = F.split(F.col("text"), r"\s+")
+    mutated = evens.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.filter(words, lambda w, i: (i % 13) != 5)
+        ).alias("text"),
+    )
+    batch_b = odds.unionByName(mutated)
+
+    work = tempfile.mkdtemp(prefix="psq_entry_")
+    src = f"{work}/src"
+    tidx = f"{work}/tidx"
+    # bootstrap-empty serving index: the stream's appends are its only
+    # content (the empty-build shape text_index_write supports since r11)
+    text_index_write(docs.limit(0), tidx, n_buckets=32)
+    sink = prepared_serving_sink(
+        f"{work}/store",
+        f"{work}/out",
+        text_index_path=tidx,
+        quality_rules={"min_tokens": F.col("n_tokens") >= _PSQ_MIN_TOK},
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        sig_hash="md5",
+    )
+
+    def cycle():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(src + "/f=*")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    # two cycles over the same checkpoint = deterministic batch split:
+    # cycle 1 sees only file A (batch 0), cycle 2 only the new file B
+    # (batch 1) — the file source's seen-set lives in the checkpoint
+    evens.coalesce(1).write.mode("overwrite").parquet(f"{src}/f=a")
+    cycle()
+    batch_b.coalesce(1).write.mode("overwrite").parquet(f"{src}/f=b")
+    cycle()
+    return text_index_query(spark, tidx, _BM25_QUERIES, k=10).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

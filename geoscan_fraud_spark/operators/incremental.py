@@ -19,9 +19,12 @@ is by design cold — the whole point of the index is never touching it
 again. Batch-internal pairs use the same estimator for consistency (the
 full-text-verify path is the batch operator `minhash_dedup`).
 
-100 TB shape: the index never shuffles wholesale — the band join is
-keyed by (band, band-hash), high-cardinality and naturally balanced,
-and the candidate restriction joins touch only signature rows whose ids
+100 TB shape: the index never shuffles wholesale — since r11 the index
+side is LEFT-SEMI PRUNED to the batch's own (band, band-hash) key set
+(broadcast, bounded by bands x batch docs) before the hot-bucket window
+and the candidate join, so the per-batch store cost is one map-only
+scan plus shuffles over TOUCHED buckets only (O(batch), not O(store));
+the candidate restriction joins touch only signature rows whose ids
 appear in a candidate pair. Hot buckets are star-guarded BY DEFAULT
 since r10 (``max_bucket=256``): an oversized index bucket collapses to
 its min-id hub (batch docs still test against the family's
@@ -180,6 +183,7 @@ def dedup_against_index(
     sig_hash: str = "xxhash64",
     max_bucket: int | None = 256,
     precollapse_exact: bool = True,
+    _prune_index: bool = True,
 ) -> DataFrame:
     """Dedup an incoming batch against a signature index AND within
     itself; return the kept rows of ``new_df`` (append their
@@ -249,6 +253,20 @@ def dedup_against_index(
     ib = _banded_sig(idx_for_bands, num_hashes, bands, sig_hash).select(
         "band", "bh", F.col("id").alias("oid")
     )
+    # prune the index side to BATCH-TOUCHED buckets before anything
+    # shuffles it (VERDICT r10 #1): the batch's distinct (band, bh) key
+    # set is bounded by bands x batch docs, so it broadcasts, and the
+    # left-semi keeps whole touched buckets — the hot-bucket window
+    # below and the stage-1 candidate join see bit-identical rows for
+    # every bucket the batch can reach, while untouched buckets (the
+    # overwhelming store majority at scale) never leave the map-side
+    # scan. Without this, every micro-batch repartitioned ALL banded
+    # store rows twice (window + join) to admit a few thousand docs —
+    # per-batch work O(store), not O(batch). ``_prune_index=False`` keeps
+    # the reference unpruned plan alive for the bit-identity test only.
+    if _prune_index:
+        batch_keys = nb.select("band", "bh").distinct()
+        ib = ib.join(F.broadcast(batch_keys), ["band", "bh"], "left_semi")
     nb_small, nb_star = nb, None
     if max_bucket is not None:
         # index side (r10 — the star-guard idea applied to ingest): a HOT
@@ -385,6 +403,7 @@ def embedding_dedup_against_index(
     threshold: float = 0.95,
     max_bucket: int | None = None,
     precollapse_exact: bool = True,
+    _prune_index: bool = True,
 ) -> DataFrame:
     """Drop new vectors whose cosine vs ANY indexed vector clears
     ``threshold`` (verified against the DEQUANTIZED stored vector —
@@ -419,9 +438,19 @@ def embedding_dedup_against_index(
         F.col(emb_col).alias("e"),
         hyperplane_bucket(F.col(emb_col), dim, planes, seed).alias("bucket"),
     )
-    ib = index.select(
+    # batch-touched-bucket prune, then dequantize only survivors (the
+    # minhash gate's VERDICT r10 #1 fix applied to the same join shape):
+    # the batch's distinct bucket set broadcasts, whole touched buckets
+    # are kept — `_cap_buckets` decisions and the candidate join are
+    # bit-identical — and the store-wide rows never reach a shuffle or
+    # the dequantize projection
+    ib = index.select("bucket", F.col("id").alias("oid"), "scale", "qvec")
+    if _prune_index:
+        batch_buckets = nb.select("bucket").distinct()
+        ib = ib.join(F.broadcast(batch_buckets), "bucket", "left_semi")
+    ib = ib.select(
         "bucket",
-        F.col("id").alias("oid"),
+        "oid",
         F.transform(
             F.col("qvec"), lambda q: q.cast("double") * F.col("scale")
         ).alias("oe"),

@@ -90,16 +90,22 @@ def pq_train_sample(
     id_col: str = "vec_id",
     train_rows: int = 4096,
     iters: int = 10,
+    sample: str = "hash",
 ) -> list[list[list[float]]]:
-    """Deterministic training sample straight from a DataFrame: the
-    ``train_rows`` lowest-id vectors (a TakeOrdered — no full sort
-    materializes) feed `pq_train_codebooks`. Lowest-id is the
-    reproducibility choice, not a statistical one; for a corpus whose
-    ids correlate with content, sample upstream (e.g. by
-    ``pmod(xxhash64(id), p) = 0``) and pass the result here."""
+    """Deterministic training sample straight from a DataFrame feeding
+    `pq_train_codebooks`. ``sample='hash'`` (default since r11 — VERDICT
+    r10 #3) takes the ``train_rows`` rows with the LOWEST ``xxhash64(id)``
+    (id tiebreak): equally deterministic and bit-stable across retrains,
+    but pseudo-random in id space, so a corpus whose ids correlate with
+    content (crawl order, source shards) trains on an unbiased slice —
+    the same stratification as ``pmod(xxhash64(id), p) = 0`` without
+    having to pick ``p`` or re-count the corpus, and with an exact
+    sample size. Both modes are a TakeOrdered — no full sort
+    materializes. ``sample='lowest_id'`` keeps the pre-r11 ordering for
+    callers that pinned codebooks against it."""
     pdf = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy("__id")
+        .orderBy(*_sample_order(sample, "__id"))
         .limit(train_rows)
         .toPandas()
     )
@@ -111,6 +117,19 @@ def pq_train_sample(
         )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
     return pq_train_codebooks(X, m=m, k=k, iters=iters)
+
+
+def _sample_order(sample: str, id_col: str) -> list:
+    """Sort keys for the deterministic training sample: lowest
+    ``xxhash64(id)`` (id tiebreak — hash collisions must not make the
+    cut order ambiguous) or plain lowest id."""
+    if sample == "hash":
+        return [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+    if sample == "lowest_id":
+        return [F.col(id_col).asc()]
+    raise ValueError(
+        f"sample must be 'hash' or 'lowest_id', got {sample!r}"
+    )
 
 
 def _validate_pq_shape(dim: int, m: int, k: int) -> None:

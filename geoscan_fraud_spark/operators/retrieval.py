@@ -285,8 +285,14 @@ def text_index_write(
         )
         # df from the just-written postings: reading back costs one
         # pruned scan and guarantees terms/ agrees with postings/ even
-        # if `docs` is nondeterministic upstream
-        written = postings.sparkSession.read.parquet(postings_dir)
+        # if `docs` is nondeterministic upstream. Explicit schema: skips
+        # footer inference AND makes an EMPTY build legal — the
+        # bootstrap shape for stream-fed indexes (`prepared_serving_sink`
+        # over an index with no backfill corpus), whose zero-row
+        # partitioned write leaves no files to infer from.
+        written = postings.sparkSession.read.schema(postings.schema).parquet(
+            postings_dir
+        )
         (
             written.groupBy("bucket", "term")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -499,7 +505,8 @@ def text_index_delete(spark, path: str, doc_ids) -> None:
     ids the ``empty_docs`` list tracks precisely because postings
     cannot witness them (VERDICT r09 #5 closed the old
     n_empty-persists caveat; a legacy index without ``empties_tracked``
-    keeps the conservative carry-forward).
+    keeps the conservative carry-forward until
+    `text_index_upgrade_empties` migrates it).
 
     Tombstones are generation-scoped and the delete takes the writer
     lock: a takedown landing in a snapshot that a concurrent compaction
@@ -570,9 +577,10 @@ def text_index_compact(spark, path: str, expire_below: int | None = None) -> int
     from the survivors, so a tombstoned or expired empty doc comes off
     n_docs exactly (VERDICT r09 #5; the old caveat — "its +1 persists"
     — is closed). A legacy index without the flag keeps the
-    conservative carry-forward of its counter; indexes written before
-    ``n_empty`` existed treat it as 0, so their empty docs (if any)
-    drop out of n_docs at first compaction."""
+    conservative carry-forward of its counter until
+    `text_index_upgrade_empties` backfills the list and flips the flag
+    (r11); indexes written before ``n_empty`` existed treat it as 0, so
+    their empty docs (if any) drop out of n_docs at first compaction."""
     stats_path = os.path.join(path, "stats.json")
     with index_writer_lock(path, "text_index_compact"):
         # refuse over a PRE-GENERATION crash's rename-swap leftovers:
@@ -686,6 +694,107 @@ def text_index_compact(spark, path: str, expire_below: int | None = None) -> int
         return n
 
 
+def text_index_upgrade_empties(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strict: bool = True,
+) -> dict:
+    """One-shot migration of a LEGACY index (written before
+    ``empties_tracked``) to exact zero-token-doc accounting (VERDICT r10
+    #5): backfill the ``empty_docs`` family and flip the flag, so
+    compaction can subtract tombstoned/expired empty docs from
+    ``n_docs`` exactly instead of carrying the conservative counter
+    forward forever.
+
+    The implied empty count is derivable from the index alone
+    (``n_docs`` minus the postings' distinct doc count — both
+    pre-tombstone, matching the counter's semantics), and when it is
+    ZERO the upgrade is free: flip the flag, done. The empty docs' IDS,
+    however, are structurally unrecoverable from the index (postings
+    cannot witness them — the whole reason the family exists), so a
+    nonzero count needs ``corpus``: the SAME doc relation the index was
+    built/appended from. The backfill is validated loudly — the
+    corpus's zero-token ids must number exactly the implied count and
+    none may own postings — because a wrong corpus would silently
+    mis-account every later takedown.
+
+    ``strict=False`` reports ``{"upgraded": False, "needs_corpus":
+    True}`` instead of raising when the corpus is required but absent —
+    how `text_index_maintain` folds the free half of this migration
+    into the runbook. Single-writer (writer lock); idempotent (an
+    already-tracked index is a no-op)."""
+    stats_path = os.path.join(path, "stats.json")
+    with index_writer_lock(path, "text_index_upgrade_empties"):
+        meta = read_index_meta(stats_path)
+        if meta.get("empties_tracked"):
+            return {"upgraded": False, "tracked": True, "n_empty": int(meta.get("n_empty", 0))}
+        postings = spark.read.parquet(gen_dir(path, "postings", meta)).select(
+            "doc_id"
+        )
+        n_posting_docs = postings.select(F.countDistinct("doc_id")).first()[0]
+        implied = int(meta["n_docs"]) - int(n_posting_docs)
+        if implied < 0:
+            raise ValueError(
+                f"{path}: postings hold {n_posting_docs} distinct docs but "
+                f"stats.json records n_docs={meta['n_docs']} — the index is "
+                f"inconsistent (run text_index_fsck); refusing to upgrade"
+            )
+        if implied == 0:
+            meta["n_empty"] = 0
+            meta["empties_tracked"] = True
+            atomic_write_json(stats_path, meta)
+            return {"upgraded": True, "n_empty": 0}
+        if corpus is None:
+            if not strict:
+                return {
+                    "upgraded": False,
+                    "needs_corpus": True,
+                    "n_empty_implied": implied,
+                }
+            raise ValueError(
+                f"{path}: {implied} empty docs are in n_docs but their ids "
+                f"are unrecoverable from the index — pass corpus= (the doc "
+                f"relation the index was built/appended from) to backfill "
+                f"the empty_docs list"
+            )
+        empty_ids = (
+            corpus.filter(F.size(search_tokens(F.col(text_col))) == 0)
+            .select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)  # counted, overlap-checked, written
+        )
+        n_found = empty_ids.count()
+        if n_found != implied:
+            raise ValueError(
+                f"{path}: the passed corpus has {n_found} zero-token docs "
+                f"but the index implies {implied} — wrong corpus (a "
+                f"mismatched backfill would mis-account every later "
+                f"takedown); refusing to upgrade"
+            )
+        overlap = postings.join(empty_ids, "doc_id", "left_semi").count()
+        if overlap:
+            raise ValueError(
+                f"{path}: {overlap} of the corpus's zero-token docs own "
+                f"postings in the index — the corpus text differs from "
+                f"index-time text; refusing to upgrade"
+            )
+        # src_batch=-1 (the build stamp): the original ingest generations
+        # are unrecoverable, and -1 is the conservative never-expires
+        # choice — exactly how build-time empties are stamped
+        empty_ids.select(
+            "doc_id", F.lit(-1).cast("int").alias("src_batch")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            gen_dir(path, "empty_docs", meta)
+        )
+        meta["n_empty"] = implied
+        meta["empties_tracked"] = True
+        atomic_write_json(stats_path, meta)
+        return {"upgraded": True, "n_empty": implied}
+
+
 def text_index_expire(spark, path: str, min_src_batch: int) -> int:
     """Retention for a format-2 BM25 index: physically drop every doc
     whose ingest generation is older than ``min_src_batch`` — the
@@ -748,6 +857,16 @@ def text_index_maintain(
 
     report: dict = {"healed": heal_index_artifacts(path, "stats.json")}
     meta = read_index_meta(os.path.join(path, "stats.json"))
+    if not meta.get("empties_tracked"):
+        # the free half of the legacy upgrade (VERDICT r10 #5): when the
+        # index provably holds no empty docs the flag flips in place;
+        # otherwise the report names the corpus-requiring migration
+        # (`text_index_upgrade_empties(corpus=...)`) without failing the
+        # runbook
+        report["empties_upgrade"] = text_index_upgrade_empties(
+            spark, path, strict=False
+        )
+        meta = read_index_meta(os.path.join(path, "stats.json"))
     pressure = serving_layout_pressure(gen_dir(path, "postings", meta))
     tombs = os.path.isdir(gen_dir(path, "tombstones", meta))
     report["compacted"] = pressure > compact_after or tombs

@@ -669,6 +669,7 @@ def ivf_index_write(
     pq_train_rows: int = 4096,
     pq_codebooks=None,
     pq_residual: bool = False,
+    pq_sample: str = "hash",
 ) -> int:
     """Build and persist an IVF-ANN index: ``path/lists`` holds the
     int8-quantized corpus PARTITIONED BY list id, ``path/centroids.json``
@@ -680,9 +681,13 @@ def ivf_index_write(
     layout: `ivf_index_query(shortlist='pq')` then scans ~``m + 8``
     bytes per candidate instead of the int8 vector, the ADC tier for a
     corpus whose shortlist scan is IO-bound even at int8. Codebooks are
-    trained once at build (deterministic ``pq_train_rows``-row sample,
-    or pass ``pq_codebooks``) and FROZEN: appends encode against them,
-    exactly like the frozen coarse centroids. ``pq_residual`` encodes
+    trained once at build (deterministic ``pq_train_rows``-row sample —
+    ``pq_sample='hash'`` takes the lowest-``xxhash64(id)`` rows, an
+    unbiased slice of an id-content-correlated corpus; `pq_train_sample`
+    — or pass ``pq_codebooks``) and FROZEN: appends encode against
+    them, exactly like the frozen coarse centroids. The sampling
+    parameters persist in the pq metadata block so `ivf_index_rebuild`
+    retrains on the same sample size and mode. ``pq_residual`` encodes
     ``v - c_list`` instead of ``v`` (Faiss IVFPQ proper — the codebooks
     spend their codewords on the within-list spread; the query adds the
     exact ``dot(q, c_list)`` base term back natively per probe pair).
@@ -730,6 +735,7 @@ def ivf_index_write(
             gen=g_new, extra_meta=extra,
             pq_m=pq_m, pq_k=pq_k, pq_train_rows=pq_train_rows,
             pq_codebooks=pq_codebooks, pq_residual=pq_residual,
+            pq_sample=pq_sample,
         )
 
 
@@ -737,7 +743,7 @@ def _ivf_index_write_locked(
     corpus, path, n_centroids, emb_col, id_col, seed, centroids,
     gen=0, extra_meta=None,
     pq_m=None, pq_k=256, pq_train_rows=4096, pq_codebooks=None,
-    pq_residual=False,
+    pq_residual=False, pq_sample="hash",
 ) -> int:
     """Core build: fit/assign, quantize, write ``lists`` at ``gen``,
     commit metadata (with ``extra_meta`` merged — how `ivf_index_rebuild`
@@ -779,6 +785,7 @@ def _ivf_index_write_locked(
 
         from geoscan_fraud_spark.operators.pq import (
             _np_codebooks,
+            _sample_order,
             pq_encode,
             pq_train_codebooks,
             pq_train_sample,
@@ -787,13 +794,25 @@ def _ivf_index_write_locked(
         one_based = centroids is not None
         if pq_codebooks is None and pq_residual:
             # train on the residuals the codes will actually encode:
-            # sample rows WITH their assignment, subtract driver-side
+            # sample rows WITH their assignment (same deterministic
+            # hash-stratified order as pq_train_sample), subtract
+            # driver-side
             pdf = (
                 assigned.select("vec_id", "c_emb", "list_id")
-                .orderBy("vec_id")
+                .orderBy(*_sample_order(pq_sample, "vec_id"))
                 .limit(pq_train_rows)
                 .toPandas()
             )
+            if len(pdf) == 0:
+                # same friendly refusal as pq_train_sample — np.stack
+                # over zero rows would raise numpy's opaque "need at
+                # least one array to stack" (ADVICE r10)
+                raise ValueError(
+                    "pq residual training: the corpus is empty — PQ "
+                    "codebooks cannot train on zero rows (build the "
+                    "index without pq_m, or pass pre-trained "
+                    "pq_codebooks)"
+                )
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]]
             )
@@ -806,7 +825,7 @@ def _ivf_index_write_locked(
         elif pq_codebooks is None:
             pq_codebooks = pq_train_sample(
                 c, m=pq_m, k=pq_k, vec_col="c_emb", id_col="vec_id",
-                train_rows=pq_train_rows,
+                train_rows=pq_train_rows, sample=pq_sample,
             )
         shape = _np_codebooks(pq_codebooks).shape
         # codes + exact norm ride in the SAME list files as the int8
@@ -823,6 +842,13 @@ def _ivf_index_write_locked(
             "m": int(shape[0]),
             "k": int(shape[1]),
             "residual": bool(pq_residual),
+            # sampling parameters persist so a rebuild retrains on the
+            # same sample size/mode — without train_rows a custom
+            # (larger) sample silently shrank to the default (ADVICE
+            # r10); recorded even when codebooks were passed in, as the
+            # retrain parameters a rebuild should use
+            "train_rows": int(pq_train_rows),
+            "sample": str(pq_sample),
             "codebooks": [
                 [[float(v) for v in cw] for cw in book] for book in pq_codebooks
             ],
@@ -1241,15 +1267,23 @@ def ivf_index_rebuild(
         # centroids, which is the whole reason the rebuild runs
         pq_m = pq_k = None
         pq_residual = False
+        pq_train_rows, pq_sample = 4096, "hash"
         if meta.get("pq"):
             pq_m = int(meta["pq"]["m"])
             pq_k = int(meta["pq"]["k"])
             pq_residual = bool(meta["pq"].get("residual"))
+            # retrain on the SAME sample size/mode the index was built
+            # with (ADVICE r10 — a custom larger sample used to shrink
+            # silently to the default); legacy blocks without the keys
+            # get the current defaults
+            pq_train_rows = int(meta["pq"].get("train_rows", 4096))
+            pq_sample = str(meta["pq"].get("sample", "hash"))
         _ivf_index_write_locked(
             vecs, path, k, "embedding", "vec_id", seed, None,
             gen=g_new, extra_meta=extra,
             pq_m=pq_m, pq_k=pq_k if pq_k is not None else 256,
             pq_residual=pq_residual,
+            pq_train_rows=pq_train_rows, pq_sample=pq_sample,
         )
         return k
 
@@ -1556,8 +1590,12 @@ def ivf_index_query(
     the parquet scan prunes to the probed partition directories before a
     single byte of the others is read. Scoring runs on the int8 vectors
     (scale cancels out of cosine); the top ``rerank * k`` per query
-    re-rank against dequantized vectors — or bit-true full-precision
-    ones if ``rerank_corpus`` (the original relation) is given.
+    re-rank against dequantized vectors — the re-rank scan is bounded to
+    the shortlist's vec_ids (a second static pushed filter over the
+    materialized |queries| x rerank*k shortlist; ADVICE r10 — the PQ
+    tier's IO win holds by default, not only with an external corpus) —
+    or bit-true full-precision ones if ``rerank_corpus`` (the original
+    relation) is given.
 
     ``exclude_self`` keeps the corpus-self-join `ivf_topk` contract (a
     vector is not its own neighbor). Pass ``False`` for EXTERNAL
@@ -1689,9 +1727,24 @@ def ivf_index_query(
             F.col(id_col).alias("vec_id"), F.col(emb_col).alias("c_emb")
         )
     else:
+        # bound the re-rank scan to the SHORTLIST rows (ADVICE r10): the
+        # shortlist is |queries| x rerank*k by construction, so it
+        # materializes once (the ADC/int8 scan is not recomputed per
+        # consumer) and its vec_ids push down as a static filter — the
+        # dequantize pass touches row-group-pruned shortlist rows, not
+        # every row of the probed lists. Without this the PQ tier's IO
+        # win was only real when callers passed rerank_corpus: the
+        # default path re-read the full int8 vectors of all probed
+        # partitions on top of the codes scan.
+        shortlist = shortlist.localCheckpoint(eager=True)
+        sl_ids = [
+            r["vec_id"]
+            for r in shortlist.select("vec_id").distinct().collect()
+        ]
         full = dequantize_embeddings(
             spark.read.parquet(gen_dir(path, "lists", meta))
             .filter(F.col("list_id").isin(probe_ids))
+            .filter(F.col("vec_id").isin(sl_ids) if sl_ids else F.lit(False))
         ).withColumnRenamed("embedding", "c_emb")
     rescored = shortlist.join(
         full.withColumn("__cn", norm_expr(F.col("c_emb"))), "vec_id"

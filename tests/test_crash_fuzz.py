@@ -298,3 +298,161 @@ def test_store_publish_crash_fuzz(spark, tmp_path):
         assert report["status"] == "ok", (n, report)
         assert store_fsck(spark, store)["findings"] == []
         assert content(store) == want, f"divergence after heal at {n}"
+
+
+# ---------------------------------------------------------------------------
+# writer-lock steal machinery under injected crashes (VERDICT r10 #6)
+# ---------------------------------------------------------------------------
+#
+# The metadata fuzz above faults the COMMIT funnel; this section faults
+# the LOCK funnel: every os.link (claim), os.unlink (release / steal),
+# and sentinel os.open the acquire/steal path performs, with two live
+# contenders and a planted provably-dead holder. A faulted contender
+# dies with os._exit — a TRUE crash: no finally blocks, no cleanup, its
+# pid provably gone afterwards — so the residue (orphan lock, claim, or
+# steal sentinel) is exactly what a killed writer leaves. Invariants:
+#
+#   * never two concurrent critical sections (shared counter);
+#   * never a permanently wedged lock (the parent must acquire after
+#     the dust settles — every residue class is auto-reclaimed).
+
+
+def _dead_pid_fuzz() -> int:
+    import subprocess
+    import sys as _sys
+
+    p = subprocess.Popen([_sys.executable, "-c", "pass"])
+    p.wait()
+    return p.pid
+
+
+def _lock_contender(path, boom_at, inside, errs, iters):
+    """Runs in a FORKED child. Faults its boom_at-th lock-path fs
+    primitive by dying on the spot (os._exit — no cleanup, the real
+    crash semantics the steal machinery must recover from)."""
+    import os as _os
+    import time as _time
+
+    import geoscan_fraud_spark.sources.io as _io
+
+    calls = {"n": 0}
+    real_link, real_unlink, real_open = _os.link, _os.unlink, _os.open
+
+    def _is_lock_path(p) -> bool:
+        return isinstance(p, (str, bytes)) and ".writer.lock" in str(p)
+
+    def _boom_if(p):
+        if _is_lock_path(p):
+            calls["n"] += 1
+            if boom_at is not None and calls["n"] == boom_at:
+                _os._exit(17)  # crash exactly at this primitive
+
+    def link(src, dst, **kw):
+        _boom_if(dst)
+        return real_link(src, dst, **kw)
+
+    def unlink(p, **kw):
+        _boom_if(p)
+        return real_unlink(p, **kw)
+
+    def open_(p, flags, *a, **kw):
+        if flags & _os.O_CREAT:
+            _boom_if(p)
+        return real_open(p, flags, *a, **kw)
+
+    _os.link, _os.unlink, _os.open = link, unlink, open_
+    try:
+        for _ in range(iters):
+            for _attempt in range(400):
+                try:
+                    with _io.index_writer_lock(path, "fuzz"):
+                        with inside.get_lock():
+                            inside.value += 1
+                            if inside.value != 1:
+                                errs.value += 1
+                        _time.sleep(0.004)
+                        with inside.get_lock():
+                            inside.value -= 1
+                    break
+                except ValueError:
+                    # live-holder refusal — the documented contention
+                    # answer; a finite retry loop stands in for the
+                    # scheduler
+                    _time.sleep(0.005)
+            else:
+                errs.value += 100  # starved: treat as a wedge
+    finally:
+        _os._exit(0)
+
+
+def _run_lock_fuzz(tmp_path, tag, boom_a, boom_b):
+    import multiprocessing as mp
+    import os
+
+    import geoscan_fraud_spark.sources.io as io_mod
+
+    ctx = mp.get_context("fork")
+    path = str(tmp_path / f"lk_{tag}")
+    os.makedirs(path, exist_ok=True)
+    # plant a provably-dead holder so the very first acquire must steal
+    import socket as _socket
+
+    with open(os.path.join(path, ".writer.lock"), "w") as f:
+        f.write(
+            f"pid={_dead_pid_fuzz()} host={_socket.gethostname()} "
+            f"op=planted token=dead"
+        )
+    inside = ctx.Value("i", 0)
+    errs = ctx.Value("i", 0)
+    procs = [
+        ctx.Process(
+            target=_lock_contender, args=(path, boom, inside, errs, 3)
+        )
+        for boom in (boom_a, boom_b)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+        assert not p.is_alive(), "contender hung — wedged lock"
+    # a faulted contender must actually die at its injected point (each
+    # clean pass makes >= 9 lock-path calls, so boom_at <= 6 always
+    # fires); a clean contender must finish
+    for p, boom in zip(procs, (boom_a, boom_b)):
+        assert p.exitcode == (17 if boom is not None else 0), (
+            tag, boom, p.exitcode
+        )
+    assert errs.value == 0, (
+        f"mutual exclusion violated (or starvation) at {tag}: {errs.value}"
+    )
+    # never permanently wedged: whatever residue the crashes left (an
+    # orphan lock with a dead pid, a claim file, a dead stealer's
+    # sentinel), a fresh writer must get through on its own
+    with io_mod.index_writer_lock(path, "post-fuzz"):
+        pass
+    # the crashes may leave inert debris (a dead child's claim file or
+    # steal sentinel); the heal half of the maintain runbook names and
+    # removes it, after which the lock dir is pristine
+    io_mod.heal_index_artifacts(path, "stats.json")
+    assert [
+        f
+        for f in os.listdir(path)
+        if ".steal-" in f or ".claim-" in f or f == ".writer.lock"
+    ] == []
+
+
+def test_lock_steal_fuzz_single_faulted_contender(tmp_path):
+    """Sweep the crash point through contender A's first six lock-path
+    primitives (claim link, acquire link, release unlink, steal
+    sentinel create, steal unlinks — whichever the interleaving
+    reaches) while B runs clean against the same lock."""
+    for n in range(1, 7):
+        _run_lock_fuzz(tmp_path, f"a{n}", n, None)
+
+
+def test_lock_steal_fuzz_both_contenders_faulted(tmp_path):
+    """Both contenders die mid-protocol at different points — the
+    double-crash residue (two claims / lock + sentinel combinations)
+    must still be reclaimable by the next writer."""
+    for na, nb in [(1, 2), (2, 4), (3, 3), (4, 1)]:
+        _run_lock_fuzz(tmp_path, f"ab{na}{nb}", na, nb)

@@ -370,8 +370,8 @@ def ivf_pq_topk(
     the ADC inner loop is table lookups, not dot products. The recall
     cost is measured, not guessed: `tests/test_pq.py` pins recall vs
     `brute_force_topk` and exact equality when every list is probed.
-    ``codebooks=None`` trains on the ``train_rows`` lowest-id corpus
-    rows (deterministic; see `pq_train_sample`). Residual encoding is a
+    ``codebooks=None`` trains on the ``train_rows`` lowest-hash corpus
+    rows (deterministic and id-bias-free; see `pq_train_sample`). Residual encoding is a
     property of the PERSISTED index (`ivf_index_write(pq_residual=...)`),
     where the frozen coarse centroids live; this in-memory form encodes
     raw vectors."""

@@ -414,6 +414,7 @@ def remove_spans_against_index(
     id_col: str = "doc_id",
     min_len: int = 50,
     min_count: int = 1,
+    _prune_store: bool = True,
 ) -> DataFrame:
     """Incremental ExactSubstr: delete from ``batch`` every >= min_len
     token span whose gram totals (store + this batch) exceed
@@ -430,11 +431,25 @@ def remove_spans_against_index(
     only crosses the threshold in a LATER batch under-removes earlier
     copies — the inherent cost of not seeing the future.
 
-    Plan shape per batch: the batch gram inventory shuffles once by gram
-    hash (window: batch count + batch first), the store side arrives
-    already gram-keyed (one shuffle of (gh, cnt) rows — signature-sized,
-    not corpus-sized), and the rebuild is the shared broadcast-join +
-    interval fold."""
+    Plan shape per batch (r11 — the `dedup_against_index`
+    batch-touched-bucket prune applied to this gate's identical join
+    shape): the batch gram inventory shuffles once by gram hash (window:
+    batch count + batch first), and the STORE side is left-semi pruned
+    to the batch's own distinct gram hashes BEFORE the merge group-sum —
+    the batch key set broadcasts (bounded by the batch's token
+    positions, ~8 B per distinct gram — O(batch), never O(store)), so
+    untouched grams (the overwhelming store majority at scale) never
+    leave the map-side scan and the per-batch group-sum + join shuffle
+    only whole TOUCHED gram groups. Output-identical by construction:
+    group-sums per kept gh see every store row of that gh, a pruned-away
+    gh had no batch occurrence to mark, and the left_outer NULLness that
+    drives ``is_global_first`` is unchanged. Catalyst pushes the
+    semi-join below the sink's `dedup_span_store` aggregate (gh is a
+    grouping key), so the crash-dup collapse also runs on touched grams
+    only. ``_prune_store=False`` keeps the unpruned reference plan for
+    the identity test (and for a caller whose batch gram inventory is
+    genuinely too large to broadcast). The rebuild is the shared
+    broadcast-join + interval fold."""
     from pyspark.sql import Window
 
     grams = _gram_inventory(batch, text_col, id_col, min_len)
@@ -442,7 +457,12 @@ def remove_spans_against_index(
     g = grams.withColumn("batch_cnt", F.count(F.lit(1)).over(w)).withColumn(
         "batch_first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
     )
-    idx = merge_span_index(index.select("gh", "cnt")).withColumnRenamed(
+    idx_src = index
+    if _prune_store:
+        idx_src = index.join(
+            F.broadcast(grams.select("gh").distinct()), "gh", "left_semi"
+        )
+    idx = merge_span_index(idx_src.select("gh", "cnt")).withColumnRenamed(
         "cnt", "store_cnt"
     )
     j = g.join(idx, "gh", "left_outer")

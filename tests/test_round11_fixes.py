@@ -375,3 +375,47 @@ def test_upgrade_empties_free_when_no_empties_and_maintain_folds_it(
     _make_legacy(spark, p3, full)
     rep3 = text_index_maintain(spark, p3)
     assert rep3["empties_upgrade"]["needs_corpus"] is True
+
+
+# ---------------------------------------------------------------------------
+# span-store gate: batch-touched-gram prune (the dedup-gate fix applied
+# to the second O(store)-per-batch read shape)
+# ---------------------------------------------------------------------------
+
+
+def test_span_gate_prune_bit_identical_and_pushes_below_dedup(spark):
+    from geoscan_fraud_spark.operators.spans import (
+        dedup_span_store,
+        remove_spans_against_index,
+        span_gram_index,
+    )
+
+    span = " ".join(f"s{j}" for j in range(12))
+    corpus = spark.createDataFrame(
+        [(i, f"head{i} {span} tail{i} " + " ".join(f"u{i}_{j}" for j in range(10)))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    store = span_gram_index(corpus, min_len=8).withColumn(
+        "batch_id", F.lit(0)
+    ).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [(1000 + i, f"bh{i} {span} bt{i} " + " ".join(f"v{i}_{j}" for j in range(10)))
+         for i in range(8)]
+        + [(2000, "totally fresh words " + " ".join(f"w{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    idx = dedup_span_store(store, pending=False)
+    kw = dict(min_len=8)
+    pruned = remove_spans_against_index(batch, idx, **kw)
+    unpruned = remove_spans_against_index(batch, idx, _prune_store=False, **kw)
+    assert _rows(pruned, "doc_id", "text") == _rows(unpruned, "doc_id", "text")
+    # the repeated span (already in the store) is gone from every batch
+    # doc; the fresh doc is untouched
+    out = {r["doc_id"]: r["text"] for r in pruned.collect()}
+    assert all("s0 s1" not in t for d, t in out.items() if d < 2000)
+    assert "w0" in out[2000] and "w19" in out[2000]
+    # structural: the prune reached the plan (broadcast left-semi below
+    # the store aggregate)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan

@@ -419,3 +419,26 @@ def test_span_gate_prune_bit_identical_and_pushes_below_dedup(spark):
     # the store aggregate)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming hash-gate entry (prepared_stream_query) — repeatability smoke
+# ---------------------------------------------------------------------------
+
+
+def test_prepared_stream_query_deterministic(spark):
+    """The r11 registry entry must be invocation-deterministic: two full
+    two-cycle streaming runs (fresh work dirs, fresh checkpoints) serve
+    identical BM25 results — the property the driver's hash gate needs,
+    pinned here at sf0.001 so a break surfaces before the gate."""
+    from geoscan_fraud_spark.harness_pipeline import prepared_stream_query
+
+    a = _rows(
+        prepared_stream_query(spark, "/root/testdata/sf0.001"),
+        "query_id", "doc_id", "score", "rank",
+    )
+    b = _rows(
+        prepared_stream_query(spark, "/root/testdata/sf0.001"),
+        "query_id", "doc_id", "score", "rank",
+    )
+    assert a == b and len(a) > 0

@@ -549,14 +549,20 @@ def main():
                 .parquet(store_path)
             )
             store = spark.read.parquet(store_path)
+            # min-of-2 per rung: these rungs run late in a long-lived
+            # session (GC/page-cache state accrues) and a single timing
+            # at the 4-8M rungs proved noisy; the min is the plan's cost
             record(
                 "dedup_incremental_gate_bigstore",
                 n_store,
-                timed(
-                    lambda: dedup_against_index(
-                        fixed_batch, store, n=3, num_hashes=48, bands=12,
-                        threshold=0.5,
-                    ).count()
+                min(
+                    timed(
+                        lambda: dedup_against_index(
+                            fixed_batch, store, n=3, num_hashes=48,
+                            bands=12, threshold=0.5,
+                        ).count()
+                    )
+                    for _ in (0, 1)
                 ),
             )
             # the r10 plan (two store-wide shuffles per batch) timed on
@@ -567,11 +573,14 @@ def main():
             record(
                 "dedup_incremental_gate_bigstore_unpruned",
                 n_store,
-                timed(
-                    lambda: dedup_against_index(
-                        fixed_batch, store, n=3, num_hashes=48, bands=12,
-                        threshold=0.5, _prune_index=False,
-                    ).count()
+                min(
+                    timed(
+                        lambda: dedup_against_index(
+                            fixed_batch, store, n=3, num_hashes=48,
+                            bands=12, threshold=0.5, _prune_index=False,
+                        ).count()
+                    )
+                    for _ in (0, 1)
                 ),
             )
 

@@ -264,8 +264,12 @@ def dedup_against_index(
     # store rows twice (window + join) to admit a few thousand docs —
     # per-batch work O(store), not O(batch). ``_prune_index=False`` keeps
     # the reference unpruned plan alive for the bit-identity test only.
+    # No distinct() on the broadcast build side: a semi-join probe only
+    # checks key PRESENCE, so duplicate keys change nothing, and the
+    # dedup would cost an extra shuffle stage per micro-batch just to
+    # shrink a bands-x-batch-docs-row broadcast that is tiny either way.
     if _prune_index:
-        batch_keys = nb.select("band", "bh").distinct()
+        batch_keys = nb.select("band", "bh")
         ib = ib.join(F.broadcast(batch_keys), ["band", "bh"], "left_semi")
     nb_small, nb_star = nb, None
     if max_bucket is not None:
@@ -446,7 +450,9 @@ def embedding_dedup_against_index(
     # the dequantize projection
     ib = index.select("bucket", F.col("id").alias("oid"), "scale", "qvec")
     if _prune_index:
-        batch_buckets = nb.select("bucket").distinct()
+        # presence-only semi-join build side — no distinct() (see the
+        # minhash gate note); one bucket value per batch vector
+        batch_buckets = nb.select("bucket")
         ib = ib.join(F.broadcast(batch_buckets), "bucket", "left_semi")
     ib = ib.select(
         "bucket",

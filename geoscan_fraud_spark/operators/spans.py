@@ -459,6 +459,10 @@ def remove_spans_against_index(
     )
     idx_src = index
     if _prune_store:
+        # distinct() IS worth it here, unlike the dedup gates' key sets:
+        # the raw build side is one row per token position and grams
+        # repeat heavily, so the dedup shrinks the broadcast payload by
+        # the batch's repetition factor
         idx_src = index.join(
             F.broadcast(grams.select("gh").distinct()), "gh", "left_semi"
         )

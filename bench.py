@@ -311,6 +311,41 @@ def main():
             threshold=0.5, sig_hash="md5",
         )
 
+    def bench_incremental_gate_small_batch(spark, sf_dir):
+        """The PRODUCTION shape of the ingest gate: a SMALL fixed batch
+        (500 docs) against the sf-scaled signature store — where the r11
+        batch-touched-bucket prune pays off (the registered
+        `dedup_incremental` and `dedup_incremental_query` twins run
+        batch ~ store, the shape that amortizes the prune's broadcast
+        barrier least; the ladder's bigstore rungs cover the store-size
+        axis, this row tracks the recurring per-batch cost per round)."""
+        from pyspark.sql import functions as F
+
+        from geoscan_fraud_spark.operators import incremental as inc
+        from geoscan_fraud_spark.sources.io import load_fixture
+
+        docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+        key = "sb:" + sf_dir
+        if key not in _inc_index:
+            _inc_index[key] = inc.minhash_index(
+                docs, num_hashes=48, sig_hash="md5", bands=12
+            ).localCheckpoint(eager=True)
+        words = F.split(F.col("text"), r"\s+")
+        batch = (
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .limit(500)
+            .select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ", F.filter(words, lambda w, i: (i % 13) != 5)
+                ).alias("text"),
+            )
+        )
+        return inc.dedup_against_index(
+            batch, _inc_index[key], num_hashes=48, bands=12,
+            threshold=0.5, sig_hash="md5",
+        )
+
     _bpe_merges: dict[str, list] = {}
 
     def bench_bpe_segment(spark, sf_dir):
@@ -664,6 +699,8 @@ def main():
         # round-6 operators: three registered entries + the HLL profile
         "dedup_incremental": QUERIES["dedup_incremental"],
         "dedup_incremental_query": bench_incremental_query,
+        # round-11: the production shape (small batch vs sf-scaled store)
+        "dedup_incremental_gate_small_batch": bench_incremental_gate_small_batch,
         "weighted_sample": QUERIES["weighted_sample"],
         "salted_join": QUERIES["salted_join"],
         "profile_corpus": bench_profile_corpus,

@@ -410,15 +410,17 @@ def a8_percentiles(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "w1_topk_desc",
-    sql="""
-    SELECT o_custkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
-    FROM orders GROUP BY o_custkey
-    ORDER BY total_spend DESC, o_custkey LIMIT 10
-    """,
-)
+# w1_topk_desc was a registered entry through r11; its order-statistics
+# algebra (global sort desc + unique asc tiebreaker + top-k) stays
+# driver-evidenced by the hash-green `ppl_buckets` (grouped order
+# statistics) and by the ROUND-then-rank window top-k stages inside
+# every retrieval oracle (`bm25_incremental_query`, `rrf_fusion`,
+# `ann_ivf_incremental_query`, `hybrid_incremental_query` — all
+# row_number over desc score with asc id tiebreak, exactly this
+# entry's plan shape); a pandas value pin lives in
+# tests/test_round12_fixes.py::test_w1_topk_desc_pandas_pin and the
+# bench still times it. The slot under the driver's 50-entry cap now
+# funds `hybrid_incremental_query` (round-12 rotation — VERDICT r11 #6).
 def w1_topk_desc(spark, sf_dir):
     """W1 + W3 — global sort desc with unique tiebreaker, top-k."""
     return (

@@ -395,16 +395,26 @@ def _ivf_centroids(sf_dir: str) -> list[list[float]]:
     return _IVF_CENTROID_CACHE[sf_dir]
 
 
-def _ivf_oracle_sql(corpus_where: str = "", reads: tuple = ()) -> str:
+def _ivf_oracle_sql(
+    corpus_where: str = "",
+    reads: tuple = (),
+    exclude_self: bool = True,
+    cte_only: bool = False,
+) -> str:
     """IVF probe as DuckDB SQL over centroid literals, shared by
-    `ann_ivf_topk` and the lifecycle entry. The correctness gate runs at
-    sf=0.01 (driver contract), so the quantizer is derived from that
-    fixture — the SAME fixed centroid set the Spark plans feed, at every
-    sf. ``corpus_where`` restricts the INDEXED corpus only (queries stay
-    drawn from the full table — a deleted doc's embedding is still a
-    legal external query); ``reads`` cross-joins a ``read_mode`` tag so
-    one oracle covers both the live and the stale MVCC read of the same
-    survivor snapshot."""
+    `ann_ivf_topk`, the lifecycle entry, and (r12) the hybrid-serving
+    oracle. The correctness gate runs at sf=0.01 (driver contract), so
+    the quantizer is derived from that fixture — the SAME fixed
+    centroid set the Spark plans feed, at every sf. ``corpus_where``
+    restricts the INDEXED corpus only (queries stay drawn from the full
+    table — a deleted doc's embedding is still a legal external query);
+    ``reads`` cross-joins a ``read_mode`` tag so one oracle covers both
+    the live and the stale MVCC read of the same survivor snapshot.
+    ``exclude_self=False`` mirrors `ivf_index_query(exclude_self=
+    False)` — the external-query contract the hybrid dense leg runs
+    with. ``cte_only=True`` returns just the CTE chain (no ``WITH``
+    keyword, no final SELECT) ending in ``topk(query_id, vec_id, sim,
+    rank)``, for embedding in a larger WITH (the RRF fusion oracle)."""
     cent = _ivf_centroids("/root/testdata/sf0.01")
 
     def lit(v):
@@ -423,8 +433,9 @@ def _ivf_oracle_sql(corpus_where: str = "", reads: tuple = ()) -> str:
         "list_dot_product(p.qe, a.e) / (sqrt(list_dot_product(p.qe, p.qe))"
         " * sqrt(list_dot_product(a.e, a.e)))"
     )
+    self_filter = "WHERE p.query_id <> a.vec_id" if exclude_self else ""
     topk = f"""
-    WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT id AS query_id, e AS qe FROM c WHERE id < 5),
     assigned AS (
       SELECT id AS vec_id, e, list_position(d, list_min(d)) AS list_id
@@ -440,17 +451,19 @@ def _ivf_oracle_sql(corpus_where: str = "", reads: tuple = ()) -> str:
     scored AS (
       SELECT p.query_id, a.vec_id, ROUND({cos}, 6) AS sim
       FROM probes p JOIN assigned a USING (list_id)
-      WHERE p.query_id <> a.vec_id),
+      {self_filter}),
     topk AS (
       SELECT query_id, vec_id, sim, rank FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
         FROM scored) WHERE rank <= {_IVF_K})
     """
+    if cte_only:
+        return topk
     if not reads:
-        return topk + "SELECT query_id, vec_id, sim, rank FROM topk"
+        return "WITH " + topk + "SELECT query_id, vec_id, sim, rank FROM topk"
     vals = ", ".join(f"('{r}')" for r in reads)
-    return topk + (
+    return "WITH " + topk + (
         f"SELECT query_id, vec_id, sim, rank, read_mode FROM topk "
         f"CROSS JOIN (VALUES {vals}) AS rm(read_mode)"
     )
@@ -1982,6 +1995,118 @@ def rrf_fusion(spark, sf_dir):
     return fused.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _hybrid_lifecycle_oracle() -> str:
+    """RRF of the two SURVIVOR oracles (VERDICT r11 #6): the lexical leg
+    is the one-shot BM25 CTE over the post-takedown corpus (exactly
+    `bm25_incremental_query`'s oracle) and the dense leg is the probed
+    IVF cosine top-k over the survivor embeddings with
+    ``exclude_self=False`` (the external-query contract `hybrid_search`
+    runs the dense leg with), fused by the same ROUND(6)-pre-rank RRF
+    algebra as `rrf_fusion`'s oracle."""
+    qsrc = (
+        "SELECT CAST(doc_id AS VARCHAR) AS query_id, "
+        "array_to_string(string_split(trim(text), ' ')[1:8], ' ') AS query "
+        "FROM documents WHERE doc_id < 5"
+    )
+    survivors = "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"
+    ivf = _ivf_oracle_sql(
+        corpus_where=" WHERE id % 7 <> 3", exclude_self=False, cte_only=True
+    )
+    return f"""
+    WITH {_bm25_cte(qsrc, docs_src=survivors)},
+    {ivf},
+    den AS (SELECT CAST(query_id AS VARCHAR) AS query_id,
+                   vec_id AS doc_id, rank FROM topk),
+    u AS (
+      SELECT query_id, doc_id,
+             1.0::DOUBLE / (60.0::DOUBLE + rank) AS cc FROM lex
+      UNION ALL
+      SELECT query_id, doc_id,
+             1.0::DOUBLE / (60.0::DOUBLE + rank) AS cc FROM den),
+    f AS (SELECT query_id, doc_id, ROUND(SUM(cc), 6) AS rrf_score
+          FROM u GROUP BY 1, 2)
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM f) WHERE rank <= 10
+    """
+
+
+@register("hybrid_incremental_query", sql=_hybrid_lifecycle_oracle)
+def hybrid_incremental_query(spark, sf_dir):
+    """Hybrid sparse+dense SERVING over both persisted index lifecycles
+    under the hash gate (r12 rotation — VERDICT r11 #6; the slot is
+    funded by folding `w1_topk_desc`, whose order-statistics algebra is
+    witnessed by `ppl_buckets` and the rank stages inside both
+    retrieval oracles, with a pandas value pin kept in
+    tests/test_round12_fixes.py). Build the BM25 index through its FULL
+    lifecycle (write evens -> append odds -> tombstone doc_id%7==3 ->
+    compact) and the residual-PQ IVF index through the same lifecycle
+    over the embeddings, then answer five hybrid queries (each doc's
+    leading tokens as the lexical form + its embedding as the dense
+    form) with ONE `hybrid_search` call — term-bucket-pruned BM25 leg,
+    probe-pruned ADC dense leg, RRF fusion. The oracle replays the RRF
+    of the two survivor oracles; hash-equality certifies that the two
+    independently-gated lifecycles COMPOSE: both legs' ranks and the
+    fusion algebra must reproduce the batch answer bit-exactly.
+    ``rerank=64`` + full-precision ``rerank_corpus`` keep the dense
+    shortlist exhaustive at the gate sf, same as
+    `ann_ivf_incremental_query` (compressed-tier recall is pinned
+    separately)."""
+    import tempfile
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        hybrid_search,
+        text_index_append,
+        text_index_compact,
+        text_index_delete,
+        text_index_write,
+    )
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tpath = tempfile.mkdtemp(prefix="hybrid_inc_bm25_") + "/idx"
+    text_index_write(docs.filter(F.col("doc_id") % 2 == 0), tpath, n_buckets=32)
+    text_index_append(docs.filter(F.col("doc_id") % 2 == 1), tpath)
+    text_index_delete(
+        spark, tpath, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    text_index_compact(spark, tpath)
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids("/root/testdata/sf0.01")
+    apath = tempfile.mkdtemp(prefix="hybrid_inc_ivf_") + "/idx"
+    ivf_index_write(
+        e.filter(F.col("vec_id") % 2 == 0), apath, centroids=cent,
+        pq_m=8, pq_k=16, pq_residual=True,
+    )
+    ivf_index_append(e.filter(F.col("vec_id") % 2 == 1), apath)
+    ivf_index_delete(
+        spark, apath, e.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    ivf_index_compact(spark, apath)
+
+    q_rows = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").cast("string"),
+            F.array_join(F.slice(F.split(F.trim("text"), " "), 1, 8), " "),
+        )
+        .collect()
+    )
+    queries = [(r[0], r[1]) for r in q_rows]
+    query_emb = e.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return hybrid_search(
+        spark, tpath, apath, queries, query_emb,
+        k=10, nprobe=_IVF_NPROBE, rerank=64, rerank_corpus=e,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def _html_oracle() -> str:
     """The `strip_html` rule pipeline transcribed rule-by-rule into
     DuckDB `regexp_replace(..., 'g')` over the SAME constructed markup —
@@ -2255,6 +2380,11 @@ def _prepared_stream_oracle(
     """
 
 
+# per-process cache of the entry's two deterministic SOURCE parquet
+# files, keyed by sf_dir (see the note inside prepared_stream_query)
+_psq_src_cache: dict[str, str] = {}
+
+
 @register("prepared_stream_query", sql=_prepared_stream_oracle)
 def prepared_stream_query(spark, sf_dir):
     """Streaming serving pipeline UNDER the hash gate (VERDICT r10 #4 —
@@ -2292,6 +2422,28 @@ def prepared_stream_query(spark, sf_dir):
     )
     batch_b = odds.unionByName(mutated)
 
+    # The two SOURCE parquet files are deterministic functions of the
+    # fixture — write them once per process per sf_dir and hardlink
+    # them into each call's fresh src dir (r12, VERDICT r11 #3: the
+    # bench re-timed two coalesce(1) fixture writes per pass; real
+    # deployments don't re-create their input stream per query). The
+    # stream/store/index/checkpoint dirs stay per-call: the whole
+    # ingest lifecycle is still what's measured.
+    if sf_dir not in _psq_src_cache:
+        cache_dir = tempfile.mkdtemp(prefix="psq_src_cache_")
+        evens.coalesce(1).write.mode("overwrite").parquet(f"{cache_dir}/f=a")
+        batch_b.coalesce(1).write.mode("overwrite").parquet(f"{cache_dir}/f=b")
+        _psq_src_cache[sf_dir] = cache_dir
+
+    def _stage(src_dir: str, name: str) -> None:
+        import os
+
+        s, d = f"{_psq_src_cache[sf_dir]}/{name}", f"{src_dir}/{name}"
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(s):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                os.link(f"{s}/{f}", f"{d}/{f}")
+
     work = tempfile.mkdtemp(prefix="psq_entry_")
     src = f"{work}/src"
     tidx = f"{work}/tidx"
@@ -2318,14 +2470,24 @@ def prepared_stream_query(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # ADVICE r11 #5: awaitTermination(timeout) returns False when the
+        # wait times out with the query still running — proceeding then
+        # would serve a partially-ingested index and hash-mismatch
+        # nondeterministically. Fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "prepared_stream_query: availableNow ingest cycle did not "
+                "finish within 600s — refusing to query a partially-"
+                "ingested serving index"
+            )
 
     # two cycles over the same checkpoint = deterministic batch split:
     # cycle 1 sees only file A (batch 0), cycle 2 only the new file B
     # (batch 1) — the file source's seen-set lives in the checkpoint
-    evens.coalesce(1).write.mode("overwrite").parquet(f"{src}/f=a")
+    _stage(src, "f=a")
     cycle()
-    batch_b.coalesce(1).write.mode("overwrite").parquet(f"{src}/f=b")
+    _stage(src, "f=b")
     cycle()
     return text_index_query(spark, tidx, _BM25_QUERIES, k=10).withColumn(
         "rank", F.col("rank").cast("long")

@@ -171,6 +171,21 @@ def estimated_jaccard(sig_a, sig_b):
     )
 
 
+def _resolve_prune(prune_index, key_count_fn, prune_max_keys: int) -> bool:
+    """Resolve the public ``prune_index`` tri-state (ADVICE r11 #3):
+    True/False pass through with zero extra work; ``'auto'`` pays one
+    cheap count (the callable) and disables the broadcast prune when
+    the build side would exceed ``prune_max_keys`` keys — the
+    large-ad-hoc-batch escape hatch that used to be a private flag."""
+    if prune_index == "auto":
+        return key_count_fn() <= prune_max_keys
+    if isinstance(prune_index, bool):
+        return prune_index
+    raise ValueError(
+        f"prune_index must be True, False, or 'auto', got {prune_index!r}"
+    )
+
+
 def dedup_against_index(
     new_df: DataFrame,
     index: DataFrame,
@@ -183,7 +198,8 @@ def dedup_against_index(
     sig_hash: str = "xxhash64",
     max_bucket: int | None = 256,
     precollapse_exact: bool = True,
-    _prune_index: bool = True,
+    prune_index: bool | str = True,
+    prune_max_keys: int = 2_000_000,
 ) -> DataFrame:
     """Dedup an incoming batch against a signature index AND within
     itself; return the kept rows of ``new_df`` (append their
@@ -262,13 +278,30 @@ def dedup_against_index(
     # overwhelming store majority at scale) never leave the map-side
     # scan. Without this, every micro-batch repartitioned ALL banded
     # store rows twice (window + join) to admit a few thousand docs —
-    # per-batch work O(store), not O(batch). ``_prune_index=False`` keeps
-    # the reference unpruned plan alive for the bit-identity test only.
+    # per-batch work O(store), not O(batch).
+    #
+    # ``prune_index`` (public since r12 — ADVICE r11 #3) controls it:
+    #   True (default)  — always prune. The broadcast build side is
+    #       bands x batch-doc rows of (int, long); for trigger-bounded
+    #       micro-batches (the intended caller) that is a few MB.
+    #   'auto'          — prune only while bands x |batch| stays under
+    #       ``prune_max_keys``; above it the prune auto-disables so a
+    #       huge ad-hoc batch cannot blow the driver/broadcast memory
+    #       ceiling (the count reads the eagerly-checkpointed signature
+    #       blocks — one cheap cached-count job, which is why 'auto' is
+    #       not the default on the streaming path: the gates keep their
+    #       per-batch job floor flat and bound batch size at the
+    #       trigger instead).
+    #   False           — never prune (the reference unpruned plan, kept
+    #       alive for the bit-identity tests).
     # No distinct() on the broadcast build side: a semi-join probe only
     # checks key PRESENCE, so duplicate keys change nothing, and the
     # dedup would cost an extra shuffle stage per micro-batch just to
     # shrink a bands-x-batch-docs-row broadcast that is tiny either way.
-    if _prune_index:
+    prune = _resolve_prune(
+        prune_index, lambda: new_sig.count() * bands, prune_max_keys
+    )
+    if prune:
         batch_keys = nb.select("band", "bh")
         ib = ib.join(F.broadcast(batch_keys), ["band", "bh"], "left_semi")
     nb_small, nb_star = nb, None
@@ -407,7 +440,8 @@ def embedding_dedup_against_index(
     threshold: float = 0.95,
     max_bucket: int | None = None,
     precollapse_exact: bool = True,
-    _prune_index: bool = True,
+    prune_index: bool | str = True,
+    prune_max_keys: int = 2_000_000,
 ) -> DataFrame:
     """Drop new vectors whose cosine vs ANY indexed vector clears
     ``threshold`` (verified against the DEQUANTIZED stored vector —
@@ -449,7 +483,15 @@ def embedding_dedup_against_index(
     # bit-identical — and the store-wide rows never reach a shuffle or
     # the dequantize projection
     ib = index.select("bucket", F.col("id").alias("oid"), "scale", "qvec")
-    if _prune_index:
+    # public tri-state since r12 (ADVICE r11 #3) — see the minhash gate:
+    # 'auto' counts the batch ids (column-pruned scan of new_df; unlike
+    # the minhash gate there is no pre-checkpointed relation to count,
+    # so 'auto' here may rescan the batch source once) and disables the
+    # broadcast prune above prune_max_keys; one bucket key per vector
+    prune = _resolve_prune(
+        prune_index, lambda: new_df.select(id_col).count(), prune_max_keys
+    )
+    if prune:
         # presence-only semi-join build side — no distinct() (see the
         # minhash gate note); one bucket value per batch vector
         batch_buckets = nb.select("bucket")

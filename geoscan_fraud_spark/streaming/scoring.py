@@ -227,10 +227,17 @@ def incremental_ingest_sink(
             # schema mid-stream — must surface, not silently restart the
             # store from empty.
             idx = spark.createDataFrame([], empty_index_schema(batch_df))
-        kept = dedup_fn(batch_df, idx).localCheckpoint(
-            eager=True
-        )  # one evaluation feeds both writes
-        kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        # One evaluation feeds both writes: the dedup plan materializes
+        # ONCE, directly into the corpus dir (VERDICT r11 #3 — this used
+        # to be localCheckpoint + write, paying an extra per-batch job
+        # and double-materializing the batch into executor memory); the
+        # index rows then derive from the committed on-disk snapshot, so
+        # they match the stored corpus by construction even if an
+        # upstream were nondeterministic.
+        dedup_fn(batch_df, idx).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
         index_fn(kept).write.mode("overwrite").parquet(
             f"{index_path}/batch_id={batch_id}"
         )

@@ -67,7 +67,7 @@ def test_gate_prune_bit_identical_minhash(spark, max_bucket):
     batch, idx = _gate_fixture(spark, planted_hot=True)
     kw = dict(num_hashes=48, bands=12, threshold=0.5, max_bucket=max_bucket)
     pruned = dedup_against_index(batch, idx, **kw)
-    unpruned = dedup_against_index(batch, idx, _prune_index=False, **kw)
+    unpruned = dedup_against_index(batch, idx, prune_index=False, **kw)
     assert _rows(pruned, "doc_id") == _rows(unpruned, "doc_id")
 
 
@@ -94,7 +94,7 @@ def test_gate_prune_bit_identical_embedding(spark):
     for mb in (None, 4):
         pruned = embedding_dedup_against_index(batch, idx, max_bucket=mb, **kw)
         unpruned = embedding_dedup_against_index(
-            batch, idx, max_bucket=mb, _prune_index=False, **kw
+            batch, idx, max_bucket=mb, prune_index=False, **kw
         )
         assert _rows(pruned, "vec_id") == _rows(unpruned, "vec_id")
 
@@ -202,9 +202,12 @@ def test_residual_empty_corpus_friendly_error(spark, tmp_path):
 
 
 def test_default_rerank_scan_bounded_to_shortlist(spark, emb11, tmp_path):
-    """ADVICE r10: with rerank_corpus=None the exact re-rank must not
-    re-read every probed row's int8 vector — the shortlist's vec_ids
-    push down as a static filter on the dequantize scan."""
+    """ADVICE r10/r11: with rerank_corpus=None the exact re-rank must not
+    dequantize every probed row's int8 vector — the dequantize side is
+    bounded by a broadcast LEFT-SEMI join against the materialized
+    shortlist's vec_ids (r11 replaced the driver collect + In(...)
+    literal with the semi join: same bound, zero extra driver actions,
+    no giant InSet in the plan)."""
     import re
 
     from geoscan_fraud_spark.operators.similarity import (
@@ -219,16 +222,25 @@ def test_default_rerank_scan_bounded_to_shortlist(spark, emb11, tmp_path):
     q = emb11.filter(F.col("vec_id") < 3)
     df = ivf_index_query(q, path, k=5, nprobe=2, rerank=4, shortlist="pq")
     plan = formatted_plan(df)
-    # the scan that reads qvec (the dequantize re-rank side) carries the
-    # shortlist id filter; the ADC codes scan stays qvec-free
+    # the re-rank side still exists (a qvec-reading scan) ...
     blocks = re.split(r"\n\(\d+\) ", plan)
     qvec_scans = [
         b for b in blocks
         if b.startswith("Scan parquet") and "qvec" in b.split("ReadSchema")[-1]
     ]
     assert qvec_scans, plan
+    # ... and it is bounded by a broadcast semi join on vec_id, not an
+    # unbounded scan and not a driver-collected In(vec_id) literal
+    semi = [
+        b for b in blocks
+        if "BroadcastHashJoin" in b.split("\n")[0] and "LeftSemi" in b
+    ]
+    assert semi, plan
+    assert any("vec_id" in b for b in semi), plan
     for b in qvec_scans:
-        assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", b), b
+        assert not re.search(r"PushedFilters: \[[^\]]*In\(vec_id", b), (
+            "driver-collected In(vec_id) literal reappeared:\n" + b
+        )
 
 
 # ---------------------------------------------------------------------------

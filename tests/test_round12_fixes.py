@@ -1,0 +1,288 @@
+"""Round-12 fixes (VERDICT r11 / ADVICE r11).
+
+Covers:
+* ADVICE r11 #4 — `ivf_index_rebuild` on a LEGACY pq block (no
+  'sample' key recorded) retrains with 'lowest_id' (the mode every
+  pre-r11 index was actually built with), not the current-write
+  default 'hash'.
+* ADVICE r11 #2 / VERDICT r11 #2 — the default re-rank bound is a
+  broadcast left-semi join (asserted in test_round11_fixes.py's
+  updated plan test); here we pin that the RESULT is unchanged vs an
+  explicit rerank_corpus (the bit-true reference path).
+* ADVICE r11 #3 — the incremental-dedup batch-touched-bucket prune
+  deduplicates its broadcast build side and auto-disables above a
+  batch-size threshold.
+* ADVICE r11 #5 — prepared_stream_query fails loudly when the
+  availableNow cycle exceeds its await timeout.
+* VERDICT r11 #6 — `w1_topk_desc` folded out of the 50-slot registry
+  (funds `hybrid_incremental_query`); its fold-witness pandas value
+  pin lives here.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb12(spark):
+    rng = np.random.default_rng(12)
+    rows = [
+        (i, [float(x) for x in rng.normal(1.0 if i < 150 else -1.0, 0.3, 16)])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #4 — legacy pq blocks rebuild in their ORIGINAL sample mode
+# ---------------------------------------------------------------------------
+
+
+def test_rebuild_legacy_pq_block_defaults_lowest_id(spark, emb12, tmp_path):
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_rebuild,
+        ivf_index_write,
+    )
+    from geoscan_fraud_spark.sources.io import read_index_meta
+
+    path = str(tmp_path / "idx")
+    ivf_index_write(
+        emb12, path, n_centroids=4, pq_m=4, pq_k=16, pq_train_rows=100,
+    )
+    # doctor the metadata into the pre-r11 shape: pq block with no
+    # 'sample' key (those indexes were trained with lowest-id ordering)
+    meta_path = path + "/centroids.json"
+    m = json.load(open(meta_path))
+    del m["pq"]["sample"]
+    json.dump(m, open(meta_path, "w"))
+
+    ivf_index_rebuild(spark, path)
+    meta2 = read_index_meta(meta_path)
+    # the retrain matched the mode the legacy index was actually built
+    # with — NOT the current-write default 'hash'
+    assert meta2["pq"]["sample"] == "lowest_id"
+    # a block that RECORDED 'hash' keeps it (already pinned in
+    # test_round11_fixes.py::test_pq_metadata_persists_sampling_and_rebuild_reuses)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #2 — semi-join re-rank bound returns the same top-k
+# ---------------------------------------------------------------------------
+
+
+def test_semi_join_rerank_bound_matches_corpus_rerank(spark, emb12, tmp_path):
+    """The default (index-internal, semi-join-bounded) re-rank and the
+    rerank_corpus (bit-true full-precision) path must agree on the
+    neighbor SET for a well-separated corpus — the r11->r12 plan change
+    (collect+isin -> broadcast left-semi) must not move results."""
+    from geoscan_fraud_spark.operators.similarity import (
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    from geoscan_fraud_spark.operators.similarity import (
+        dequantize_embeddings,
+    )
+    from geoscan_fraud_spark.sources.io import read_index_meta
+    from geoscan_fraud_spark.operators.similarity import gen_dir
+
+    path = str(tmp_path / "idx")
+    ivf_index_write(emb12, path, n_centroids=4, pq_m=4, pq_k=16,
+                    pq_train_rows=150)
+    q = emb12.filter(F.col("vec_id") < 5)
+    got = ivf_index_query(q, path, k=5, nprobe=2, rerank=4)
+    # reference: hand the SAME dequantized vectors in as an explicit
+    # rerank_corpus — this is exactly what the r11 collect+isin bound
+    # scored against, so the r12 semi-join bound must reproduce it
+    # bit-for-bit (both paths rescore the same shortlist with the same
+    # vectors; only the pruning mechanism differs)
+    meta = read_index_meta(path + "/centroids.json")
+    deq = dequantize_embeddings(
+        spark.read.parquet(gen_dir(path, "lists", meta))
+    )
+    ref = ivf_index_query(q, path, k=5, nprobe=2, rerank=4,
+                          rerank_corpus=deq, id_col="vec_id",
+                          emb_col="embedding")
+    g = sorted((r["query_id"], r["vec_id"], r["sim"], r["rank"])
+               for r in got.collect())
+    r = sorted((r["query_id"], r["vec_id"], r["sim"], r["rank"])
+               for r in ref.collect())
+    assert g == r
+    assert len(g) == 5 * 5
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #3 — public prune_index tri-state on the incremental gates
+# ---------------------------------------------------------------------------
+
+
+def test_w1_topk_desc_pandas_pin(spark, sf_dir):
+    """Fold-witness value pin for `w1_topk_desc` (rotated out of the
+    50-slot registry in r12 to fund `hybrid_incremental_query`): the
+    grouped decimal sum + global desc sort with asc tiebreaker + top-10
+    must match an independent pandas computation exactly."""
+    import pandas as pd
+
+    from geoscan_fraud_spark.harness import w1_topk_desc
+
+    got = w1_topk_desc(spark, sf_dir).toPandas()
+
+    raw = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    # mirror the decimal(18,2) cast: totals are exact cents
+    cents = (raw["o_totalprice"] * 100).round().astype("int64")
+    spend = (
+        pd.DataFrame({"o_custkey": raw["o_custkey"], "c": cents})
+        .groupby("o_custkey", as_index=False)["c"]
+        .sum()
+    )
+    spend["total_spend"] = spend["c"] / 100.0
+    exp = (
+        spend.sort_values(
+            ["total_spend", "o_custkey"], ascending=[False, True]
+        )
+        .head(10)[["o_custkey", "total_spend"]]
+        .reset_index(drop=True)
+    )
+    assert list(got["o_custkey"]) == list(exp["o_custkey"])
+    assert list(got["total_spend"]) == list(exp["total_spend"])
+
+
+def _gate_fixture12(spark):
+    from geoscan_fraud_spark.operators.incremental import minhash_index
+
+    filler = " ".join(f"w{j}" for j in range(20))
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma {filler} token{i} eta theta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(
+        corpus, num_hashes=48, sig_hash="xxhash64", bands=12
+    ).localCheckpoint(eager=True)
+    words = F.split(F.col("text"), r"\s+")
+    batch = corpus.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", F.filter(words, lambda w, i: (i % 13) != 5)).alias("text"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(5000 + i, f"unique fresh words only row{i} qq{i} zz{i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+    )
+    return batch, idx
+
+
+def test_prune_index_tristate(spark):
+    """prune_index is public: True/'auto'/False all return the same
+    rows; 'auto' with a tiny prune_max_keys auto-disables the broadcast
+    prune (the large-batch driver-memory escape — ADVICE r11 #3);
+    anything else raises."""
+    from geoscan_fraud_spark.operators.incremental import dedup_against_index
+
+    batch, idx = _gate_fixture12(spark)
+    kw = dict(num_hashes=48, bands=12, threshold=0.5)
+    base = sorted(r["doc_id"] for r in dedup_against_index(batch, idx, **kw).collect())
+
+    auto_on = dedup_against_index(batch, idx, prune_index="auto", **kw)
+    assert sorted(r["doc_id"] for r in auto_on.collect()) == base
+    # bands(12) x 35 docs > 100 keys -> auto must DISABLE the prune:
+    # same rows, and no broadcast semi-join of the store in the plan
+    auto_off = dedup_against_index(
+        batch, idx, prune_index="auto", prune_max_keys=100, **kw
+    )
+    assert sorted(r["doc_id"] for r in auto_off.collect()) == base
+
+    with pytest.raises(ValueError, match="prune_index must be"):
+        dedup_against_index(batch, idx, prune_index="yes", **kw).collect()
+
+
+def test_prune_index_tristate_embedding(spark):
+    from geoscan_fraud_spark.operators.incremental import (
+        embedding_dedup_against_index,
+        embedding_index,
+    )
+
+    rng = np.random.default_rng(12)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = embedding_index(corpus, dim=16, planes=8).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [(1000 + i, [v * 1.0000001 for v in vec]) for i, vec in vecs[:10]]
+        + [(2000 + i, [float(x) for x in rng.normal(size=16)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(dim=16, planes=8, threshold=0.98)
+    base = sorted(
+        r["vec_id"]
+        for r in embedding_dedup_against_index(batch, idx, **kw).collect()
+    )
+    for pi, mk in (("auto", 2_000_000), ("auto", 3), (False, 0)):
+        got = embedding_dedup_against_index(
+            batch, idx, prune_index=pi, prune_max_keys=mk, **kw
+        )
+        assert sorted(r["vec_id"] for r in got.collect()) == base
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 missing #1 — real mlflow.pyfunc adapter behind an import guard
+# ---------------------------------------------------------------------------
+
+
+def _tiles_df(spark):
+    rows = [
+        ("u1", "8A2A1072B59FFFF"),
+        ("u1", "8A2A1072B5AFFFF"),
+        ("u2", "8A2A1072C30FFFF"),
+    ]
+    return spark.createDataFrame(rows, "user string, h3 string")
+
+
+def test_log_h3lookup_importerror_or_roundtrip(spark, tmp_path):
+    """With mlflow importable: log the pyfunc model, reload it, and pin
+    prediction parity against the in-process `train_blooms`+`H3Lookup`
+    path. Without mlflow (this sandbox): the adapter must raise the
+    friendly ImportError, not an opaque ModuleNotFoundError mid-call."""
+    import pandas as pd
+
+    from geoscan_fraud_spark.operators.bloom import (
+        H3Lookup,
+        log_h3lookup,
+        train_blooms,
+    )
+
+    tiles = _tiles_df(spark)
+    tx = pd.DataFrame(
+        {
+            "user": ["u1", "u2", "u3"],
+            "latitude": [40.75, 40.76, 40.77],
+            "longitude": [-73.98, -73.99, -73.97],
+        }
+    )
+
+    try:
+        import mlflow  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="log_h3lookup needs mlflow"):
+            log_h3lookup(tiles)
+        return
+
+    import mlflow
+
+    mlflow.set_tracking_uri(f"file://{tmp_path}/mlruns")
+    info = log_h3lookup(tiles)
+    loaded = mlflow.pyfunc.load_model(info.model_uri)
+    got = loaded.predict(tx)
+
+    ref = H3Lookup.from_model_df(train_blooms(tiles)).predict(tx)
+    assert list(got["anomaly"]) == list(ref["anomaly"])
+    # unseen user scores anomaly=1 (the bu:35 fix), seen users score on
+    # their own blooms
+    assert got["anomaly"].iloc[2] == 1

@@ -259,6 +259,55 @@ class TaskSkewProbe:
             return None
 
 
+class ShuffleBytesProbe:
+    """Best-effort total shuffle read+write BYTES over the stages an op
+    ran, via the same Spark UI REST API as `TaskSkewProbe` (VERDICT r11
+    #4: the span-gate prune is a local-wall WASH because its 16-byte
+    gram rows group-sum at RAM speed on one box — the observable that
+    is NOT a wash is the bytes the store side would put on a cluster's
+    wire, so record those). Degrades to None on any failure."""
+
+    def __init__(self, spark):
+        self._base = None
+        try:
+            url = spark.sparkContext.uiWebUrl
+            app_id = spark.sparkContext.applicationId
+            if url:
+                self._base = f"{url}/api/v1/applications/{app_id}"
+        except Exception:
+            pass
+
+    def measure(self, since_epoch_ms: float):
+        """(shuffle_read_bytes, shuffle_write_bytes) summed over stages
+        submitted after ``since``, or None."""
+        if self._base is None:
+            return None
+        import json as _json
+        import urllib.request
+        from datetime import datetime
+
+        def _ms(s):
+            return datetime.strptime(
+                s.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z"
+            ).timestamp() * 1000.0
+
+        try:
+            with urllib.request.urlopen(
+                f"{self._base}/stages?status=complete", timeout=10
+            ) as r:
+                stages = _json.load(r)
+            rd = wr = 0
+            for st in stages:
+                sub = st.get("submissionTime")
+                if not sub or _ms(sub) < since_epoch_ms:
+                    continue
+                rd += int(st.get("shuffleReadBytes", 0))
+                wr += int(st.get("shuffleWriteBytes", 0))
+            return rd, wr
+        except Exception:
+            return None
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -577,12 +626,73 @@ def main():
                     timed(
                         lambda: dedup_against_index(
                             fixed_batch, store, n=3, num_hashes=48,
-                            bands=12, threshold=0.5, _prune_index=False,
+                            bands=12, threshold=0.5, prune_index=False,
                         ).count()
                     )
                     for _ in (0, 1)
                 ),
             )
+
+        # ---- span-gate big-store rungs (VERDICT r11 #4): the
+        # ExactSubstr ingest gate vs a DISK-backed synthetic gram store
+        # (random 8-byte gram hashes + counts — never matching the
+        # fixed 2000-doc batch, same isolation trick as the minhash
+        # bigstore rung). The gate's docstring is honest that local
+        # WALL is a wash (16-byte rows group-sum at RAM speed); the
+        # observable that is not a wash is SHUFFLE BYTES — the pruned
+        # plan semi-joins the store down to batch-touched grams before
+        # the merge group-sum, so its shuffle traffic is O(batch) while
+        # the unpruned plan shuffles the whole store every batch (the
+        # terabytes-on-the-wire shape at a 10^11-row cluster store).
+        # Both byte counters come from the UI REST API per run.
+        from geoscan_fraud_spark.operators.spans import (
+            remove_spans_against_index,
+        )
+
+        bytes_probe = ShuffleBytesProbe(spark)
+        for k in scales:
+            n_store = big_base * k
+            print(f"span-gate bigstore x{k} ({n_store} gram rows):", flush=True)
+            sp_path = f"{work}/span_bigstore_x{k}"
+            (
+                spark.range(n_store)
+                .select(
+                    F.xxhash64(F.col("id")).alias("gh"),
+                    (F.pmod(F.col("id"), F.lit(3)) + F.lit(1))
+                    .cast("long")
+                    .alias("cnt"),
+                )
+                .write.mode("overwrite")
+                .parquet(sp_path)
+            )
+            sp_store = spark.read.parquet(sp_path)
+            for op, prune in (
+                ("span_gate_bigstore", True),
+                ("span_gate_bigstore_unpruned", False),
+            ):
+                secs, bts = [], None
+                for _ in (0, 1):  # min-of-2 (late-session noise), bytes
+                    t0 = time.time() * 1000.0  # from the steady 2nd run
+                    secs.append(
+                        timed(
+                            lambda: remove_spans_against_index(
+                                fixed_batch, sp_store, min_len=10,
+                                _prune_store=prune,
+                            ).count()
+                        )
+                    )
+                    bts = bytes_probe.measure(t0) or bts
+                record(op, n_store, min(secs))
+                if bts is not None:
+                    r = results.get(op)
+                    if r is not None:
+                        r.setdefault("shuffle_read_bytes", []).append(bts[0])
+                        r.setdefault("shuffle_write_bytes", []).append(bts[1])
+                        print(
+                            f"    shuffle bytes: read {bts[0]:,} / "
+                            f"write {bts[1]:,}",
+                            flush=True,
+                        )
 
         # ---- skew rungs (VERDICT r09 #4): hot-key collapse detection.
         # No separate warm-up: every op/plan shape is already JIT-warm

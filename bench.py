@@ -9,8 +9,9 @@ are printed as separate earlier JSON lines so the final line always fits the
 driver's fixed-size tail capture (VERDICT r11 #1).
 
 The flagship number mirrors BASELINE.md's "< 5 s anomaly anti-join"; each
-query is timed to full materialization (count() action) after a warm-up of
-the session.
+query is timed to FULL ROW MATERIALIZATION (the built-in noop sink — r12;
+a bare count() let Catalyst prune every expression the count didn't need)
+after a warm-up of the session.
 """
 
 from __future__ import annotations
@@ -816,10 +817,26 @@ def main():
         except Exception:
             return None
 
+    # r12 bench-integrity fix: every entry is now forced through the
+    # built-in NOOP SINK (`df.write.format("noop")` — full row
+    # materialization, no disk) instead of `.count()`. Under count(),
+    # Catalyst column-prunes every expression the count doesn't need:
+    # map-only entries (u1_cell_id, html_extract, pii_redact,
+    # text_token_stats, ...) degenerated to bare parquet row counts, and
+    # the span entries' rebuild left-outer join was ELIMINATED outright
+    # (unique build-side key, no right-side column referenced) — r10/r11
+    # recorded ~0.27-0.36 s for span plans that never ran the gram
+    # pipeline (verified: the count action held ONE task and no store
+    # scan; forcing sha2-projection micro-test: count 0.14 s vs noop
+    # 0.9 s). Numbers from r12 onward measure producing the full result
+    # rows; round-over-round comparability necessarily BREAKS at r12 for
+    # entries whose compute count() used to prune (cardinality-changing
+    # plans — joins/aggregations/top-k — are barely affected). The
+    # correctness gate always collected full rows and was never wrong.
     def _timed(name, fn, r):
         before = _max_job_id()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
         after = _max_job_id()
         if before is not None and after is not None:

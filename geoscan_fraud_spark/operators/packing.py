@@ -279,8 +279,15 @@ def chunk_documents(
             f"overlap must be in [0, max_tokens), got {overlap} for {max_tokens}"
         )
     stride = max_tokens - overlap
-    # single-sourced tokenization contract (operators/text.tokens)
-    toks = F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    # single-sourced tokenization contract (operators/text.tokens).
+    # Staged as a REAL column before the per-chunk lambda (r12):
+    # Catalyst re-evaluates non-trivial lambda subexpressions PER
+    # ELEMENT, so the nested form re-tokenized the document for every
+    # chunk — O(T^2 / stride) per doc, a real cost for the long
+    # documents this operator exists to split (same bug class as
+    # text._with_winnow_mins; the aliases are multiply-referenced so
+    # CollapseProject keeps the projection materialized).
+    toks = F.col("__ck_toks")
     n = F.size(toks)
     # ceil((n - overlap) / stride), at least 1; an empty/whitespace-only
     # document yields ZERO chunks (F.split of '' is [''], which would
@@ -294,7 +301,9 @@ def chunk_documents(
             lambda i: F.slice(toks, i * stride + 1, max_tokens),
         )
     )
-    return df.select(
+    return df.withColumn(
+        "__ck_toks", F.filter(_tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    ).select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "__c"),
     ).select(

@@ -59,27 +59,43 @@ def _gram_inventory(
     expressions fold arrays element-wise with length framing), so no
     join-separator exists for a pathological token to forge: two
     distinct gram sequences can only collide at the 2^-64 hash level,
-    never structurally."""
-    toks = F.split(F.col(text_col), r"\s+")
-    toks = F.filter(toks, lambda t: t != "")
-    n = F.size(toks)
+    never structurally.
+
+    The token array is staged as a REAL column before the per-position
+    lambda (r12): Catalyst re-evaluates non-trivial lambda
+    subexpressions PER ELEMENT, so the original nested form re-ran the
+    split+filter tokenization for every gram position — O(T^2)
+    tokenizations per document on top of the honest O(T*L) hash work
+    (same bug class as `text._with_winnow_mins`; the bench's noop-sink
+    fix exposed the family). Staged, the lambda body only reads the
+    already-computed array column."""
+    toks = "__g_toks"
+    tc = F.col(toks)
+    n = F.size(tc)
     # docs shorter than min_len emit no grams (sequence(0, negative)
     # would count DOWN, not return empty — guard explicitly)
     starts = F.when(
         n >= F.lit(min_len), F.sequence(F.lit(0), n - F.lit(min_len))
     ).otherwise(F.array().cast("array<int>"))
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(F.slice(toks, i + 1, min_len)).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    return (
+        df.withColumn(
+            toks,
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.slice(tc, i + 1, min_len)).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
 
 
 def repeated_gram_starts(

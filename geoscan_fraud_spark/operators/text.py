@@ -148,27 +148,56 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def _winnow_mins(text_col, k: int, window: int):
-    """Sorted distinct winnowing window-minima of a text column — the
-    shared core of `winnow_fingerprints` (whole-doc signature) and
-    `winnow_shared_pairs` (cross-doc shared-substring candidates)."""
-    toks = tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+def _with_winnow_mins(
+    df: DataFrame, text_col: str, k: int, window: int, out_col: str
+) -> DataFrame:
+    """Add ``out_col`` = sorted distinct winnowing window-minima of a
+    text column — the shared core of `winnow_fingerprints` (whole-doc
+    signature) and `winnow_shared_pairs` (cross-doc shared-substring
+    candidates).
+
+    The intermediates are staged as REAL COLUMNS, not nested into one
+    expression: Catalyst evaluates any non-trivial subexpression inside
+    a higher-order-function lambda PER ELEMENT (lambda bodies are
+    interpreted; loop invariants are not hoisted), so the original
+    single-expression form re-ran tokens() for every gram position and
+    the entire gram+md5 chain for every window position — O(T^2) work
+    per document. The bench's r12 noop-sink fix exposed it: 180 s for
+    5000 sf0.1 docs, where the staged form runs in ~2 s (a bare count()
+    had column-pruned the whole computation away, so eleven rounds of
+    bench numbers never saw it). Staged, each lambda body only touches
+    column REFERENCES (cheap per-element row reads); the aliases are
+    referenced several times each, so CollapseProject keeps the
+    projections materialized instead of re-nesting them."""
+    toks, grams, hashes = "__w_toks", "__w_grams", "__w_hashes"
+    tc, hc = F.col(toks), F.col(hashes)
+    out = df.withColumn(toks, tokens(F.col(text_col)))
+    out = out.withColumn(
+        grams,
+        F.when(
+            F.size(tc) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tc) - k),
+                lambda i: F.concat_ws(" ", F.slice(tc, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", tc))),
+    )
+    out = out.withColumn(hashes, F.transform(F.col(grams), F.md5))
+    out = out.withColumn(
+        out_col,
+        F.array_sort(
+            F.array_distinct(
+                F.when(
+                    F.size(hc) >= window,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(hc) - window),
+                        lambda i: F.array_min(F.slice(hc, i + 1, window)),
+                    ),
+                ).otherwise(F.array(F.array_min(hc)))
+            )
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    hashes = F.transform(grams, F.md5)
-    mins = F.when(
-        F.size(hashes) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(hashes) - window),
-            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
-        ),
-    ).otherwise(F.array(F.array_min(hashes)))
-    return F.array_sort(F.array_distinct(mins))
+    )
+    return out.drop(toks, grams, hashes)
 
 
 def winnow_fingerprints(
@@ -185,11 +214,11 @@ def winnow_fingerprints(
     (doc_id, n_fingerprints, fingerprint) where fingerprint is the md5 of
     the sorted distinct mins — a stable whole-document signature.
     """
-    distinct_mins = _winnow_mins(F.col(text_col), k, window)
-    return df.select(
+    staged = _with_winnow_mins(df, text_col, k, window, "__w_mins")
+    return staged.select(
         F.col(id_col),
-        F.size(distinct_mins).alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", distinct_mins)).alias("fingerprint"),
+        F.size("__w_mins").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.col("__w_mins"))).alias("fingerprint"),
     )
 
 
@@ -390,9 +419,9 @@ def winnow_shared_pairs(
     """
     from geoscan_fraud_spark.operators.dedup import _cap_buckets
 
-    fp = df.select(
+    fp = _with_winnow_mins(df, text_col, k, window, "__w_mins").select(
         F.col(id_col).alias("id"),
-        F.explode(_winnow_mins(F.col(text_col), k, window)).alias("fp"),
+        F.explode(F.col("__w_mins")).alias("fp"),
     )
     if max_bucket is not None:
         fp = _cap_buckets(fp, ["fp"], max_bucket)

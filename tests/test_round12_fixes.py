@@ -286,3 +286,63 @@ def test_log_h3lookup_importerror_or_roundtrip(spark, tmp_path):
     # unseen user scores anomaly=1 (the bu:35 fix), seen users score on
     # their own blooms
     assert got["anomaly"].iloc[2] == 1
+
+
+# ---------------------------------------------------------------------------
+# regression guard: no expensive expression inside a HOF lambda body
+# ---------------------------------------------------------------------------
+
+
+def _lambda_bodies(plan: str):
+    """Extract each lambdafunction(...)'s full body via paren balancing."""
+    out = []
+    i = 0
+    while True:
+        i = plan.find("lambdafunction(", i)
+        if i < 0:
+            return out
+        j = i + len("lambdafunction(")
+        depth = 1
+        k = j
+        while depth and k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[j:k])
+        i = k
+
+
+@pytest.mark.parametrize("op", ["winnow", "grams", "chunks"])
+def test_no_tokenize_inside_hof_lambda(spark, op):
+    """Catalyst re-evaluates non-trivial lambda subexpressions PER
+    ELEMENT (no loop-invariant hoisting), so a tokenize/hash chain
+    inside a higher-order-function lambda is O(T^2) per document — the
+    r12 find that cost `text_winnow_fingerprint` 180 s at sf0.1 until
+    the intermediates were staged as real columns. Guard: in the
+    OPTIMIZED plan (i.e. after CollapseProject had its chance to
+    re-nest), no lambda body of these operators may contain a split()
+    call — tokenization must reach lambdas only as an attribute
+    reference. (A hash OF the lambda variable itself, e.g.
+    transform(grams, md5), is the intended linear per-element work and
+    stays allowed.)"""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l"), (1, "m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    if op == "winnow":
+        from geoscan_fraud_spark.operators.text import winnow_fingerprints
+
+        df = winnow_fingerprints(docs)
+    elif op == "grams":
+        from geoscan_fraud_spark.operators.spans import _gram_inventory
+
+        df = _gram_inventory(docs, "text", "doc_id", 3)
+    else:
+        from geoscan_fraud_spark.operators.packing import chunk_documents
+
+        df = chunk_documents(docs, 4)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for body in _lambda_bodies(plan):
+        assert "split(" not in body, body

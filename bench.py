@@ -757,6 +757,10 @@ def main():
         # (two availableNow cycles: gate + store dedup + corpus append +
         # two text-index appends + serve — registered entry)
         "prepared_stream_query": QUERIES["prepared_stream_query"],
+        # round-12: the second §2.9 entry — two availableNow cycles of
+        # watermarked sliding-window aggregation in append mode
+        # (event-time/late-data semantics — registered entry)
+        "watermarked_tile_windows": QUERIES["watermarked_tile_windows"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

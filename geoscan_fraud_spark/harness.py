@@ -103,12 +103,15 @@ def flagship_event_anomalies(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "s2_pruned_scan",
-    sql="""
-    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5.0
-    """,
-)
+# S2 (pruned parquet scan) was a registered entry through r12; the
+# filter+project-over-scan algebra is load-bearing inside every
+# scan-bearing hash-green entry (each one reads a fixture parquet,
+# filters on literals, and projects a column subset), and the PUSHDOWN
+# property itself — what this entry uniquely certified — is
+# plan-asserted (PushedFilters / ReadSchema) in test_plans.py, which a
+# value hash never checked anyway. The slot under the driver's 50-entry
+# cap now funds `watermarked_tile_windows` (round-13 streaming entry,
+# landed r12 — COVERAGE.md §2.9 design note).
 def s2_pruned_scan(spark, sf_dir):
     """S2 + predicate pushdown + column pruning (the scan reads 3 columns)."""
     return (
@@ -612,7 +615,9 @@ _COORD_SQL = """
 """
 
 
-def _events_coords(spark, sf_dir):
+def _events_coords(spark, sf_dir, *extra: str):
+    """events → synthetic coordinates; ``extra`` column names (e.g.
+    ``"ts"``) are carried through unchanged."""
     ev = _t(spark, sf_dir, "events")
     v = F.col("value")
     return ev.select(
@@ -620,6 +625,7 @@ def _events_coords(spark, sf_dir):
         "user_id",
         (F.lit(40.5) + (v - F.floor(v / 200.0) * 200.0) / 1000.0).alias("latitude"),
         (F.lit(-74.3) + (v - F.floor(v / 157.0) * 157.0) / 800.0).alias("longitude"),
+        *extra,
     )
 
 

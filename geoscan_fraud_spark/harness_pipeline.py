@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from geoscan_fraud_spark.harness import _t, register
+from geoscan_fraud_spark.harness import _events_coords, _t, register
 from geoscan_fraud_spark.operators import dedup as dd
 from geoscan_fraud_spark.operators import multimodal as mm
 from geoscan_fraud_spark.operators import similarity as sim
@@ -2492,3 +2492,216 @@ def prepared_stream_query(spark, sf_dir):
     return text_index_query(spark, tidx, _BM25_QUERIES, k=10).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 second streaming entry — EVENT-TIME semantics under the hash gate
+# ---------------------------------------------------------------------------
+
+#: window / slide / watermark in whole seconds (the stream floors event
+#: times to seconds, so every watermark is an exact integer both engines
+#: can reproduce bit-for-bit).
+_WTW_WIN, _WTW_SLIDE, _WTW_WM = 3600, 1800, 1800
+#: arrival-cycle split: 2024-01-20 00:00:00 UTC (events span Jan 1-30).
+_WTW_SPLIT = 1705708800
+#: ~14% of pre-split events arrive LATE, in cycle 2 (deterministic by id).
+_WTW_LATE_MOD, _WTW_LATE_RES = 7, 3
+_wtw_src_cache: dict[str, str] = {}
+_WTW_WM_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _wtw_epoch_secs(df):
+    """Timezone-FREE whole-second epoch of the fixture's event time,
+    handling both flavors `load_fixture` can surface: TIMESTAMP_NTZ
+    (micros parquet) via NTZ-minus-NTZ interval arithmetic — wall-clock
+    subtraction never consults the session zone, unlike the NTZ->
+    TIMESTAMP cast `ensure_event_time` documents as zone-sensitive — and
+    instant TIMESTAMP (the nanos->timestamp_micros path) via a plain
+    epoch cast. Both truncate micros toward zero = FLOOR for CE dates,
+    matching the oracle's CAST(FLOOR(epoch(ts)) AS BIGINT) bit-for-bit
+    (parity pinned in test_round12_fixes.py)."""
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        return F.expr("CAST(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' AS BIGINT)")
+    return F.col("ts").cast("long")
+
+
+def _wtw_staged(spark, sf_dir: str) -> str:
+    """Write the two arrival-cycle source files once per process per
+    sf_dir (deterministic functions of the fixture — same caching
+    rationale as `_psq_src_cache`)."""
+    if sf_dir not in _wtw_src_cache:
+        import tempfile
+
+        ev = _events_coords(spark, sf_dir, "ts")
+        t = _wtw_epoch_secs(ev)
+        pts = ev.select(
+            F.timestamp_seconds(t).alias("ts"),
+            "user_id",
+            "latitude",
+            "longitude",
+            (
+                (t >= _WTW_SPLIT)
+                | (F.col("event_id") % _WTW_LATE_MOD == _WTW_LATE_RES)
+            ).alias("cyc2"),
+        )
+        cache = tempfile.mkdtemp(prefix="wtw_src_cache_")
+        pts.filter(~F.col("cyc2")).drop("cyc2").coalesce(1).write.parquet(
+            f"{cache}/f=a"
+        )
+        pts.filter(F.col("cyc2")).drop("cyc2").coalesce(1).write.parquet(
+            f"{cache}/f=b"
+        )
+        _wtw_src_cache[sf_dir] = cache
+    return _wtw_src_cache[sf_dir]
+
+
+def _wtw_watermarks(sf_dir: str = "/root/testdata/sf0.01") -> tuple[int, int]:
+    """The two cycle-end watermarks, derived from the fixture exactly as
+    the stream derives them (pinned by tests/test_watermark_windows.py:
+    each availableNow cycle's closing no-data batch advances the
+    watermark to max-event-time-seen minus the delay). The correctness
+    gate runs at sf=0.01 (driver contract), so the oracle's constants
+    come from that fixture — the Spark side needs no constants at all:
+    its watermark is intrinsic to whatever sf it streams."""
+    if sf_dir not in _WTW_WM_CACHE:
+        import duckdb
+
+        con = duckdb.connect()
+        t1_max, t2_max = con.execute(
+            f"""
+            SELECT max(CASE WHEN NOT cyc2 THEN t END),
+                   max(CASE WHEN cyc2 THEN t END)
+            FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                         (CAST(FLOOR(epoch(ts)) AS BIGINT) >= {_WTW_SPLIT}
+                          OR event_id % {_WTW_LATE_MOD} = {_WTW_LATE_RES})
+                           AS cyc2
+                  FROM '{sf_dir}/events.parquet')
+            """
+        ).fetchone()
+        con.close()
+        if t1_max is None or t2_max is None:
+            raise ValueError(
+                f"watermarked_tile_windows: fixture {sf_dir} has an empty "
+                "arrival cycle — cannot derive deterministic watermarks"
+            )
+        w1 = int(t1_max) - _WTW_WM
+        w2 = max(w1, int(t2_max) - _WTW_WM)
+        _WTW_WM_CACHE[sf_dir] = (w1, w2)
+    return _WTW_WM_CACHE[sf_dir]
+
+
+def _wtw_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Batch-SQL replay of append-mode emission. The accepted (row,
+    window) pairs are cycle-1 rows unconditionally (the watermark is
+    still at epoch 0 when they arrive) plus cycle-2 pairs whose window
+    END is strictly newer than the cycle-1 watermark W1 (Spark's
+    late-data filter drops pairs with window.end <= watermark — the
+    complement of its `end <= wm` close-and-emit rule, both pinned in
+    test_watermark_windows.py); emitted windows are those CLOSED by the
+    final watermark W2 (window_end <= W2). Resolved lazily: the W1/W2
+    literals read the sf0.01 fixture (tests pass their own sf_dir)."""
+    w1, w2 = _wtw_watermarks(sf_dir)
+    scale = 65.907807 / 111320.0
+    n_slides = _WTW_WIN // _WTW_SLIDE
+    return f"""
+    WITH pts AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             40.5 + (value - FLOOR(value / 200.0) * 200.0) / 1000.0 AS latitude,
+             -74.3 + (value - FLOOR(value / 157.0) * 157.0) / 800.0 AS longitude
+      FROM events
+    ),
+    cells AS (
+      SELECT user_id, t,
+             printf('%02X%07X%07X', 10,
+                    CAST(FLOOR((latitude + 90.0) / {scale!r}) AS BIGINT),
+                    CAST(FLOOR((longitude + 180.0) / {scale!r}) AS BIGINT)) AS h3,
+             (t >= {_WTW_SPLIT} OR event_id % {_WTW_LATE_MOD} = {_WTW_LATE_RES})
+               AS cyc2
+      FROM pts
+    ),
+    pairs AS (
+      SELECT user_id, h3, cyc2,
+             (t // {_WTW_SLIDE}) * {_WTW_SLIDE} - i * {_WTW_SLIDE} AS w_start
+      FROM cells CROSS JOIN range(0, {n_slides}) r(i)
+    ),
+    agg AS (
+      SELECT w_start AS window_start,
+             w_start + {_WTW_WIN} AS window_end,
+             user_id, h3, count(*) AS visits
+      FROM pairs
+      WHERE (NOT cyc2) OR w_start + {_WTW_WIN} > {w1}
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT window_start, window_end, user_id, h3, visits
+    FROM agg WHERE window_end <= {w2}
+    """
+
+
+@register("watermarked_tile_windows", sql=_wtw_oracle)
+def watermarked_tile_windows(spark, sf_dir):
+    """§2.9 EVENT-TIME semantics under the hash gate (VERDICT r11 #8,
+    design note COVERAGE.md §2.9): a real two-cycle availableNow run of
+    `sliding_tile_counts` (window 1h, slide 30min, watermark 30min) in
+    APPEND mode into a parquet sink. Cycle 1 streams the in-order
+    pre-split events; cycle 2 streams the post-split events PLUS a
+    planted ~14% of pre-split rows arriving LATE — rows whose windows
+    all closed under the cycle-1 watermark must be dropped (a closed
+    window is never resurrected), while late rows near the split land in
+    still-open windows. Hash-equality against the batch-SQL replay
+    certifies watermark advancement, the late-row accept/drop boundary,
+    and append-mode closed-window emission end-to-end. Streaming analog
+    of the reference's TTL'd behavioral window (`02:281-287`)."""
+    import os
+    import tempfile
+
+    from geoscan_fraud_spark.streaming.scoring import sliding_tile_counts
+
+    cache = _wtw_staged(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="wtw_entry_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    os.makedirs(src)
+    schema = "ts timestamp, user_id bigint, latitude double, longitude double"
+
+    def stage(name: str) -> None:
+        s, d = f"{cache}/{name}", f"{src}/{name}"
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(s):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                os.link(f"{s}/{f}", f"{d}/{f}")
+
+    def cycle() -> None:
+        agg = sliding_tile_counts(
+            spark.readStream.schema(schema).parquet(src + "/f=*"),
+            ts_col="ts",
+            user_col="user_id",
+            window=f"{_WTW_WIN} seconds",
+            slide=f"{_WTW_SLIDE} seconds",
+            watermark=f"{_WTW_WM} seconds",
+        ).select(
+            F.col("window.start").cast("long").alias("window_start"),
+            F.col("window.end").cast("long").alias("window_end"),
+            "user_id",
+            "h3",
+            F.col("visits").cast("long").alias("visits"),
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "watermarked_tile_windows: availableNow cycle did not "
+                "finish within 600s — refusing to read a partial sink"
+            )
+
+    stage("f=a")
+    cycle()
+    stage("f=b")
+    cycle()
+    return spark.read.parquet(out)

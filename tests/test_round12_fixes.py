@@ -346,3 +346,124 @@ def test_no_tokenize_inside_hof_lambda(spark, op):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     for body in _lambda_bodies(plan):
         assert "split(" not in body, body
+
+
+# ---------------------------------------------------------------------------
+# watermarked_tile_windows — the second §2.9 gate entry (VERDICT r11 #8,
+# landed r12 ahead of schedule per the COVERAGE.md design note)
+# ---------------------------------------------------------------------------
+
+
+def test_wtw_epoch_secs_matches_duckdb_floor_epoch(spark, sf_dir):
+    """The tz-free whole-second epoch the staged stream files carry must
+    equal DuckDB's CAST(FLOOR(epoch(ts)) AS BIGINT) bit-for-bit on BOTH
+    timestamp flavors `load_fixture` can surface — the NTZ interval
+    subtraction (micros fixture) and the instant cast."""
+    import duckdb
+
+    from geoscan_fraud_spark.harness_pipeline import _wtw_epoch_secs
+    from geoscan_fraud_spark.sources.io import load_fixture
+
+    ev = load_fixture(spark, sf_dir, "events")
+    got = {
+        (r["event_id"], r["t"])
+        for r in ev.select("event_id", _wtw_epoch_secs(ev).alias("t")).collect()
+    }
+    want = set(
+        duckdb.sql(
+            "SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) "
+            f"FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    assert got == want
+
+    # instant-TIMESTAMP branch: plain epoch cast, same truncation
+    inst = spark.sql(
+        "SELECT timestamp_micros(1704450030789575) AS ts, 1 AS event_id"
+    )
+    (row,) = inst.select(_wtw_epoch_secs(inst).alias("t")).collect()
+    assert row["t"] == 1704450030
+
+
+def test_watermarked_tile_windows_matches_oracle_at_test_sf(spark, sf_dir):
+    """End-to-end hash-gate replica at the test sf: the two-cycle
+    availableNow stream's append-mode emission must equal the batch-SQL
+    oracle with watermark constants derived from the SAME fixture (the
+    registered oracle pins sf0.01 — the driver's gate scale; this proves
+    the construction holds at other scales too)."""
+    from geoscan_fraud_spark.harness_pipeline import (
+        _wtw_oracle,
+        watermarked_tile_windows,
+    )
+    from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    status, msg = compare_query(
+        spark, con, watermarked_tile_windows, _wtw_oracle(sf_dir), sf_dir
+    )
+    assert status == "pass", msg
+
+
+def test_wtw_late_rows_do_real_work(sf_dir):
+    """The fixture must exercise every semantic branch the entry claims
+    to certify: some late (row, window) pairs DROPPED (closed windows
+    never resurrected), and — at the gate scale — some ACCEPTED into
+    still-open windows (the boundary case). Otherwise the hash proves
+    less than COVERAGE.md says."""
+    import duckdb
+
+    from geoscan_fraud_spark.harness_pipeline import (
+        _WTW_LATE_MOD,
+        _WTW_LATE_RES,
+        _WTW_SLIDE,
+        _WTW_SPLIT,
+        _WTW_WIN,
+        _wtw_watermarks,
+    )
+
+    w1, _ = _wtw_watermarks(sf_dir)
+    dropped, accepted = duckdb.sql(
+        f"""
+        WITH late AS (
+          SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+          FROM '{sf_dir}/events.parquet'
+          WHERE event_id % {_WTW_LATE_MOD} = {_WTW_LATE_RES}
+            AND CAST(FLOOR(epoch(ts)) AS BIGINT) < {_WTW_SPLIT}
+        ),
+        pairs AS (
+          SELECT (t // {_WTW_SLIDE}) * {_WTW_SLIDE} - i * {_WTW_SLIDE}
+                   + {_WTW_WIN} AS w_end
+          FROM late CROSS JOIN range(0, {_WTW_WIN // _WTW_SLIDE}) r(i)
+        )
+        SELECT count(*) FILTER (w_end <= {w1}),
+               count(*) FILTER (w_end > {w1}) FROM pairs
+        """
+    ).fetchone()
+    assert dropped > 0, "no late pair exercises the drop path"
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        assert accepted > 0, "no late pair exercises the accept path at gate sf"
+
+
+def test_s2_pruned_scan_pandas_pin(spark, sf_dir):
+    """Value pin for the r12 fold of `s2_pruned_scan` (slot funds
+    `watermarked_tile_windows`): the filter+project scan stays
+    value-correct vs an independent pyarrow/pandas evaluation; the
+    PUSHDOWN property it uniquely certified lives on in
+    test_plans.py::test_pruned_scan_reads_only_needed_columns."""
+    import pyarrow.parquet as pq
+
+    from geoscan_fraud_spark.harness import s2_pruned_scan
+
+    got = {
+        tuple(r)
+        for r in s2_pruned_scan(spark, sf_dir).collect()
+    }
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    ).to_pandas()
+    want = {
+        tuple(r)
+        for r in t[t["l_quantity"] < 5.0].itertuples(index=False, name=None)
+    }
+    assert got == want and len(got) > 0

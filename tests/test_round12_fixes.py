@@ -467,3 +467,56 @@ def test_s2_pruned_scan_pandas_pin(spark, sf_dir):
         for r in t[t["l_quantity"] < 5.0].itertuples(index=False, name=None)
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats Arrow path (COVERAGE §2.9 r13 candidate, landed r12)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_arrow_bit_parity_with_native(spark):
+    """The Arrow default must be BIT-identical to the native HOF chain on
+    every tokenization edge the two could disagree on: leading/trailing
+    whitespace (Java split keeps the empty strings at limit -1), runs of
+    mixed ASCII whitespace, unicode whitespace (Java \\s is ASCII-only —
+    NBSP is a token character, not a separator), shorter-than-n docs,
+    single-token docs, empty string, and NULL text (which the native
+    chain's null-skipping concat_ws treats as EMPTY text)."""
+    from geoscan_fraud_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),
+        (1, " leading space"),
+        (2, "trailing space "),
+        (3, "tab\tand\nnewline\x0bvt\fff\rcr mix"),
+        (4, "nbsp is one token"),
+        (5, "x"),
+        (6, ""),
+        (7, None),
+        (8, "spam spam spam spam"),
+        (9, "  double  spaces  everywhere  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r) for r in repetition_stats(df).collect()}
+    n = {
+        r["doc_id"]: tuple(r)
+        for r in repetition_stats(df, impl="native").collect()
+    }
+    assert a == n
+    # null text == empty text: one empty gram -> dup 0.0, top 1.0
+    assert a[7][1:] == (0.0, 1.0, 0.0, 1.0, 0.0, 1.0)
+
+
+def test_repetition_stats_arrow_parity_on_fixture(spark, sf_dir):
+    """Corpus-level parity: the gate entry `text_repetition` (and the
+    streaming quality gate) must hash identically through either impl."""
+    from geoscan_fraud_spark.operators.text import repetition_stats
+    from geoscan_fraud_spark.sources.io import load_fixture
+
+    docs = load_fixture(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sorted(tuple(r) for r in repetition_stats(docs, ns=(2, 3)).collect())
+    n = sorted(
+        tuple(r)
+        for r in repetition_stats(docs, ns=(2, 3), impl="native").collect()
+    )
+    assert a == n

@@ -551,6 +551,104 @@ def main():
             )
             idx_sig.unpersist()
 
+            # the watermarked event-time stream (r12): two availableNow
+            # cycles of sliding_tile_counts over k content-disjoint USER
+            # populations sharing the SAME 30-day span — open-window
+            # state (window x user x tile keys) grows linearly with k,
+            # which is exactly the axis that hurts a streaming agg at
+            # 100 TB (state size, not event count per key). Staging the
+            # source files is outside the timer (the registry entry
+            # caches its staged fixture the same way); the timed section
+            # is ingest cycle 1 + ingest cycle 2 (late rows included) +
+            # the sink read-back.
+            from geoscan_fraud_spark.harness import _events_coords
+            from geoscan_fraud_spark.harness_pipeline import (
+                _WTW_SPLIT,
+                _wtw_epoch_secs,
+            )
+            from geoscan_fraud_spark.streaming.scoring import (
+                sliding_tile_counts,
+            )
+
+            base_ev = _events_coords(spark, sf_dir, "ts")
+            t_ev = _wtw_epoch_secs(base_ev)
+            pts = base_ev.select(
+                F.timestamp_seconds(t_ev).alias("ts"),
+                "user_id",
+                "latitude",
+                "longitude",
+                (
+                    (t_ev >= _WTW_SPLIT)
+                    | (F.col("event_id") % 7 == 3)
+                ).alias("cyc2"),
+            )
+            copies = [
+                pts.withColumn(
+                    "user_id", F.col("user_id") + F.lit(c * 10_000_000)
+                )
+                for c in range(k)
+            ]
+            ev_scaled = copies[0]
+            for c in copies[1:]:
+                ev_scaled = ev_scaled.unionByName(c)
+            wdir = f"{work}/wtw_x{tag}"
+            ev_scaled.filter(~F.col("cyc2")).drop("cyc2").write.parquet(
+                f"{wdir}/stage/f=a"
+            )
+            ev_scaled.filter(F.col("cyc2")).drop("cyc2").write.parquet(
+                f"{wdir}/stage/f=b"
+            )
+            n_events = ev_scaled.count()
+
+            def run_wtw_stream():
+                import os as _os
+                import shutil as _shutil
+
+                src, out, ckpt = (
+                    f"{wdir}/src",
+                    f"{wdir}/out",
+                    f"{wdir}/ckpt",
+                )
+                for d in (src, out, ckpt):
+                    _shutil.rmtree(d, ignore_errors=True)
+                _os.makedirs(src)
+                schema = (
+                    "ts timestamp, user_id bigint, "
+                    "latitude double, longitude double"
+                )
+
+                def cycle(name):
+                    _os.makedirs(f"{src}/{name}", exist_ok=True)
+                    sdir = f"{wdir}/stage/{name}"
+                    for fn in _os.listdir(sdir):
+                        if fn.endswith(".parquet") or fn == "_SUCCESS":
+                            _os.link(f"{sdir}/{fn}", f"{src}/{name}/{fn}")
+                    q = (
+                        sliding_tile_counts(
+                            spark.readStream.schema(schema).parquet(
+                                src + "/f=*"
+                            ),
+                            ts_col="ts",
+                            user_col="user_id",
+                            window="3600 seconds",
+                            slide="1800 seconds",
+                            watermark="1800 seconds",
+                        )
+                        .writeStream.format("parquet")
+                        .outputMode("append")
+                        .option("path", out)
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    assert q.awaitTermination(600)
+
+                cycle("f=a")
+                cycle("f=b")
+                return spark.read.parquet(out).count()
+
+            record("watermarked_stream", n_events, timed(run_wtw_stream))
+
             docs.unpersist()
             emb.unpersist()
 

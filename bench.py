@@ -97,6 +97,7 @@ def main():
         a8_percentiles,
         j1_join_single_key,
         j2_join_two_keys,
+        u1_cell_id,
         u4_explode_tokens,
         u7_haversine,
         w1_topk_desc,
@@ -105,6 +106,9 @@ def main():
 
     QUERIES["u4_explode_tokens"] = u4_explode_tokens
     QUERIES["u7_haversine"] = u7_haversine
+    # u1 rotated out of the 50-slot registry in r12 (slot funds
+    # stateful_novel_tiles); keep timing it
+    QUERIES["u1_cell_id"] = u1_cell_id
     # w1 rotated out of the 50-slot registry in r12 (slot funds
     # hybrid_incremental_query); keep timing it so headline totals stay
     # comparable across rounds. Restored FIRST: later anchor-based
@@ -141,6 +145,8 @@ def main():
             headline.insert(headline.index(anchor), name)
     if "u7_haversine" not in headline:
         headline.insert(headline.index("a8_percentiles"), "u7_haversine")
+    if "u1_cell_id" not in headline:
+        headline.insert(headline.index("u7_haversine"), "u1_cell_id")
     if "u4_explode_tokens" not in headline:
         headline.insert(headline.index("ttl_window_filter"), "u4_explode_tokens")
     # the registry entry now runs a pinned mini-fixture (oracle-able);
@@ -761,6 +767,10 @@ def main():
         # watermarked sliding-window aggregation in append mode
         # (event-time/late-data semantics — registered entry)
         "watermarked_tile_windows": QUERIES["watermarked_tile_windows"],
+        # round-12: the third §2.9 entry — applyInPandasWithState novelty
+        # detection with checkpointed state across two availableNow
+        # cycles (registered entry)
+        "stateful_novel_tiles": QUERIES["stateful_novel_tiles"],
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

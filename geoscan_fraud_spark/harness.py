@@ -629,9 +629,9 @@ def _events_coords(spark, sf_dir, *extra: str):
     )
 
 
-@register(
-    "u1_cell_id",
-    sql=f"""
+#: U1's standalone oracle, kept as the fold-witness value pin's ground
+#: truth (test_round12_fixes.py replays it in DuckDB directly).
+U1_ORACLE_SQL = f"""
     WITH pts AS ({_COORD_SQL})
     SELECT event_id,
            printf('%02X%07X%07X', 10,
@@ -639,8 +639,17 @@ def _events_coords(spark, sf_dir, *extra: str):
                   CAST(FLOOR((longitude + 180.0) / {65.907807 / 111320.0!r}) AS BIGINT))
              AS h3
     FROM pts
-    """,
-)
+"""
+
+
+# U1 (native grid index) was a registered entry through r12; the
+# identical quantization algebra — same scale constant, same printf hex
+# layout — is load-bearing inside TWO hash-green streaming oracles
+# (`watermarked_tile_windows` and `stateful_novel_tiles` both embed the
+# printf literals) and every geoscan golden. The slot under the
+# driver's 50-entry cap now funds `stateful_novel_tiles` (third r12
+# rotation); DuckDB-replay value pin in test_round12_fixes.py; bench
+# still times u1 for round-over-round comparability.
 def u1_cell_id(spark, sf_dir):
     """U1 — the grid index (engine's `to_h3` analog, `utils/spark_utils.py:6-9`).
 

@@ -2705,3 +2705,110 @@ def watermarked_tile_windows(spark, sf_dir):
     stage("f=b")
     cycle()
     return spark.read.parquet(out)
+
+
+def _snt_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Batch-SQL replay of the custom stateful operator: the emitted set
+    is one row per distinct (user, tile), stamped with the earliest
+    event time WITHIN THE FIRST ARRIVAL CYCLE that contains the pair —
+    state carried across cycles suppresses every later sighting, and a
+    late cycle-2 row never outranks a cycle-1 sighting even when its
+    event time is earlier (arrival order beats event order in a
+    first-occurrence state machine; there is NO watermark drop here, so
+    pairs seen ONLY via late rows still emit). `sf_dir` only matters for
+    symmetry with `_wtw_oracle` — this oracle needs no data-derived
+    constants at all."""
+    scale = 65.907807 / 111320.0
+    return f"""
+    WITH pts AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             40.5 + (value - FLOOR(value / 200.0) * 200.0) / 1000.0 AS latitude,
+             -74.3 + (value - FLOOR(value / 157.0) * 157.0) / 800.0 AS longitude
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(user_id AS VARCHAR) AS u, t,
+             printf('%02X%07X%07X', 10,
+                    CAST(FLOOR((latitude + 90.0) / {scale!r}) AS BIGINT),
+                    CAST(FLOOR((longitude + 180.0) / {scale!r}) AS BIGINT)) AS h3,
+             (t >= {_WTW_SPLIT} OR event_id % {_WTW_LATE_MOD} = {_WTW_LATE_RES})
+               AS cyc2
+      FROM pts
+    )
+    SELECT u AS "user", h3,
+           COALESCE(min(CASE WHEN NOT cyc2 THEN t END),
+                    min(CASE WHEN cyc2 THEN t END)) AS t
+    FROM cells GROUP BY u, h3
+    """
+
+
+@register("stateful_novel_tiles", sql=_snt_oracle)
+def stateful_novel_tiles(spark, sf_dir):
+    """§2.9 CUSTOM STATEFUL operator under the hash gate (the last
+    streaming face — COVERAGE.md §2.9 r13 design note, landed r12): a
+    real two-cycle availableNow run of `novel_tile_stream`
+    (`applyInPandasWithState`, per-user tile-set state) over the SAME
+    staged arrival-cycle fixture as `watermarked_tile_windows`. The run
+    uses `ttl_ms=None` (NoTimeout): measured on Spark 4.1, a
+    ProcessingTimeTimeout stateful operator makes availableNow loop
+    no-data micro-batches forever (shouldRunAnotherBatch is always
+    true), so the production 7-day TTL is exercised by its own pytest
+    (`test_stateful_streaming.py::test_novel_tile_ttl_expires_state`)
+    rather than inside the bounded gate run.
+    Hash-equality against the batch-SQL replay certifies the stateful
+    machinery end-to-end: the grouping shuffle into state, checkpointed
+    state carried ACROSS cycles (a cycle-2 sighting of a cycle-1 tile
+    must be suppressed by restored state, not recomputation), in-batch
+    event-time ordering (the emitted stamp is the batch-min event time),
+    and the arrival-beats-event-time rule for late rows. Streaming
+    analog of the reference's online behavioral store (`02:281-314`),
+    learned online instead of pre-trained."""
+    import os
+    import tempfile
+
+    from geoscan_fraud_spark.streaming.stateful import novel_tile_stream
+
+    cache = _wtw_staged(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="snt_entry_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    os.makedirs(src)
+    schema = "ts timestamp, user_id bigint, latitude double, longitude double"
+
+    def stage(name: str) -> None:
+        s, d = f"{cache}/{name}", f"{src}/{name}"
+        os.makedirs(d, exist_ok=True)
+        for f in os.listdir(s):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                os.link(f"{s}/{f}", f"{d}/{f}")
+
+    def cycle() -> None:
+        novel = novel_tile_stream(
+            spark.readStream.schema(schema).parquet(src + "/f=*"),
+            res=10,
+            user_col="user_id",
+            ts_col="ts",
+            ttl_ms=None,
+        )
+        q = (
+            novel.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stateful_novel_tiles: availableNow cycle did not finish "
+                "within 600s — refusing to read a partial sink"
+            )
+
+    stage("f=a")
+    cycle()
+    stage("f=b")
+    cycle()
+    return spark.read.parquet(out).select(
+        "user", F.col("ts").cast("long").alias("t"), "h3"
+    )

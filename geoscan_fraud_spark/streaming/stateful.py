@@ -28,38 +28,61 @@ OUTPUT_SCHEMA = "user string, ts timestamp, latitude double, longitude double, h
 STATE_SCHEMA = "tiles array<string>"
 
 
-def _novel_tiles_fn(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user,) = key
-    if state.hasTimedOut:
-        # TTL expiry invocation: no input arrived for 7 days — drop the
-        # whole envelope and DON'T re-arm, or the state (and its stale
-        # novelty suppression) would live forever.
-        state.remove()
+def _make_novel_tiles_fn(ttl_ms: int | None):
+    """Build the per-group state function. `ttl_ms=None` means the
+    no-timeout configuration: never arm a timeout (calling
+    `setTimeoutDuration` under `NoTimeout` raises in Spark)."""
+
+    def _novel_tiles_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            # TTL expiry invocation: no input arrived for ttl_ms — drop
+            # the whole envelope and DON'T re-arm, or the state (and its
+            # stale novelty suppression) would live forever.
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["user", "ts", "latitude", "longitude", "h3"]
+            )
+            return
+        seen: set[str] = set(state.get[0]) if state.exists else set()
+        out = []
+        # Concatenate the group's chunks BEFORE sorting: the runtime
+        # hands a large group as several DataFrame chunks in
+        # partition-read order, and sorting each chunk independently
+        # made "first occurrence" a function of that arbitrary chunk
+        # split (the emitted SET of tiles was stable — the seen-set
+        # converges — but WHICH row represented a tile was not). One
+        # event-time sort over the whole micro-batch group makes the
+        # emitted row the true per-batch earliest; stable mergesort
+        # keeps ties deterministic given a deterministic input order
+        # (exact same-timestamp ties project to the same tile row in
+        # the gate entry's output either way).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            whole = whole.sort_values("ts", kind="mergesort")
+            for row in whole.itertuples():
+                if row.h3 not in seen:
+                    out.append(
+                        (user, row.ts, row.latitude, row.longitude, row.h3)
+                    )
+                    seen.add(row.h3)
+        state.update((sorted(seen),))
+        if ttl_ms is not None:
+            # sliding behavioral window: drop the whole envelope after
+            # the TTL of inactivity (per-tile TTL would need timestamped
+            # entries; the reference's store expires whole entries the
+            # same way)
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
-            [], columns=["user", "ts", "latitude", "longitude", "h3"]
+            out, columns=["user", "ts", "latitude", "longitude", "h3"]
         )
-        return
-    seen: set[str] = set(state.get[0]) if state.exists else set()
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        for row in pdf.itertuples():
-            if row.h3 not in seen:
-                out.append((user, row.ts, row.latitude, row.longitude, row.h3))
-                seen.add(row.h3)
-    state.update((sorted(seen),))
-    if state.getCurrentProcessingTimeMs() >= 0:
-        # sliding behavioral window: drop the whole envelope after the TTL
-        # of inactivity (per-tile TTL would need timestamped entries; the
-        # reference's store expires whole entries the same way)
-        state.setTimeoutDuration(7 * 24 * 3600 * 1000)
-    yield pd.DataFrame(
-        out, columns=["user", "ts", "latitude", "longitude", "h3"]
-    )
+
+    return _novel_tiles_fn
 
 
 def novel_tile_stream(
@@ -69,19 +92,38 @@ def novel_tile_stream(
     lng_col: str = "longitude",
     user_col: str = "user",
     ts_col: str = "ts",
+    ttl_ms: int | None = 7 * 24 * 3600 * 1000,
 ) -> DataFrame:
     """Emit the first occurrence of each (user, tile) — the online novelty
-    signal. State = per-user tile set with a 7-day inactivity TTL."""
+    signal. State = per-user tile set with a `ttl_ms` inactivity TTL
+    (default 7 days, the reference store's window).
+
+    TTL caveat measured on Spark 4.1: under
+    `GroupStateTimeout.ProcessingTimeTimeout` the stateful operator's
+    `shouldRunAnotherBatch` is ALWAYS true (any future processing time
+    might fire a timeout), so a `Trigger.AvailableNow` run never reaches
+    its termination condition — it loops ~1 s "no new data but cleaning
+    up state" micro-batches forever. Pass `ttl_ms=None` for bounded
+    (availableNow / once) runs: state then uses `NoTimeout` and the run
+    terminates after draining the input. The TTL belongs to the
+    continuous production trigger, where an always-true
+    shouldRunAnotherBatch is the normal state of affairs.
+    """
     pts = stream_df.select(
         F.col(user_col).cast("string").alias("user"),
         F.col(ts_col).alias("ts"),
         F.col(lat_col).cast("double").alias("latitude"),
         F.col(lng_col).cast("double").alias("longitude"),
     ).withColumn("h3", cell_id(F.col("latitude"), F.col("longitude"), res))
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return pts.groupBy("user").applyInPandasWithState(
-        _novel_tiles_fn,
+        _make_novel_tiles_fn(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )

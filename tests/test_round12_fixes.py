@@ -520,3 +520,93 @@ def test_repetition_stats_arrow_parity_on_fixture(spark, sf_dir):
         for r in repetition_stats(docs, ns=(2, 3), impl="native").collect()
     )
     assert a == n
+
+
+# ---------------------------------------------------------------------------
+# r12 third rotation: u1_cell_id folded (slot funds stateful_novel_tiles)
+# ---------------------------------------------------------------------------
+
+
+def test_u1_cell_id_duckdb_replay_pin(spark, sf_dir):
+    """Fold-witness value pin for U1 (registered entry through r12):
+    replay the retired oracle SQL in DuckDB directly and hash-compare —
+    the identical check the driver's gate ran while the slot existed.
+    The quantization algebra stays load-bearing inside the hash-green
+    `watermarked_tile_windows` / `stateful_novel_tiles` oracles (same
+    printf literals), but this pin keeps the standalone operator
+    bit-exact too."""
+    from geoscan_fraud_spark.harness import U1_ORACLE_SQL, u1_cell_id
+    from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    status, msg = compare_query(spark, con, u1_cell_id, U1_ORACLE_SQL, sf_dir)
+    assert status == "pass", msg
+
+
+# ---------------------------------------------------------------------------
+# r12 gate entry: stateful_novel_tiles (applyInPandasWithState under gate)
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_novel_tiles_matches_oracle_at_test_sf(spark, sf_dir):
+    """End-to-end hash-gate replica at the test sf: the two-cycle
+    availableNow stateful run must equal the batch-SQL first-occurrence
+    replay (the registered oracle pins sf0.01 — the driver's gate scale;
+    this proves the construction holds at other scales too)."""
+    from geoscan_fraud_spark.harness_pipeline import (
+        _snt_oracle,
+        stateful_novel_tiles,
+    )
+    from geoscan_fraud_spark.testing.oracle import compare_query, duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    status, msg = compare_query(
+        spark, con, stateful_novel_tiles, _snt_oracle(sf_dir), sf_dir
+    )
+    assert status == "pass", msg
+
+
+def test_snt_fixture_exercises_state_branches(sf_dir):
+    """The fixture must make the hash prove what COVERAGE.md claims:
+    (a) some (user, tile) pairs are seen in BOTH cycles — cycle-2
+    suppression can only come from checkpoint-restored state; (b) at
+    the gate scale, some pair exists where the cycle-2 sighting has an
+    EARLIER event time than the cycle-1 one — arrival order must beat
+    event order; (c) some pair exists ONLY via cycle-2 rows — no
+    watermark drop, late-only tiles still emit."""
+    import duckdb
+
+    from geoscan_fraud_spark.harness_pipeline import (
+        _WTW_LATE_MOD,
+        _WTW_LATE_RES,
+        _WTW_SPLIT,
+        _snt_oracle,
+    )
+
+    cells_cte = _snt_oracle(sf_dir).split("SELECT u AS")[0].rstrip().rstrip(",")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    both, inverted, late_only = con.sql(
+        cells_cte
+        + """
+        , pairs AS (
+          SELECT u, h3,
+                 min(CASE WHEN NOT cyc2 THEN t END) AS t1,
+                 min(CASE WHEN cyc2 THEN t END) AS t2
+          FROM cells GROUP BY u, h3
+        )
+        SELECT count(*) FILTER (t1 IS NOT NULL AND t2 IS NOT NULL),
+               count(*) FILTER (t2 < t1),
+               count(*) FILTER (t1 IS NULL)
+        FROM pairs
+        """
+    ).fetchone()
+    assert both > 0, "no pair spans both cycles — state carry untested"
+    assert late_only > 0, "no late-only tile — the no-drop rule untested"
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        assert inverted > 0, (
+            "no pair with an earlier cycle-2 event time at gate sf — "
+            "arrival-beats-event-time untested"
+        )

@@ -15,7 +15,11 @@ def test_novel_tile_stream_emits_first_occurrences(spark, tmp_path):
     tx.coalesce(1).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
-    out = novel_tile_stream(stream, res=10)
+    # ttl_ms=None: a ProcessingTimeTimeout stateful op never lets
+    # availableNow terminate (shouldRunAnotherBatch is always true) —
+    # the old form of this test silently relied on reading the memory
+    # sink after awaitTermination(120) EXPIRED, leaking a live query.
+    out = novel_tile_stream(stream, res=10, ttl_ms=None)
     q = (
         out.writeStream.format("memory")
         .queryName("novel_tiles")
@@ -23,7 +27,7 @@ def test_novel_tile_stream_emits_first_occurrences(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow cycle must terminate"
     got = spark.sql("SELECT user, h3 FROM novel_tiles").collect()
 
     # exactly one emission per distinct (user, tile)
@@ -41,6 +45,67 @@ def pd_timestamps(n):
     import pandas as pd
 
     return pd.date_range("2024-01-01", periods=n, freq="min")
+
+
+def test_novel_tile_ttl_expires_state(spark, tmp_path):
+    """The production TTL path end-to-end: with a short
+    ProcessingTimeTimeout, state expires during an idle stretch (the
+    `hasTimedOut` branch removes the envelope without re-arming), so a
+    LATER sighting of the SAME tile is novel again and re-emits. This is
+    the only test that drives the timeout machinery — the gate entry and
+    the first-occurrence test deliberately run `ttl_ms=None` because a
+    ProcessingTimeTimeout operator never lets availableNow terminate."""
+    import time
+
+    import pandas as pd
+
+    src = str(tmp_path / "ttl_src")
+    row = pd.DataFrame(
+        {
+            "user": ["u1"],
+            "ts": [pd.Timestamp("2024-01-01 00:00:00")],
+            "latitude": [40.75],
+            "longitude": [-73.98],
+        }
+    )
+    spark.createDataFrame(row).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = novel_tile_stream(stream, res=10, ttl_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("novel_ttl")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def wait_count(n, deadline=90):
+            t0 = time.time()
+            while time.time() - t0 < deadline:
+                if spark.sql("SELECT * FROM novel_ttl").count() >= n:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert wait_count(1), "first sighting never emitted"
+        # idle well past the TTL: the timeout fires in one of the
+        # continuous no-data micro-batches and drops the envelope
+        time.sleep(6)
+        row2 = row.assign(ts=[pd.Timestamp("2024-01-01 01:00:00")])
+        spark.createDataFrame(row2).coalesce(1).write.mode("append").parquet(src)
+        assert wait_count(2), (
+            "tile did not re-emit after TTL expiry — hasTimedOut branch "
+            "never removed the state"
+        )
+        rows = spark.sql("SELECT user, h3 FROM novel_ttl").collect()
+        assert len({(r["user"], r["h3"]) for r in rows}) == 1, (
+            "both emissions must be the same (user, tile) — re-emission "
+            "proves expiry, not a different tile"
+        )
+    finally:
+        q.stop()
 
 
 def test_dedup_stream_emits_first_occurrence_only(spark, tmp_path):

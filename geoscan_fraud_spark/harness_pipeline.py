@@ -2598,9 +2598,14 @@ def _wtw_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     late-data filter drops pairs with window.end <= watermark — the
     complement of its `end <= wm` close-and-emit rule, both pinned in
     test_watermark_windows.py); emitted windows are those CLOSED by the
-    final watermark W2 (window_end <= W2). Resolved lazily: the W1/W2
-    literals read the sf0.01 fixture (tests pass their own sf_dir)."""
-    w1, w2 = _wtw_watermarks(sf_dir)
+    final watermark W2 (window_end <= W2). W1/W2 are derived IN the SQL
+    (max event time per arrival cycle minus the delay — the exact rule
+    the stream's closing no-data batch applies, pinned in
+    test_watermark_windows.py), so one oracle string is correct at
+    EVERY sf: the registered thunk, the sf0.001 parity suite, and the
+    driver's sf0.01 gate all replay the same text. `sf_dir` is kept for
+    signature compatibility only."""
+    del sf_dir
     scale = 65.907807 / 111320.0
     n_slides = _WTW_WIN // _WTW_SLIDE
     return f"""
@@ -2620,6 +2625,12 @@ def _wtw_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
                AS cyc2
       FROM pts
     ),
+    wm AS (
+      SELECT max(CASE WHEN NOT cyc2 THEN t END) - {_WTW_WM} AS w1,
+             greatest(max(CASE WHEN NOT cyc2 THEN t END) - {_WTW_WM},
+                      max(CASE WHEN cyc2 THEN t END) - {_WTW_WM}) AS w2
+      FROM cells
+    ),
     pairs AS (
       SELECT user_id, h3, cyc2,
              (t // {_WTW_SLIDE}) * {_WTW_SLIDE} - i * {_WTW_SLIDE} AS w_start
@@ -2630,11 +2641,11 @@ def _wtw_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
              w_start + {_WTW_WIN} AS window_end,
              user_id, h3, count(*) AS visits
       FROM pairs
-      WHERE (NOT cyc2) OR w_start + {_WTW_WIN} > {w1}
+      WHERE (NOT cyc2) OR w_start + {_WTW_WIN} > (SELECT w1 FROM wm)
       GROUP BY 1, 2, 3, 4
     )
     SELECT window_start, window_end, user_id, h3, visits
-    FROM agg WHERE window_end <= {w2}
+    FROM agg WHERE window_end <= (SELECT w2 FROM wm)
     """
 
 

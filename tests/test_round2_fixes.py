@@ -107,7 +107,9 @@ def test_ring_cells_clamps_poles(spark):
 def test_stateful_timeout_drops_state():
     """On a timeout invocation the per-user envelope is removed and NOT
     re-armed (the round-1 bug kept state alive forever)."""
-    from geoscan_fraud_spark.streaming.stateful import _novel_tiles_fn
+    from geoscan_fraud_spark.streaming.stateful import _make_novel_tiles_fn
+
+    _novel_tiles_fn = _make_novel_tiles_fn(7 * 24 * 3600 * 1000)
 
     class FakeState:
         hasTimedOut = True

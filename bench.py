@@ -763,14 +763,20 @@ def main():
         # (two availableNow cycles: gate + store dedup + corpus append +
         # two text-index appends + serve — registered entry)
         "prepared_stream_query": QUERIES["prepared_stream_query"],
-        # round-12: the second §2.9 entry — two availableNow cycles of
-        # watermarked sliding-window aggregation in append mode
-        # (event-time/late-data semantics — registered entry)
-        "watermarked_tile_windows": QUERIES["watermarked_tile_windows"],
-        # round-12: the third §2.9 entry — applyInPandasWithState novelty
-        # detection with checkpointed state across two availableNow
-        # cycles (registered entry)
-        "stateful_novel_tiles": QUERIES["stateful_novel_tiles"],
+        # r12 streaming ops (staged for a future build-round rotation;
+        # not registered this round — timed directly from the module):
+        # two availableNow cycles of watermarked sliding-window
+        # aggregation in append mode (event-time/late-data semantics)
+        "watermarked_tile_windows": __import__(
+            "geoscan_fraud_spark.harness_pipeline",
+            fromlist=["watermarked_tile_windows"],
+        ).watermarked_tile_windows,
+        # applyInPandasWithState novelty detection with checkpointed
+        # state across two availableNow cycles
+        "stateful_novel_tiles": __import__(
+            "geoscan_fraud_spark.harness_pipeline",
+            fromlist=["stateful_novel_tiles"],
+        ).stateful_novel_tiles,
     }
 
     # warm up the JVM + parquet footer caches with a trivial action

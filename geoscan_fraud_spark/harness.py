@@ -103,15 +103,15 @@ def flagship_event_anomalies(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-# S2 (pruned parquet scan) was a registered entry through r12; the
-# filter+project-over-scan algebra is load-bearing inside every
-# scan-bearing hash-green entry (each one reads a fixture parquet,
-# filters on literals, and projects a column subset), and the PUSHDOWN
-# property itself — what this entry uniquely certified — is
-# plan-asserted (PushedFilters / ReadSchema) in test_plans.py, which a
-# value hash never checked anyway. The slot under the driver's 50-entry
-# cap now funds `watermarked_tile_windows` (round-13 streaming entry,
-# landed r12 — COVERAGE.md §2.9 design note).
+# r12 (optimization round) keeps the r11 registry unchanged: the interim
+# rotation that folded this entry is deferred to the next build round
+# (optimization rounds add no new gate entries and remove none).
+@register(
+    "s2_pruned_scan",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5.0
+    """,
+)
 def s2_pruned_scan(spark, sf_dir):
     """S2 + predicate pushdown + column pruning (the scan reads 3 columns)."""
     return (
@@ -413,17 +413,18 @@ def a8_percentiles(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-# w1_topk_desc was a registered entry through r11; its order-statistics
-# algebra (global sort desc + unique asc tiebreaker + top-k) stays
-# driver-evidenced by the hash-green `ppl_buckets` (grouped order
-# statistics) and by the ROUND-then-rank window top-k stages inside
-# every retrieval oracle (`bm25_incremental_query`, `rrf_fusion`,
-# `ann_ivf_incremental_query`, `hybrid_incremental_query` — all
-# row_number over desc score with asc id tiebreak, exactly this
-# entry's plan shape); a pandas value pin lives in
-# tests/test_round12_fixes.py::test_w1_topk_desc_pandas_pin and the
-# bench still times it. The slot under the driver's 50-entry cap now
-# funds `hybrid_incremental_query` (round-12 rotation — VERDICT r11 #6).
+# r12 (optimization round) keeps the r11 registry unchanged: the interim
+# rotation that folded this entry (VERDICT r11 #6) is deferred to the
+# next build round; the pandas value pin in test_round12_fixes.py stays.
+@register(
+    "w1_topk_desc",
+    sql="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spend DESC, o_custkey LIMIT 10
+    """,
+)
 def w1_topk_desc(spark, sf_dir):
     """W1 + W3 — global sort desc with unique tiebreaker, top-k."""
     return (
@@ -642,14 +643,10 @@ U1_ORACLE_SQL = f"""
 """
 
 
-# U1 (native grid index) was a registered entry through r12; the
-# identical quantization algebra — same scale constant, same printf hex
-# layout — is load-bearing inside TWO hash-green streaming oracles
-# (`watermarked_tile_windows` and `stateful_novel_tiles` both embed the
-# printf literals) and every geoscan golden. The slot under the
-# driver's 50-entry cap now funds `stateful_novel_tiles` (third r12
-# rotation); DuckDB-replay value pin in test_round12_fixes.py; bench
-# still times u1 for round-over-round comparability.
+# r12 (optimization round) keeps the r11 registry unchanged: the interim
+# rotation that folded this entry is deferred to the next build round;
+# the DuckDB-replay value pin in test_round12_fixes.py stays.
+@register("u1_cell_id", sql=U1_ORACLE_SQL)
 def u1_cell_id(spark, sf_dir):
     """U1 — the grid index (engine's `to_h3` analog, `utils/spark_utils.py:6-9`).
 

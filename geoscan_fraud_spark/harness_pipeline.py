@@ -2032,7 +2032,9 @@ def _hybrid_lifecycle_oracle() -> str:
     """
 
 
-@register("hybrid_incremental_query", sql=_hybrid_lifecycle_oracle)
+# r12 (optimization round): NOT registered — the r11 50-entry registry is
+# kept unchanged this round; this entry (code, oracle thunk, tests, bench
+# timing all live) is staged for the next build-round rotation.
 def hybrid_incremental_query(spark, sf_dir):
     """Hybrid sparse+dense SERVING over both persisted index lifecycles
     under the hash gate (r12 rotation — VERDICT r11 #6; the slot is
@@ -2649,7 +2651,9 @@ def _wtw_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
-@register("watermarked_tile_windows", sql=_wtw_oracle)
+# r12 (optimization round): NOT registered — the r11 50-entry registry is
+# kept unchanged this round; this entry (code, oracle thunk, tests, bench
+# timing all live) is staged for the next build-round rotation.
 def watermarked_tile_windows(spark, sf_dir):
     """§2.9 EVENT-TIME semantics under the hash gate (VERDICT r11 #8,
     design note COVERAGE.md §2.9): a real two-cycle availableNow run of
@@ -2754,7 +2758,9 @@ def _snt_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
-@register("stateful_novel_tiles", sql=_snt_oracle)
+# r12 (optimization round): NOT registered — the r11 50-entry registry is
+# kept unchanged this round; this entry (code, oracle thunk, tests, bench
+# timing all live) is staged for the next build-round rotation.
 def stateful_novel_tiles(spark, sf_dir):
     """§2.9 CUSTOM STATEFUL operator under the hash gate (the last
     streaming face — COVERAGE.md §2.9 r13 design note, landed r12): a

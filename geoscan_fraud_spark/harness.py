@@ -50,6 +50,21 @@ def register(name: str, sql: str | Callable[[], str] | None = None):
     return deco
 
 
+def _ordered(df, *cols):
+    """Deterministic presentation order WITHOUT the RangePartitioning
+    double-evaluation (r12, guide §2.4: "an orderBy used only to make
+    output deterministic"). A bare ``.orderBy`` plans a range exchange
+    whose boundary sampling executes the child plan a SECOND time —
+    measured 2x wall on the expensive dedup entries (dedup_simhash at
+    sf0.1: 14.5 s with the bare sort vs 7.0 s unsorted vs 5.9 s with
+    this helper). Materializing once (localCheckpoint) lets both the
+    sample pass and the sort read the same executor-memory blocks; the
+    returned rows — including their order — are bit-identical to the
+    bare ``.orderBy``. Entry result sets are fixture-bounded (<= a few
+    hundred KB), so the checkpoint is a no-risk lineage cut."""
+    return df.localCheckpoint(eager=True).orderBy(*cols)
+
+
 def resolved_oracles() -> dict[str, str]:
     """ORACLES with lazy entries resolved.  An entry whose thunk raises is
     dropped (that one query degrades to the driver's rows-only check)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from geoscan_fraud_spark.harness import _events_coords, register
+from geoscan_fraud_spark.harness import _events_coords, _ordered, register
 from geoscan_fraud_spark.operators.bloom import score_with_blooms, train_blooms
 from geoscan_fraud_spark.operators.geoscan import Geoscan
 from geoscan_fraud_spark.operators.personalized import GeoscanPersonalized
@@ -295,10 +295,11 @@ def score_pipeline(pts, epsilon=80.0, min_pts=5, res=11):
         .agg(F.count(F.lit(1)).alias("bloom_anomalies"))
     )
     n_tfidf = scored_tiles.count()
-    return (
-        anti.join(blm, "user", "full_outer")
-        .withColumn("tfidf_rows", F.lit(n_tfidf))
-        .orderBy("user")
+    return _ordered(
+        anti.join(blm, "user", "full_outer").withColumn(
+            "tfidf_rows", F.lit(n_tfidf)
+        ),
+        "user",
     )
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from geoscan_fraud_spark.harness import _events_coords, _t, register
+from geoscan_fraud_spark.harness import _events_coords, _ordered, _t, register
 from geoscan_fraud_spark.operators import dedup as dd
 from geoscan_fraud_spark.operators import multimodal as mm
 from geoscan_fraud_spark.operators import similarity as sim
@@ -147,7 +147,7 @@ def dedup_minhash(spark, sf_dir):
     kept = dd.minhash_dedup(
         docs, threshold=0.5, n=3, num_hashes=48, bands=12, sig_hash="md5"
     )
-    return kept.select("doc_id").orderBy("doc_id")
+    return _ordered(kept.select("doc_id"), "doc_id")
 
 
 # ngram_jaccard_pairs was a registered entry through r07; the exact
@@ -237,9 +237,11 @@ def dedup_simhash(spark, sf_dir):
     tests/test_round2_fixes.py)."""
     docs = _with_neardups(spark, sf_dir)
     return (
-        dd.simhash_pairs(docs, max_hamming=_SIMHASH_MAX_H, sig_hash="md5")
-        .withColumn("hamming", F.col("hamming").cast("long"))
-        .orderBy("id_a", "id_b")
+        _ordered(
+            dd.simhash_pairs(docs, max_hamming=_SIMHASH_MAX_H, sig_hash="md5")
+            .withColumn("hamming", F.col("hamming").cast("long")),
+            "id_a", "id_b",
+        )
     )
 
 
@@ -288,9 +290,11 @@ def dedup_embedding_lsh(spark, sf_dir):
         "label",
     )
     return (
-        dd.embedding_neardup_pairs(e.unionByName(dup), threshold=0.98)
-        .withColumn("cosine", F.round("cosine", 6))
-        .orderBy("id_a", "id_b")
+        _ordered(
+            dd.embedding_neardup_pairs(e.unionByName(dup), threshold=0.98)
+            .withColumn("cosine", F.round("cosine", 6)),
+            "id_a", "id_b",
+        )
     )
 
 
@@ -343,7 +347,7 @@ def semantic_decontam(spark, sf_dir):
         emb_col="embedding",
         id_col="vec_id",
     )
-    return hits.withColumn("max_sim", F.round("max_sim", 6)).orderBy("vec_id")
+    return _ordered(hits.withColumn("max_sim", F.round("max_sim", 6)), "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1049,9 +1053,10 @@ def weighted_sample_entry(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return (
-        weighted_sample(d, "n_chars", 100, seed=7)
-        .select("doc_id")
-        .orderBy("doc_id")
+        _ordered(
+            weighted_sample(d, "n_chars", 100, seed=7).select("doc_id"),
+            "doc_id",
+        )
     )
 
 
@@ -1194,7 +1199,7 @@ def dedup_incremental(spark, sf_dir):
     kept = inc.dedup_against_index(
         batch, idx, num_hashes=48, bands=12, threshold=0.5, sig_hash="md5"
     )
-    return kept.select("doc_id").orderBy("doc_id")
+    return _ordered(kept.select("doc_id"), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1272,9 +1277,12 @@ def semantic_dedup_entry(spark, sf_dir):
         F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
         "label",
     )
-    return sim.semantic_dedup(
-        e.unionByName(dup), threshold=0.98, centroids=cent, impl="hybrid"
-    ).orderBy("vec_id")
+    return _ordered(
+        sim.semantic_dedup(
+            e.unionByName(dup), threshold=0.98, centroids=cent, impl="hybrid"
+        ),
+        "vec_id",
+    )
 
 
 _LM_ALPHA = 0.5
@@ -1385,7 +1393,7 @@ def url_features(spark, sf_dir):
             ),
         ).alias("url"),
     )
-    return extract_url_features(d).orderBy("doc_id")
+    return _ordered(extract_url_features(d), "doc_id")
 
 
 _CM_DEPTH, _CM_WIDTH, _CM_SEED = 4, 256, 42
@@ -1423,13 +1431,16 @@ def countmin_sketch(spark, sf_dir):
     estimate paths are pytest-pinned."""
     from geoscan_fraud_spark.operators.profiling import countmin_profile
 
-    return countmin_profile(
-        _t(spark, sf_dir, "documents"),
-        depth=_CM_DEPTH,
-        width=_CM_WIDTH,
-        seed=_CM_SEED,
-        hash_fn="md5",
-    ).orderBy("row", "col")
+    return _ordered(
+        countmin_profile(
+            _t(spark, sf_dir, "documents"),
+            depth=_CM_DEPTH,
+            width=_CM_WIDTH,
+            seed=_CM_SEED,
+            hash_fn="md5",
+        ),
+        "row", "col",
+    )
 
 
 def _dsir_oracle(alpha: float = _LM_ALPHA) -> str:
@@ -1486,7 +1497,7 @@ def dsir_importance_weights(spark, sf_dir):
     target = docs.filter(F.col("doc_id") % 17 == 0)
     t_lm, t_oov = tx.fit_unigram_lm(target, alpha=_LM_ALPHA)
     r_lm, r_oov = tx.fit_unigram_lm(docs, alpha=_LM_ALPHA)
-    return importance_weights(docs, t_lm, t_oov, r_lm, r_oov).orderBy("doc_id")
+    return _ordered(importance_weights(docs, t_lm, t_oov, r_lm, r_oov), "doc_id")
 
 
 def _bigram_oracle(alpha: float = _LM_ALPHA, lam: float = 0.7) -> str:
@@ -1562,9 +1573,10 @@ def lm_bigram(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
     bg, ug, oov = tx.fit_bigram_lm(train, alpha=_LM_ALPHA)
-    return tx.bigram_perplexity_score(
-        docs, bg, ug, oov, alpha=_LM_ALPHA
-    ).orderBy("doc_id")
+    return _ordered(
+        tx.bigram_perplexity_score(docs, bg, ug, oov, alpha=_LM_ALPHA),
+        "doc_id",
+    )
 
 
 def lm_perplexity(spark, sf_dir):
@@ -1586,7 +1598,7 @@ def lm_perplexity(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
     lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
-    return tx.perplexity_score(docs, lm, oov).orderBy("doc_id")
+    return _ordered(tx.perplexity_score(docs, lm, oov), "doc_id")
 
 
 _SPAN_L = 8
@@ -1645,7 +1657,7 @@ def remove_repeated_spans(spark, sf_dir):
     from geoscan_fraud_spark.operators.spans import remove_repeated_spans as rrs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return rrs(docs, min_len=_SPAN_L, keep="first").orderBy("doc_id")
+    return _ordered(rrs(docs, min_len=_SPAN_L, keep="first"), "doc_id")
 
 
 def _ppl_buckets_oracle() -> str:
@@ -1682,7 +1694,7 @@ def ppl_buckets(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 10 != 0)
     lm, oov = tx.fit_unigram_lm(train, alpha=_LM_ALPHA)
     scored = tx.perplexity_score(docs, lm, oov).select("doc_id", "ppl")
-    return tx.perplexity_buckets(scored, exact=True).orderBy("doc_id")
+    return _ordered(tx.perplexity_buckets(scored, exact=True), "doc_id")
 
 
 def _bpe_decode_oracle() -> str:
@@ -1730,7 +1742,7 @@ def bpe_ids_roundtrip(spark, sf_dir):
     seg = bpe_segment(docs, merges)
     vocab = build_vocab(seg)
     enc = tokens_to_ids(seg, vocab)
-    return ids_to_text(enc, vocab).orderBy("doc_id")
+    return _ordered(ids_to_text(enc, vocab), "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ Cosines are computed with deterministic left-fold accumulation
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,7 +63,15 @@ def lloyd_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
-def _centroid_dists(emb, centroids: list[list[float]]):
+#: implementation switch for `_centroid_dists` — 'arrow' (default: one
+#: vectorized pandas_udf, bit-identical accumulation, ~10x the fold's
+#: throughput at fixture scale) or 'fold' (the pure-JVM higher-order
+#: aggregate — the semantics-defining form; kept selectable for the
+#: bit-parity test and for Arrow-less deployments).
+_CENTROID_DISTS_IMPL = "arrow"
+
+
+def _centroid_dists_fold(emb, centroids: list[list[float]]):
     """array of per-centroid |x-c|^2 via the dot-product identity
     x.x + c.c - 2 x.c, sharing ONE x.x term across all centroids (the
     per-centroid form re-evaluated it n_centroids times) and folding
@@ -79,6 +88,78 @@ def _centroid_dists(emb, centroids: list[list[float]]):
         lit_arr = F.array(*[F.lit(float(v)) for v in ctr])
         dists.append(n2 + F.lit(c2) - F.lit(2.0) * dot_expr(emb, lit_arr))
     return F.array(*dists)
+
+
+def _centroid_dists_arrow(emb, centroids: list[list[float]]):
+    """`_centroid_dists_fold` as ONE vectorized pandas_udf (guide §4.2).
+
+    The higher-order `F.aggregate` fold evaluates INTERPRETED per array
+    element (and the codegen'd expansion blows past HugeMethodLimit —
+    see `dot_expr`'s dead-end note), so the n_centroids x dim fold count
+    dominated every IVF assignment pass: measured 2.9 s to assign 2 000
+    64-dim vectors to 16 centroids at sf0.1. This kernel computes the
+    same distances over Arrow batches with numpy, accumulating in the
+    SAME left-to-right order per element — a `for j in range(dim)`
+    column loop, each step one IEEE double multiply-add per row — so
+    every distance is BIT-IDENTICAL to the fold's (pinned by
+    tests/test_round12_fixes.py::test_centroid_dists_arrow_bit_parity);
+    argmin assignments and oracle replays are unchanged by construction.
+
+    Domain note: parity covers every FINITE-distance input (incl.
+    denormals and ~1e150 magnitudes). If |x|^2 itself overflows to inf
+    (elements beyond ~1e154 — no real embedding pipeline), inf - inf
+    distances are NaN on both paths but Arrow's nested-array transport
+    surfaces NaN as NULL; pass impl='fold' for such exotic domains.
+    """
+    C = [[float(v) for v in ctr] for ctr in centroids]
+    c2s = []
+    for ctr in C:
+        c2 = 0.0
+        for v in ctr:
+            c2 += v * v
+        c2s.append(c2)
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def dists(s: pd.Series) -> pd.Series:
+        # a NULL embedding folds to an array of k NULL distances (n2 is
+        # null, so every per-centroid expression is) — match that shape
+        null_row = [None] * len(C)
+        mask = s.notna()
+        if not mask.any():
+            return pd.Series([null_row] * len(s), index=s.index)
+        X = np.stack(s[mask].to_numpy()).astype(np.float64, copy=False)
+        nrows, dim = X.shape
+        n2 = np.zeros(nrows)
+        for j in range(dim):
+            xj = X[:, j]
+            n2 = n2 + xj * xj
+        out = np.empty((nrows, len(C)))
+        for i, ctr in enumerate(C):
+            acc = np.zeros(nrows)
+            for j in range(dim):
+                acc = acc + X[:, j] * ctr[j]
+            out[:, i] = (n2 + c2s[i]) - 2.0 * acc
+        vals: list = [null_row] * len(s)
+        for pos, row in zip(np.flatnonzero(mask.to_numpy()), out):
+            vals[pos] = row
+        return pd.Series(vals, index=s.index)
+
+    return dists(emb)
+
+
+def _centroid_dists(emb, centroids: list[list[float]], impl: str | None = None):
+    """Per-centroid squared-L2 distance array; `impl` defaults to the
+    module switch (`'arrow'` — vectorized, bit-identical) with `'fold'`
+    the pure-JVM reference form. Both share one x.x term per row and
+    fold c.c to a driver-side literal with identical accumulation."""
+    impl = impl or _CENTROID_DISTS_IMPL
+    if impl == "arrow":
+        return _centroid_dists_arrow(emb, centroids)
+    if impl == "fold":
+        return _centroid_dists_fold(emb, centroids)
+    raise ValueError(f"impl must be 'arrow' or 'fold', got {impl!r}")
 
 
 def brute_force_topk(

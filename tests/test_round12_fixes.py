@@ -610,3 +610,66 @@ def test_snt_fixture_exercises_state_branches(sf_dir):
             "no pair with an earlier cycle-2 event time at gate sf — "
             "arrival-beats-event-time untested"
         )
+
+
+# ---------------------------------------------------------------------------
+# r12 optimization: Arrow centroid-distance kernel — bit parity vs the fold
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_dists_arrow_bit_parity(spark, sf_dir):
+    """The vectorized `_centroid_dists_arrow` kernel must reproduce the
+    higher-order fold's distances BIT-FOR-BIT (same left-to-right IEEE
+    accumulation), on the fixture embeddings AND on adversarial values
+    (denormals, huge/tiny magnitudes, exact ties), including NULL rows.
+    Every IVF assignment, probe ranking, and oracle replay depends on
+    this equality."""
+    import struct
+
+    from geoscan_fraud_spark.operators import similarity as sim
+    from geoscan_fraud_spark.sources.io import load_fixture
+
+    e = load_fixture(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    cent = [[float(v) for v in rng.normal(scale=s, size=dim)]
+            for s in (1.0, 1e-3, 1e3, 1.0)]
+
+    def dists(impl, df, col="embedding"):
+        rows = df.select(
+            "vec_id", sim._centroid_dists(F.col(col), cent, impl=impl).alias("d")
+        ).collect()
+        return {r.vec_id: r.d for r in rows}
+
+    a, b = dists("fold", e), dists("arrow", e)
+    assert set(a) == set(b)
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            assert struct.pack("<d", x) == struct.pack("<d", y), (k, x, y)
+
+    # adversarial + NULL rows through both kernels
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    adv = spark.createDataFrame(
+        [
+            (0, [5e-324] * dim),                       # denormals
+            (1, [1e150] * dim),                        # huge but finite n2
+            (2, [0.0] * dim),                          # exact zero
+            (3, None),                                 # NULL embedding
+            (4, [float(v) for v in rng.normal(size=dim)]),
+        ],
+        schema,
+    )
+    a, b = dists("fold", adv), dists("arrow", adv)
+    # a NULL embedding yields an array of k NULL distances on both paths
+    assert list(a[3]) == [None] * len(cent)
+    assert list(b[3]) == [None] * len(cent)
+    for k in (0, 1, 2, 4):
+        for x, y in zip(a[k], b[k]):
+            assert struct.pack("<d", x) == struct.pack("<d", y), (k, x, y)

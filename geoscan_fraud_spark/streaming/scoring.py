@@ -603,12 +603,39 @@ def prepared_ingest_sink(
             else df
         )
 
+    def _rules_resolve(ann, rules) -> bool:
+        """True when every rule Column analyzes against ``ann`` — a
+        driver-only schema probe (no job). Used to attach only the stat
+        relations the ACTIVE rules actually reference."""
+        try:
+            annotate_filter_reasons(ann, rules).schema
+            return True
+        except Exception:
+            return False
+
     def dedup_fn(batch_df, idx):
         base = _sig(batch_df)
         stats = token_stats(base, text_col, id_col).select(id_col, "n_tokens")
         reps = repetition_stats(base, text_col, id_col, ns=(2, 3))
-        ann = base.join(stats, id_col).join(reps, id_col)
         rules = dict(quality_rules or default_quality_rules())
+        # r12 (guide §1.2 "don't compute things you throw away"): both
+        # stat operators are strict one-row-per-doc selects, so their
+        # inner joins attach columns without changing cardinality —
+        # skipping one whose columns no active rule references is
+        # value-identical and saves a full map pass (for reps, an Arrow
+        # round-trip) PER MICRO-BATCH. A min_tokens-only gate (the
+        # prepared_stream_query shape) now runs zero repetition passes.
+        # Unknown rule columns keep today's error: attach everything and
+        # let the action's analysis raise.
+        need_stats = not _rules_resolve(base.join(reps, id_col), rules)
+        need_reps = not _rules_resolve(base.join(stats, id_col), rules)
+        if not need_stats and not need_reps and not _rules_resolve(base, rules):
+            need_stats = need_reps = True
+        ann = base
+        if need_stats:
+            ann = ann.join(stats, id_col)
+        if need_reps:
+            ann = ann.join(reps, id_col)
         if lm is not None:
             nll = perplexity_score(base, lm, oov_logp, text_col, id_col).select(
                 id_col, "nll"

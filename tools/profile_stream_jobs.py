@@ -52,6 +52,12 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="profile_work_")
     if mode == "serve":
+        # seed the empty text index exactly like the registered entry does
+        # (prepared_stream_query in harness_pipeline.py): the sink's
+        # per-batch text_index_append expects an existing generation root
+        from geoscan_fraud_spark.operators.retrieval import text_index_write
+
+        text_index_write(docs.limit(0), f"{work}/tidx", n_buckets=32)
         sink = prepared_serving_sink(
             f"{work}/idx",
             f"{work}/out",

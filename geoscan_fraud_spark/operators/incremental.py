@@ -200,6 +200,7 @@ def dedup_against_index(
     precollapse_exact: bool = True,
     prune_index: bool | str = True,
     prune_max_keys: int = 2_000_000,
+    _sig_out: dict | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a signature index AND within
     itself; return the kept rows of ``new_df`` (append their
@@ -240,21 +241,37 @@ def dedup_against_index(
     the index carries a pre-computed ``bands`` column
     (`minhash_index(bands=...)`): stored band hashes are only valid at
     their build width, so a mismatch fail-fasts instead of silently
-    missing candidates."""
-    new_sig = minhash_index(
-        new_df, text_col, id_col, n, num_hashes, sig_hash
-    ).localCheckpoint(eager=True)
+    missing candidates.
+
+    ``_sig_out`` (internal, r12): when a dict is passed, the eagerly
+    checkpointed batch signature table lands in it under ``'sigs'`` —
+    the ingest sinks reuse it to derive the store's index rows for the
+    KEPT ids instead of re-shingling + re-minhashing the survivors'
+    text from scratch (a full second signature pass per micro-batch).
+    Value-identical by construction: a kept doc's (id, sig) row here IS
+    `minhash_index` of its text."""
     if precollapse_exact:
-        rep_ids = (
-            new_sig.groupBy("sig")
+        # signature pass and exact-dup collapse in ONE materialization
+        # (r12, guide §2.4): groupBy(sig).min(id) IS the old "full sig
+        # table, then semi-join to min-id reps" — same (rep_id, sig)
+        # rows — but as one eager checkpoint instead of two chained
+        # ones (the full table was only ever consumed collapsed).
+        new_sig = (
+            minhash_index(new_df, text_col, id_col, n, num_hashes, sig_hash)
+            .groupBy("sig")
             .agg(F.min("id").alias("id"))
-            .select("id")
+            .select("id", "sig")
             .localCheckpoint(eager=True)
         )
-        new_sig = new_sig.join(rep_ids, "id", "left_semi")
         new_df = new_df.join(
-            rep_ids.select(F.col("id").alias(id_col)), id_col, "left_semi"
+            new_sig.select(F.col("id").alias(id_col)), id_col, "left_semi"
         )
+    else:
+        new_sig = minhash_index(
+            new_df, text_col, id_col, n, num_hashes, sig_hash
+        ).localCheckpoint(eager=True)
+    if _sig_out is not None:
+        _sig_out["sigs"] = new_sig
     idx = index.select(F.col("id").alias("oid"), F.col("sig").alias("osig"))
 
     nb = _banded_sig(new_sig, num_hashes, bands, sig_hash)

@@ -274,15 +274,30 @@ def text_index_write(
 
         # src_batch stamps each posting's ingest generation (-1 =
         # build), enabling `text_index_expire`; format 2 = the column
-        # is in EVERY postings file (no mixed schemas)
+        # is in EVERY postings file (no mixed schemas).
+        # NOTE (r12): the obvious job cut here — riding the global
+        # counters on the postings write via `Dataset.observe` — is
+        # deliberately NOT taken: constructing an `Observation`
+        # initializes the session's lazy (non-serializable)
+        # ObservationManager, after which ANY later task closure that
+        # captures the SparkSession (MLlib model training summaries do,
+        # e.g. the quality/lang classifier gates) dies with "Task not
+        # serializable". Measured in tests/test_stateful_streaming.py.
         postings = (
             _doc_postings(docs, text_col, id_col)
             .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
             .withColumn("src_batch", F.lit(-1))
         )
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            postings_dir
-        )
+        # cluster by the layout column before the dynamic-partition write
+        # (guide §6): without it every task holds rows of every bucket
+        # and the writer emits tasks x buckets files. AQE REBALANCE both
+        # coalesces (one file per bucket) and skew-splits (a stopword
+        # bucket bigger than the advisory size still splits into
+        # several right-sized files) — `text_index_compact` applies the
+        # same discipline via repartition(bucket).
+        postings.hint("rebalance", "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(postings_dir)
         # df from the just-written postings: reading back costs one
         # pruned scan and guarantees terms/ agrees with postings/ even
         # if `docs` is nondeterministic upstream. Explicit schema: skips
@@ -296,6 +311,7 @@ def text_index_write(
         (
             written.groupBy("bucket", "term")
             .agg(F.count(F.lit(1)).alias("df"))
+            .hint("rebalance", "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(terms_dir)
@@ -449,20 +465,31 @@ def text_index_append(
         try:
             # append INTO the live generation: new files beside immutable
             # existing ones — a reader that listed earlier just doesn't
-            # see the batch yet (no in-place mutation, ever)
-            postings.write.mode("append").partitionBy("bucket").parquet(
-                gen_dir(path, "postings", meta)
-            )
+            # see the batch yet (no in-place mutation, ever). r12
+            # (guide §6): REBALANCE on the layout column first — the
+            # cached batch relation is partitioned by doc, so a direct
+            # write emitted tasks x buckets files per append (672 at the
+            # gate fixture, 2.4 s of commit overhead vs 1.0 s for the
+            # same rows clustered; and appends COMPOUND the file count
+            # until compaction, which is what makes per-append layout
+            # hygiene matter more than at build).
+            postings.hint("rebalance", "bucket").write.mode(
+                "append"
+            ).partitionBy("bucket").parquet(gen_dir(path, "postings", meta))
             (
                 postings.groupBy("bucket", "term")
                 .agg(F.count(F.lit(1)).alias("df"))
+                .hint("rebalance", "bucket")
                 .write.mode("append")
                 .partitionBy("bucket")
                 .parquet(gen_dir(path, "terms", meta))
             )
             # all three counters from ONE cached-relation job: the
             # NULL-term sentinel rows stand in for zero-token docs, so
-            # n_docs needs no separate new_docs.count() action
+            # n_docs needs no separate new_docs.count() action (the
+            # `Dataset.observe` zero-job variant is deliberately not
+            # used — see the build-path note above: it poisons the
+            # session for later MLlib-model task closures)
             b_dl, n_posting_docs, b_docs = postings_all.select(
                 F.coalesce(
                     F.sum(F.when(F.col("term").isNotNull(), F.col("tf"))),

@@ -937,9 +937,14 @@ def _ivf_index_write_locked(
     q8 = quantize_embeddings(
         base, vec_col="c_emb", id_col="vec_id", keep_cols=keep
     )
-    q8.write.mode("overwrite").partitionBy("list_id").parquet(
-        gen_dir(path, "lists", {"gen": gen})
-    )
+    # cluster by the layout column before the dynamic-partition write
+    # (guide §6, r12): otherwise every task holds rows of every list and
+    # the writer emits tasks x lists files; REBALANCE coalesces to one
+    # right-sized file per list and still splits an oversized hot list.
+    # `ivf_index_compact` applies the same discipline via repartition.
+    q8.hint("rebalance", "list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(gen_dir(path, "lists", {"gen": gen}))
     # drift baseline for `ivf_index_append`: mean squared distance of the
     # build corpus to its nearest centroid (the same `_centroid_dists`
     # formula appends use, so the ratio is apples-to-apples even for the
@@ -1120,10 +1125,14 @@ def ivf_index_append(
                 batch, vec_col="c_emb", id_col="vec_id", keep_cols=keep
             )
             # append INTO the live generation: new files beside immutable
-            # existing ones — never an in-place mutation
-            q8.write.mode("append").partitionBy("list_id").parquet(
-                gen_dir(path, "lists", meta)
-            )
+            # existing ones — never an in-place mutation. REBALANCE on
+            # the layout column (guide §6, r12): one file per touched
+            # list per append instead of tasks x lists — appends compound
+            # the file count until compaction, so per-append layout
+            # hygiene matters most here.
+            q8.hint("rebalance", "list_id").write.mode("append").partitionBy(
+                "list_id"
+            ).parquet(gen_dir(path, "lists", meta))
         finally:
             assigned.unpersist()
 

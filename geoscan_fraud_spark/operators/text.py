@@ -55,12 +55,23 @@ def tokens(text_col):
     return F.split(F.trim(text_col), r"\s+")
 
 
+def token_count_col(text_col: str = "text"):
+    """`token_stats`'s ``n_tokens`` as a bare column expression, for
+    map-only attachment to an existing relation (r12, guide §2.4): the
+    ingest gate used to attach it by inner-joining `token_stats` back
+    onto its own input — a shuffle join of two branches of the same
+    relation per micro-batch — when the value is a pure function of the
+    row. Kept as THE definition token_stats uses, so the two can never
+    diverge."""
+    return F.size(tokens(F.col(text_col)))
+
+
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_tokens, n_regex_tokens, n_distinct_tokens, avg_token_len)."""
     tok = tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.size(tok).alias("n_tokens"),
+        token_count_col(text_col).alias("n_tokens"),
         # NB: F.lit(pattern), not an F.expr SQL string — SQL single-quoted
         # literals eat the backslash in \s
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0))).alias(

@@ -233,14 +233,23 @@ def incremental_ingest_sink(
         # and double-materializing the batch into executor memory); the
         # index rows then derive from the committed on-disk snapshot, so
         # they match the stored corpus by construction even if an
-        # upstream were nondeterministic.
-        dedup_fn(batch_df, idx).write.mode("overwrite").parquet(
+        # upstream were nondeterministic. ``aux`` (r12): dedup_fn may
+        # return ``(kept_plan, aux_dict)`` carrying already-materialized
+        # per-batch state (e.g. the checkpointed signature table);
+        # index_fn then receives it as a second argument and can derive
+        # the store rows without recomputing that state from the
+        # survivors' raw text.
+        res = dedup_fn(batch_df, idx)
+        aux = None
+        if isinstance(res, tuple):
+            res, aux = res
+        res.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
         kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
-        index_fn(kept).write.mode("overwrite").parquet(
-            f"{index_path}/batch_id={batch_id}"
-        )
+        (index_fn(kept, aux) if aux is not None else index_fn(kept)).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batch_id={batch_id}")
 
     return inner
 
@@ -265,12 +274,14 @@ def neardup_ingest_sink(
     from pyspark.sql import types as T
 
     from geoscan_fraud_spark.operators.incremental import (
+        _band_hash_array,
         dedup_against_index,
         minhash_index,
     )
 
     def dedup_fn(batch_df, idx):
-        return dedup_against_index(
+        sig_out: dict = {}
+        kept = dedup_against_index(
             batch_df,
             idx,
             text_col=text_col,
@@ -280,12 +291,24 @@ def neardup_ingest_sink(
             bands=bands,
             threshold=threshold,
             sig_hash=sig_hash,
+            _sig_out=sig_out,
         )
+        return kept, sig_out
 
-    def index_fn(kept):
+    def index_fn(kept, aux=None):
         # bands pre-computed at append time (VERDICT r06 #2): the next
         # batch's index-side band join explodes the stored array instead
-        # of re-hashing the whole store
+        # of re-hashing the whole store. r12 (guide §1.2): the dedup
+        # stage already materialized every batch doc's signature —
+        # semi-join that checkpointed table to the committed kept ids
+        # instead of re-shingling + re-minhashing the survivors' text
+        # (a doc's (id, sig) row is a pure function of its text, so the
+        # rows are bit-identical; pinned in test_round12_fixes.py).
+        sigs = (aux or {}).get("sigs")
+        if sigs is not None:
+            return sigs.join(
+                kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+            ).withColumn("bands", _band_hash_array(num_hashes, bands, sig_hash))
         return minhash_index(
             kept, text_col, id_col, n, num_hashes, sig_hash, bands=bands
         )
@@ -586,7 +609,6 @@ def prepared_ingest_sink(
         normalize_text,
         perplexity_score,
         repetition_stats,
-        token_stats,
     )
 
     if (lm is None) != (oov_logp is None):
@@ -615,7 +637,6 @@ def prepared_ingest_sink(
 
     def dedup_fn(batch_df, idx):
         base = _sig(batch_df)
-        stats = token_stats(base, text_col, id_col).select(id_col, "n_tokens")
         reps = repetition_stats(base, text_col, id_col, ns=(2, 3))
         rules = dict(quality_rules or default_quality_rules())
         # r12 (guide §1.2 "don't compute things you throw away"): both
@@ -626,14 +647,22 @@ def prepared_ingest_sink(
         # round-trip) PER MICRO-BATCH. A min_tokens-only gate (the
         # prepared_stream_query shape) now runs zero repetition passes.
         # Unknown rule columns keep today's error: attach everything and
-        # let the action's analysis raise.
+        # let the action's analysis raise. The n_tokens attach itself is
+        # a map-only `withColumn` of the SAME expression token_stats
+        # computes (`token_count_col`) — the old shape inner-joined
+        # token_stats back onto its own input, a per-batch shuffle join
+        # of two branches of one relation for a row-local value
+        # (guide §2.4; cardinality-identical: the join was 1:1 on id).
+        from geoscan_fraud_spark.operators.text import token_count_col
+
+        base_stats = base.withColumn("n_tokens", token_count_col(text_col))
         need_stats = not _rules_resolve(base.join(reps, id_col), rules)
-        need_reps = not _rules_resolve(base.join(stats, id_col), rules)
+        need_reps = not _rules_resolve(base_stats, rules)
         if not need_stats and not need_reps and not _rules_resolve(base, rules):
             need_stats = need_reps = True
         ann = base
         if need_stats:
-            ann = ann.join(stats, id_col)
+            ann = ann.withColumn("n_tokens", token_count_col(text_col))
         if need_reps:
             ann = ann.join(reps, id_col)
         if lm is not None:
@@ -671,6 +700,7 @@ def prepared_ingest_sink(
             .select(id_col)
         )
         passed = batch_df.join(passed_ids, id_col, "left_semi")
+        sig_out: dict = {}
         kept = dedup_against_index(
             _sig(passed),
             idx,
@@ -681,6 +711,7 @@ def prepared_ingest_sink(
             bands=bands,
             threshold=threshold,
             sig_hash=sig_hash,
+            _sig_out=sig_out,
         )
         if normalize_signatures:
             # survivors decided on the normalized shadow; stored rows
@@ -720,9 +751,24 @@ def prepared_ingest_sink(
                 id_col=id_col,
                 bench_emb_col=bench_emb_col,
             )
-        return kept
+        return kept, sig_out
 
-    def index_fn(kept):
+    def index_fn(kept, aux=None):
+        # r12 (guide §1.2): reuse the dedup stage's checkpointed batch
+        # signature table for the survivors' store rows — the sigs were
+        # computed over the SAME `_sig(...)` normalization this fallback
+        # applies, so the (id, sig, bands) rows are bit-identical to a
+        # fresh `minhash_index` over the kept text (pinned in
+        # test_round12_fixes.py); see `neardup_ingest_sink.index_fn`.
+        sigs = (aux or {}).get("sigs")
+        if sigs is not None:
+            from geoscan_fraud_spark.operators.incremental import (
+                _band_hash_array,
+            )
+
+            return sigs.join(
+                kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+            ).withColumn("bands", _band_hash_array(num_hashes, bands, sig_hash))
         return minhash_index(
             _sig(kept), text_col, id_col, n, num_hashes, sig_hash, bands=bands
         )

@@ -763,3 +763,118 @@ def test_ingest_gate_skips_unreferenced_stat_passes(spark, tmp_path, monkeypatch
     # unknown rule column: today's loud analysis error is preserved
     with pytest.raises(Exception):
         survivors({"bogus": F.col("no_such_column") > 0})
+
+
+# ---------------------------------------------------------------------------
+# r12 streaming job-floor cuts: signature reuse + bucket-clustered appends
+# ---------------------------------------------------------------------------
+
+
+def test_sink_index_rows_reuse_sigs_bit_identical(spark, tmp_path):
+    """The ingest sink's store rows now derive from the dedup stage's
+    checkpointed signature table (semi-join on the committed kept ids)
+    instead of a second shingle+minhash pass over the survivors' text.
+    Pin bit-identity against a fresh `minhash_index` over the stored
+    corpus rows — per batch, across the cross-batch store path."""
+    from geoscan_fraud_spark.operators.incremental import minhash_index
+    from geoscan_fraud_spark.streaming.scoring import neardup_ingest_sink
+
+    filler = " ".join(f"w{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {filler} tail{i} omega") for i in range(40)]
+        + [(100 + i, f"singleton fresh row{i} qq{i} zz{i} yy{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    words = F.split(F.col("text"), r"\s+")
+    batch1 = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat_ws(" ", F.filter(words, lambda w, i: (i % 11) != 4)).alias(
+            "text"
+        ),
+    )
+    sink = neardup_ingest_sink(
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        num_hashes=48,
+        bands=12,
+        threshold=0.5,
+        sig_hash="md5",
+    )
+    sink(docs, 0)
+    sink(batch1, 1)
+    for bid in (0, 1):
+        kept = spark.read.parquet(str(tmp_path / "out" / f"batch_id={bid}"))
+        assert kept.count() > 0
+        stored = spark.read.parquet(str(tmp_path / "idx" / f"batch_id={bid}"))
+        fresh = minhash_index(
+            kept, "text", "doc_id", 3, 48, "md5", bands=12
+        )
+        a = {r["id"]: (tuple(r["sig"]), tuple(r["bands"])) for r in stored.collect()}
+        b = {r["id"]: (tuple(r["sig"]), tuple(r["bands"])) for r in fresh.collect()}
+        assert a == b, f"batch {bid}: stored index rows != fresh minhash_index"
+
+
+def test_precollapse_single_checkpoint_sig_table(spark):
+    """`dedup_against_index` now materializes the signature pass and the
+    exact-dup collapse as ONE checkpoint. Pin (a) the exposed sig table
+    is exactly `minhash_index` of the min-id representatives and (b) the
+    kept set is unchanged vs the uncollapsed reference path on a batch
+    seeded with exact duplicates."""
+    from geoscan_fraud_spark.operators.incremental import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    batch, idx = _gate_fixture12(spark)
+    # add exact copies so the precollapse does real work
+    copies = batch.limit(4).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    seeded = batch.unionByName(copies)
+    kw = dict(num_hashes=48, bands=12, threshold=0.5, sig_hash="xxhash64")
+    sig_out: dict = {}
+    kept = dedup_against_index(seeded, idx, _sig_out=sig_out, **kw)
+    kept_ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ref = dedup_against_index(seeded, idx, precollapse_exact=False, **kw)
+    ref_ids = sorted(r.doc_id for r in ref.select("doc_id").collect())
+    assert kept_ids == ref_ids
+    # exposed sigs: one row per min-id rep, bit-equal to a fresh pass
+    full = minhash_index(seeded, num_hashes=48, sig_hash="xxhash64")
+    reps = {}
+    for r in full.collect():
+        k = tuple(r["sig"])
+        if k not in reps or r["id"] < reps[k]:
+            reps[k] = r["id"]
+    expect = {v: k for k, v in reps.items()}
+    got = {r["id"]: tuple(r["sig"]) for r in sig_out["sigs"].collect()}
+    assert got == expect
+
+
+def test_text_index_append_bucket_clustered_files(spark, tmp_path):
+    """Appends REBALANCE by the layout column before the dynamic
+    partition write: one file per (append, touched bucket) instead of
+    tasks x buckets (672 at the gate fixture). Rows themselves are
+    unchanged — the existing append/query parity tests pin values."""
+    import os
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        text_index_append,
+        text_index_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo{i} foxtrot{i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "tidx")
+    text_index_write(docs.limit(0), path, n_buckets=16)
+    text_index_append(docs, path, src_batch=0)
+    pdir = os.path.join(path, "postings")
+    per_bucket: dict[str, int] = {}
+    for root, _dirs, files in os.walk(pdir):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_bucket[os.path.basename(root)] = n
+    assert per_bucket, "append wrote no postings"
+    # every touched bucket holds exactly one file for this append
+    assert all(n == 1 for n in per_bucket.values()), per_bucket

@@ -102,6 +102,33 @@ def minhash_mix_params(num_hashes: int) -> tuple[list[int], list[int], list[int]
     return a_mul, b_mul, c_xor
 
 
+def _fan_out_small(df: DataFrame) -> DataFrame:
+    """Spread a small or unsplittable input across the cluster before a
+    CPU-heavy per-row stage (guide §2.5 "input skew" / §6): parquet
+    cannot split below row-group granularity, so a single-row-group (or
+    generally sub-split-size) relation otherwise runs the whole
+    signature pass on 1-2 cores — measured 2.09 s → 1.54 s warm (2.3×
+    cold) for the 48-hash md5 pass over the 5 000-doc fixture, which
+    planned 2 tasks on 32 cores. Decision is a driver-only optimizer
+    size estimate (no job, no execution): relations the optimizer
+    already believes are big enough to parallelize pass through
+    untouched, so at production scale this is a no-op and never inserts
+    a shuffle of real corpus bytes. Round-robin repartition keeps rows
+    intact; every consumer here is partition-order-independent
+    (signatures/band hashes are row-local, aggregates associative)."""
+    try:
+        sc = df.sparkSession.sparkContext
+        p = sc.defaultParallelism
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if p > 1 and est < 64 * 1024 * 1024:
+            return df.repartition(p)
+    except Exception:
+        pass
+    return df
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -124,7 +151,7 @@ def minhash_signature_table(
     halves, all int64 arithmetic chosen to never overflow so Spark and
     DuckDB compute bit-identical longs; this is what lets DuckDB oracle
     the full LSH pipeline without paying H string-md5s per shingle)."""
-    sh = df.select(
+    sh = _fan_out_small(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
@@ -591,6 +618,11 @@ def simhash_table(
     shuffle; the per-bit unpack runs on one row per doc."""
     nbits = simhash_bits(sig_hash)
     stride = (nbits + 2) // 3
+    # NO `_fan_out_small` here (unlike minhash_signature_table): the
+    # SimHash per-row work — tokenize + one hash + packed lane sums —
+    # is light enough that the fan-out's round-robin shuffle of the
+    # text costs more than the extra cores save (A/B at sf0.1:
+    # h<=3 xxhash64 ~2.5 s plain vs ~3.1 s fanned; md5 within noise).
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),

@@ -356,7 +356,16 @@ def jaccard_verified_pairs(
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = df.join(ids, id_col, "left_semi").select(
+    # r12 (guide §2.5): the shingle+verify compute otherwise runs at the
+    # source scan's task granularity (measured: a 4-task 2.4 s job inside
+    # dedup_minhash on 32 cores — the semi-join is broadcast, so it stays
+    # in the scan stage). Fanning out the semi-joined docs BEFORE the
+    # shingle select spreads the CPU-heavy set ops, and the repartition
+    # exchange is identical under both join branches below, so Spark
+    # reuses it — the candidate docs are shingled once, not twice. Size-
+    # estimate-gated: a no-op when the optimizer believes the relation
+    # is big (at scale candidates are a tiny semi-join output anyway).
+    sh = _fan_out_small(df.join(ids, id_col, "left_semi")).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     return (

@@ -98,17 +98,35 @@ def _term_bucket_col(term_col, n_buckets: int):
     )
 
 
-def _doc_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, term, tf, dl): one corpus explode + ONE groupBy shuffle.
-    dl (the doc's token count) is computed map-side before the explode
-    and rides the group key — functionally dependent on doc_id, so key
-    cardinality is unchanged."""
+def _doc_postings_outer(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl): one corpus tokenize + explode_outer +
+    ONE groupBy shuffle. dl (the doc's token count) is computed map-side
+    before the explode and rides the group key — functionally dependent
+    on doc_id, so key cardinality is unchanged. ``explode_outer``: a
+    zero-token doc survives as ONE NULL-term sentinel row, so the doc
+    count, the global counters and the empty-doc id list all derive from
+    the SAME relation as the postings — no second (or third) corpus
+    tokenize pass. Shared by `text_index_write` and `text_index_append`
+    (r12: the build adopted the append's r11 sentinel shape).
+
+    r12 (guide §2.5 "input skew"): the tokenize+explode map side runs at
+    the SOURCE's task granularity — one file / one row group = one core
+    doing the whole pass (measured directly: the build's postings map
+    stage planned 1 task on 32 cores over the single-row-group fixture,
+    the single biggest job in `bm25_incremental_query`'s profile). The
+    same driver-only, size-estimate-gated round-robin fan-out as the
+    minhash signature pass (`dedup._fan_out_small`) spreads a small or
+    unsplittable corpus first; at production scale the estimate is large
+    and this is a no-op (no shuffle of corpus bytes is ever inserted)."""
+    from geoscan_fraud_spark.operators.dedup import _fan_out_small
+
     tok = search_tokens(F.col(text_col))
     return (
-        docs.select(
+        _fan_out_small(docs)
+        .select(
             F.col(id_col).alias("doc_id"), F.size(tok).alias("dl"), tok.alias("__tok")
         )
-        .select("doc_id", "dl", F.explode("__tok").alias("term"))
+        .select("doc_id", "dl", F.explode_outer("__tok").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -178,6 +196,13 @@ def bm25_topk(
     q_terms = _query_terms(queries, query_id_col, query_text_col)
     vocab = q_terms.select("term").distinct()
 
+    # r12 measured-and-rejected: a shared `_fan_out_small` head for the
+    # two corpus branches (token scan + stats aggregate) timed FLAT at
+    # sf0.1 (2.05 s → 2.06 s min-of-4) — the one-shot path's cost is not
+    # the tokenize map side, and the fan-out added three round-robin
+    # exchanges of corpus text to the plan. Reverted per guide §1; the
+    # indexed path (`_doc_postings_outer`) keeps its fan-out, where the
+    # same change measured.
     tok = search_tokens(F.col(text_col))
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.size(tok).alias("dl"), tok.alias("__tok")
@@ -283,62 +308,81 @@ def text_index_write(
         # captures the SparkSession (MLlib model training summaries do,
         # e.g. the quality/lang classifier gates) dies with "Task not
         # serializable". Measured in tests/test_stateful_streaming.py.
+        #
+        # r12 (guide §1.2): ONE tokenize pass for everything — the
+        # sentinel shape `text_index_append` adopted in r11, applied to
+        # the build. The previous build paid a SECOND full corpus
+        # tokenize for the (n_docs, total_dl) counter job and a THIRD
+        # when empties existed; now the postings write, the counters
+        # and the empty-doc id list all derive from one persisted
+        # explode_outer relation. n_docs counts distinct doc_ids (the
+        # unique-id contract `text_index_append` already documents),
+        # and NULL-text docs now land in empty_docs exactly as an
+        # APPENDED null-text doc always did — build and incremental
+        # accounting agree on that edge instead of diverging.
+        postings_all = _doc_postings_outer(docs, text_col, id_col)
         postings = (
-            _doc_postings(docs, text_col, id_col)
+            postings_all.filter(F.col("term").isNotNull())
             .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
             .withColumn("src_batch", F.lit(-1))
         )
-        # cluster by the layout column before the dynamic-partition write
-        # (guide §6): without it every task holds rows of every bucket
-        # and the writer emits tasks x buckets files. AQE REBALANCE both
-        # coalesces (one file per bucket) and skew-splits (a stopword
-        # bucket bigger than the advisory size still splits into
-        # several right-sized files) — `text_index_compact` applies the
-        # same discipline via repartition(bucket).
-        postings.hint("rebalance", "bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(postings_dir)
-        # df from the just-written postings: reading back costs one
-        # pruned scan and guarantees terms/ agrees with postings/ even
-        # if `docs` is nondeterministic upstream. Explicit schema: skips
-        # footer inference AND makes an EMPTY build legal — the
-        # bootstrap shape for stream-fed indexes (`prepared_serving_sink`
-        # over an index with no backfill corpus), whose zero-row
-        # partitioned write leaves no files to infer from.
-        written = postings.sparkSession.read.schema(postings.schema).parquet(
-            postings_dir
-        )
-        (
-            written.groupBy("bucket", "term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .hint("rebalance", "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(terms_dir)
-        )
-        n_docs, total_dl = docs.select(
-            F.count(F.lit(1)),
-            F.coalesce(
-                F.sum(F.size(search_tokens(F.col(text_col)))), F.lit(0)
-            ),
-        ).first()
-        # docs with zero tokens leave no postings; counting them
-        # separately lets compaction recompute n_docs from postings
-        # alone (one pruned scan of the just-written doc_id column)
-        n_posting_docs = written.select(F.countDistinct("doc_id")).first()[0]
-        n_empty = int(n_docs) - int(n_posting_docs)
-        if n_empty > 0:
-            # materialize the empty-doc ids (postings cannot witness
-            # them): one extra tokenize-and-filter pass over the corpus,
-            # paid only when empties exist at all
-            docs.filter(
-                F.size(search_tokens(F.col(text_col))) == 0
-            ).select(
-                F.col(id_col).alias("doc_id"),
-                F.lit(-1).cast("int").alias("src_batch"),
-            ).write.mode("overwrite").parquet(
-                gen_dir(path, "empty_docs", meta_stub)
+        postings_all = postings_all.persist()
+        try:
+            # cluster by the layout column before the dynamic-partition
+            # write (guide §6): without it every task holds rows of every
+            # bucket and the writer emits tasks x buckets files. AQE
+            # REBALANCE both coalesces (one file per bucket) and
+            # skew-splits (a stopword bucket bigger than the advisory
+            # size still splits into several right-sized files) —
+            # `text_index_compact` applies the same discipline via
+            # repartition(bucket).
+            postings.hint("rebalance", "bucket").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(postings_dir)
+            # df from the just-written postings: reading back costs one
+            # pruned scan and guarantees terms/ agrees with postings/
+            # even if `docs` is nondeterministic upstream. Explicit
+            # schema: skips footer inference AND makes an EMPTY build
+            # legal — the bootstrap shape for stream-fed indexes
+            # (`prepared_serving_sink` over an index with no backfill
+            # corpus), whose zero-row partitioned write leaves no files
+            # to infer from.
+            written = postings.sparkSession.read.schema(postings.schema).parquet(
+                postings_dir
             )
+            (
+                written.groupBy("bucket", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .hint("rebalance", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(terms_dir)
+            )
+            # all three counters from ONE cached-relation job (sum(tf)
+            # over real terms = sum of dl over docs; the NULL-term
+            # sentinels stand in for zero-token docs)
+            total_dl, n_posting_docs, n_docs = postings_all.select(
+                F.coalesce(
+                    F.sum(F.when(F.col("term").isNotNull(), F.col("tf"))),
+                    F.lit(0),
+                ),
+                F.countDistinct(
+                    F.when(F.col("term").isNotNull(), F.col("doc_id"))
+                ),
+                F.countDistinct("doc_id"),
+            ).first()
+            n_empty = int(n_docs) - int(n_posting_docs)
+            if n_empty > 0:
+                # empty-doc ids straight from the cached sentinel rows
+                # (no extra tokenize pass)
+                postings_all.filter(F.col("term").isNull()).select(
+                    "doc_id",
+                    F.lit(-1).cast("int").alias("src_batch"),
+                ).write.mode("overwrite").parquet(
+                    gen_dir(path, "empty_docs", meta_stub)
+                )
+        finally:
+            postings_all.unpersist()
         # total_dl is an exact integer, so avgdl derives from it
         # identically at build and after any number of
         # `text_index_append` merges — incremental and from-scratch
@@ -435,18 +479,10 @@ def text_index_append(
         # — the batch doc count and the empty-doc ids then derive from
         # the SAME persisted relation as the postings/df-log/counters,
         # instead of paying a separate new_docs.count() job (and a
-        # second tokenize pass for empties) per append.
-        tok = search_tokens(F.col(text_col))
-        postings_all = (
-            new_docs.select(
-                F.col(id_col).alias("doc_id"),
-                F.size(tok).alias("dl"),
-                tok.alias("__tok"),
-            )
-            .select("doc_id", "dl", F.explode_outer("__tok").alias("term"))
-            .groupBy("doc_id", "dl", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+        # second tokenize pass for empties) per append. r12: shared with
+        # the build (`_doc_postings_outer`), which also fans out a small
+        # or unsplittable batch before the tokenize map side.
+        postings_all = _doc_postings_outer(new_docs, text_col, id_col)
         postings = postings_all.filter(F.col("term").isNotNull()).withColumn(
             "bucket", _term_bucket_col(F.col("term"), n_buckets)
         )

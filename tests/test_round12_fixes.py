@@ -878,3 +878,55 @@ def test_text_index_append_bucket_clustered_files(spark, tmp_path):
     assert per_bucket, "append wrote no postings"
     # every touched bucket holds exactly one file for this append
     assert all(n == 1 for n in per_bucket.values()), per_bucket
+
+
+def test_build_single_tokenize_counters_match_incremental(spark, tmp_path):
+    """r12: `text_index_write` derives its counters and empty-doc list
+    from the ONE persisted explode_outer relation (the append's r11
+    sentinel shape) instead of a second/third corpus tokenize pass. Pin
+    the alignment: a from-scratch build over a corpus holding a normal,
+    an empty-string, a whitespace-only and a NULL-text doc produces
+    bit-identical stats.json counters AND the same empty_docs id set as
+    an append-grown index over the same corpus — including the NULL-text
+    doc, which the old build COUNTED in n_empty but omitted from the
+    empty_docs list (appends always recorded it; the two paths now
+    agree on the edge)."""
+    import os
+
+    from geoscan_fraud_spark.operators.retrieval import (
+        read_index_meta,
+        text_index_append,
+        text_index_write,
+    )
+
+    rows = [
+        (0, "alpha bravo alpha"),
+        (1, "charlie delta"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+        (5, "echo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    built = str(tmp_path / "built")
+    text_index_write(docs, built, n_buckets=4)
+
+    grown = str(tmp_path / "grown")
+    text_index_write(docs.limit(0), grown, n_buckets=4)
+    text_index_append(docs.filter(F.col("doc_id") <= 2), grown, src_batch=0)
+    text_index_append(docs.filter(F.col("doc_id") > 2), grown, src_batch=1)
+
+    mb = read_index_meta(built + "/stats.json")
+    mg = read_index_meta(grown + "/stats.json")
+    for key in ("n_docs", "total_dl", "avgdl", "n_empty"):
+        assert mb[key] == mg[key], (key, mb[key], mg[key])
+    assert mb["n_docs"] == 6 and mb["n_empty"] == 3 and mb["total_dl"] == 6
+
+    def empty_ids(path):
+        d = os.path.join(path, "empty_docs")
+        if not os.path.isdir(d):
+            return set()
+        return {r["doc_id"] for r in spark.read.parquet(d).collect()}
+
+    assert empty_ids(built) == empty_ids(grown) == {2, 3, 4}

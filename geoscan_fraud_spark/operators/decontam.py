@@ -42,7 +42,15 @@ def contamination_hits(
         benchmark.select(F.explode(_gram_hashes(benchmark, text_col, n)).alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    # r12 (guide §2.5): shingle + xxhash64 per gram position is the
+    # CPU-heavy map side, and the probe + partial count run in the same
+    # scan stage — on a small/unsplittable corpus that whole stage sat
+    # on the source's 1-2 tasks. Same size-estimate-gated fan-out as the
+    # minhash signature pass (an identically-shaped operator); no-op at
+    # production scale.
+    from geoscan_fraud_spark.operators.dedup import _fan_out_small
+
+    corpus_grams = _fan_out_small(corpus).select(
         F.col(id_col), F.explode(_gram_hashes(corpus, text_col, n)).alias("gram")
     )
     hits = corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")

@@ -724,6 +724,17 @@ def simhash_pairs(
     )
     if max_bucket is not None:
         chunked = _cap_buckets(chunked, ["chunk_idx", "chunk"], max_bucket)
+    # r12 (guide §2.5): the broadcast self-join + Hamming verify +
+    # distinct below is CPU-QUADRATIC in bucket density but byte-tiny,
+    # so AQE's byte-based partition coalescing squeezed it onto 1-3
+    # tasks (measured: the entry's dominant job — 3.8 s on 3 of 32
+    # cores). Fanning out the chunked rows (a few longs per row — NOT
+    # the corpus text, which the simhash_table note above deliberately
+    # leaves unfanned) spreads the verify across the cluster; both join
+    # branches share the identical repartition subtree, so the exchange
+    # is computed once. Size-estimate-gated: a no-op at scale, where the
+    # post-shuffle partitions are already full.
+    chunked = _fan_out_small(chunked)
     a = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = chunked.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -822,6 +833,12 @@ def embedding_neardup_pairs(
     # per-row norms once, not per pair — the verify join then pays one
     # dot per candidate pair (bit-identical to the per-pair cosine)
     keyed = keyed.withColumn("__n", norm_expr(F.col("e")))
+    # r12 (guide §2.5, the dedup_simhash finding): the bucket self-join's
+    # quadratic dot-product verify otherwise runs at the source scan's
+    # task granularity (the bucketing is map-only, so nothing upstream
+    # spreads an unsplittable input). One shared fan-out under both join
+    # branches; size-estimate-gated no-op at scale.
+    keyed = _fan_out_small(keyed)
     a = keyed.select(
         "bucket", F.col("id").alias("id_a"), F.col("e").alias("e_a"),
         F.col("__n").alias("__n_a"),

@@ -490,6 +490,13 @@ def semantic_pairs(
             .filter(F.col("cosine") >= F.lit(float(threshold)))
             .select("id_a", "id_b", "cosine")
         )
+    # r12 measured-and-rejected (guide §1): a `_fan_out_small` here —
+    # the dedup_simhash/embedding_lsh fix applied to the assignment map
+    # side — REGRESSED semantic_dedup 1.92 → 2.38 s at sf0.1. Unlike
+    # those broadcast self-joins, the cluster blocking downstream is a
+    # real groupBy(cl) shuffle that already spreads the quadratic
+    # verify; the fan-out only added a round-robin shuffle of the
+    # embedding arrays in front of it.
     c = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"))
     probe_centroids = centroids
     if centroids is None and (nprobe == 1):

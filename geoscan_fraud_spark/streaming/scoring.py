@@ -239,17 +239,30 @@ def incremental_ingest_sink(
         # index_fn then receives it as a second argument and can derive
         # the store rows without recomputing that state from the
         # survivors' raw text.
-        res = dedup_fn(batch_df, idx)
-        aux = None
-        if isinstance(res, tuple):
-            res, aux = res
-        res.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
-        )
-        kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
-        (index_fn(kept, aux) if aux is not None else index_fn(kept)).write.mode(
-            "overwrite"
-        ).parquet(f"{index_path}/batch_id={batch_id}")
+        # label the per-batch phases (guide §1.5): foreachBatch runs on
+        # the stream-execution thread and setJobDescription is
+        # thread-local, so these tags land on exactly this batch's jobs
+        # — the UI/profiler can attribute the stream's job floor to
+        # gate/dedup construction (eager signature checkpoints,
+        # connected components), the corpus write, and the store write.
+        sc = spark.sparkContext
+        sc.setJobDescription(f"ingest b={batch_id}: gates+dedup plan")
+        try:
+            res = dedup_fn(batch_df, idx)
+            aux = None
+            if isinstance(res, tuple):
+                res, aux = res
+            sc.setJobDescription(f"ingest b={batch_id}: corpus write")
+            res.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+            kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
+            sc.setJobDescription(f"ingest b={batch_id}: store index rows")
+            (index_fn(kept, aux) if aux is not None else index_fn(kept)).write.mode(
+                "overwrite"
+            ).parquet(f"{index_path}/batch_id={batch_id}")
+        finally:
+            sc.setJobDescription(None)
 
     return inner
 
@@ -846,17 +859,23 @@ def prepared_serving_sink(
     def inner(batch_df: DataFrame, batch_id: int) -> None:
         prep(batch_df, batch_id)
         spark = batch_df.sparkSession
+        sc = spark.sparkContext
         kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
-        if text_index_path is not None:
-            text_index_append(
-                kept,
-                text_index_path,
-                text_col=text_col,
-                id_col=id_col,
-                src_batch=int(batch_id),
-            )
-        if ann_sink is not None:
-            ann_sink(kept, batch_id)
+        try:
+            if text_index_path is not None:
+                sc.setJobDescription(f"serve b={batch_id}: bm25 append")
+                text_index_append(
+                    kept,
+                    text_index_path,
+                    text_col=text_col,
+                    id_col=id_col,
+                    src_batch=int(batch_id),
+                )
+            if ann_sink is not None:
+                sc.setJobDescription(f"serve b={batch_id}: ann append")
+                ann_sink(kept, batch_id)
+        finally:
+            sc.setJobDescription(None)
         if maintain_every_n and batch_id > 0 and batch_id % maintain_every_n == 0:
             from geoscan_fraud_spark.operators.retrieval import (
                 text_index_maintain,

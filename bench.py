@@ -943,6 +943,15 @@ def main():
                 "per_run_totals": per_run_totals,
                 "best_serial_run": min(per_run_totals),
                 "load_per_run": load_per_run,
+                # VERDICT r12 #2 (scaling legibility): echo the core-count
+                # contract the session actually ran with, so the driver's
+                # scaling heuristic can distinguish "harness ignored
+                # $SPARK_GRAFT_CPUS" (a bug) from "entries are floor-bound
+                # at this SF" (physics). ~60 bytes — the line stays far
+                # under the tail-capture budget.
+                "cpus": cpus,
+                "default_parallelism": sc.defaultParallelism,
+                "master": sc.master,
                 **({"load_note": load_note} if load_note else {}),
             }
         )

@@ -102,6 +102,33 @@ def minhash_mix_params(num_hashes: int) -> tuple[list[int], list[int], list[int]
     return a_mul, b_mul, c_xor
 
 
+#: `_fan_out_small` sizing knobs (r13, VERDICT r12 #7): the fan-out
+#: target is capped by the size estimate so a stale/small estimate on a
+#: 10k-core cluster can never shatter a <64 MB relation into 10k
+#: near-empty partitions — but floored at 32, because the stages this
+#: guards are CPU-QUADRATIC per input byte (shingling + H-way hashing),
+#: where bytes under-measure work (the 5 000-doc fixture estimates
+#: ~250 KB yet costs ~2 s of single-core signature compute; the r12 A/B
+#: wins came from spreading exactly that). local[32] keeps target = 32,
+#: bit-identical to the r12-measured behavior.
+_FAN_OUT_MIN_PARTS = 32
+_FAN_OUT_BYTES_PER_PART = 1024 * 1024
+#: Catalyst reports "no idea" as defaultSizeInBytes (Long.MaxValue) —
+#: anything past 2^60 bytes (an exabyte) is that sentinel in practice
+_FAN_OUT_UNKNOWN_EST = 1 << 60
+#: unknown-size inputs (RDD-backed plans, see below) fan out to at most
+#: this many partitions: enough to unstarve a trigger-bounded
+#: micro-batch on any cluster, bounded enough that a tiny batch never
+#: shatters
+_FAN_OUT_UNKNOWN_PARTS = 64
+
+
+def _fan_out_target(p: int, est: int) -> int:
+    """Target partition count for a known size estimate ``est`` on
+    ``p``-way parallelism (pure function — unit-tested)."""
+    return min(p, max(_FAN_OUT_MIN_PARTS, est // _FAN_OUT_BYTES_PER_PART))
+
+
 def _fan_out_small(df: DataFrame) -> DataFrame:
     """Spread a small or unsplittable input across the cluster before a
     CPU-heavy per-row stage (guide §2.5 "input skew" / §6): parquet
@@ -115,15 +142,37 @@ def _fan_out_small(df: DataFrame) -> DataFrame:
     untouched, so at production scale this is a no-op and never inserts
     a shuffle of real corpus bytes. Round-robin repartition keeps rows
     intact; every consumer here is partition-order-independent
-    (signatures/band hashes are row-local, aggregates associative)."""
+    (signatures/band hashes are row-local, aggregates associative).
+
+    r13: (a) the target partition count is size-capped
+    (`_fan_out_target` — VERDICT r12 #7) instead of a bare
+    ``defaultParallelism``; (b) RDD-backed plans — foreachBatch hands
+    the sink a LogicalRDD snapshot, whose size estimate is the
+    defaultSizeInBytes SENTINEL, not a measurement — previously never
+    fanned out at all, which left the per-micro-batch signature pass of
+    every streaming ingest sink at the SOURCE's partition granularity
+    (1-2 tasks for a one-file batch; measured ~2 s single-core per
+    batch at the fixture shape). An unknown-size input now fans out by
+    the one signal it does carry — its current partition count — to at
+    most `_FAN_OUT_UNKNOWN_PARTS`; micro-batches are trigger-bounded
+    by the sinks' contract, and for a genuinely huge RDD-backed batch
+    spreading the CPU-bound signature work across 64 partitions still
+    beats computing it on the source's task count."""
     try:
         sc = df.sparkSession.sparkContext
         p = sc.defaultParallelism
+        if p <= 1:
+            return df
         est = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-        if p > 1 and est < 64 * 1024 * 1024:
-            return df.repartition(p)
+        if est >= _FAN_OUT_UNKNOWN_EST:
+            # no estimate (RDD-backed plan): unstarve by partition count
+            target = min(p, _FAN_OUT_UNKNOWN_PARTS)
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        elif est < 64 * 1024 * 1024:
+            return df.repartition(_fan_out_target(p, est))
     except Exception:
         pass
     return df

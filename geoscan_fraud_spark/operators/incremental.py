@@ -361,7 +361,9 @@ def dedup_against_index(
         .filter(estimated_jaccard(F.col("sig"), F.col("osig")) >= threshold)
         .select("id")
         .distinct()
-        .localCheckpoint(eager=True)  # feeds the component flag AND the final drop
+        # materialization is `_component_drop`'s decision (r13): the
+        # default driver path collects this once; the distributed
+        # fallback checkpoints it there (consumed twice)
     )
 
     # stage 2 — batch-internal: band self-join, estimate, components
@@ -388,14 +390,97 @@ def dedup_against_index(
     return _component_drop(new_df, pairs, matched, id_col)
 
 
+#: driver-side drop-rule gate: pair lists at or under this row count are
+#: collected and resolved with the shared union-find instead of running
+#: the distributed component machinery per micro-batch (monkeypatchable;
+#: resolved at call time)
+_DROP_DRIVER_MAX_PAIRS = 1_000_000
+
+
+def _driver_drop_ids(pairs_pdf, matched_ids) -> set:
+    """The `_component_drop` rule over a collected pair frame: same
+    min-label union-find as `connected_components`' small-graph path
+    (shared helper — identical labels by construction), then the same
+    three drop clauses, in plain Python sets."""
+    import numpy as np
+
+    from geoscan_fraud_spark.operators.components import (
+        _min_label_union_find,
+    )
+
+    uv = np.concatenate(
+        [pairs_pdf["id_a"].to_numpy(), pairs_pdf["id_b"].to_numpy()]
+    )
+    # np.unique sorts, so the min root INDEX is also the min vertex id
+    ids, inv = np.unique(uv, return_inverse=True)
+    m = len(pairs_pdf)
+    roots = _min_label_union_find(inv[:m], inv[m:], len(ids))
+    id_list = ids.tolist()
+    label_list = ids[roots].tolist()
+    matched_set = set(matched_ids)
+    comp_of = dict(zip(id_list, label_list))
+    matched_comps = {comp_of[i] for i in matched_set if i in comp_of}
+    drop = set(matched_set)
+    for i, c in zip(id_list, label_list):
+        # component contains an index-matched doc -> transitively
+        # represented; otherwise drop every non-min member
+        if c in matched_comps or i != c:
+            drop.add(i)
+    return drop
+
+
 def _component_drop(
-    new_df: DataFrame, pairs: DataFrame, matched: DataFrame, id_col: str
+    new_df: DataFrame,
+    pairs: DataFrame,
+    matched: DataFrame,
+    id_col: str,
+    max_driver_pairs: int | None = None,
 ) -> DataFrame:
     """Shared drop rule for the incremental dedups: drop index-matched
     docs, every member of a batch-internal component CONTAINING an
     index-matched doc (transitively represented), and each remaining
-    component's non-min members. ``matched`` must be materialized
-    (its plan is consumed twice)."""
+    component's non-min members.
+
+    r13 (VERDICT r12 #1/#5 — the per-micro-batch job floor): near-dup
+    pair lists are batch-bounded and sparse, so by default ``pairs``
+    (LIMIT-probed) and ``matched`` are COLLECTED — one action each —
+    and the component collapse runs through the same min-label
+    union-find as `connected_components`' small-graph path; the kept
+    rows are then ONE broadcast anti-join of ``new_df`` against a
+    driver-built drop-id relation. Versus the distributed shape this
+    removes two eager localCheckpoint materializations (``matched``
+    and the symmetrized edge list), the convergence probe, and the
+    cc-join subtrees from the downstream corpus-write plan — at
+    micro-batch scale ~4-5 scheduled jobs (plus their AQE sub-jobs) of
+    fixed latency per batch. The drop SET is identical by construction
+    (same candidate generation, same estimates, same union-find
+    labels; pinned in tests/test_round13_fixes.py). A pair list past
+    ``max_driver_pairs`` (default `_DROP_DRIVER_MAX_PAIRS`) falls back
+    to the distributed path unchanged — the probe's CollectLimit
+    short-circuits after filling, so a giant ad-hoc batch never
+    materializes driver-side; pass ``0`` to force the distributed
+    path."""
+    lim = _DROP_DRIVER_MAX_PAIRS if max_driver_pairs is None else max_driver_pairs
+    if lim > 0:
+        pairs_pdf = pairs.limit(lim + 1).toPandas()
+        if len(pairs_pdf) <= lim:
+            matched_ids = [r[0] for r in matched.collect()]
+            drop = _driver_drop_ids(pairs_pdf, matched_ids)
+            if not drop:
+                return new_df
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [T.StructField(id_col, new_df.schema[id_col].dataType)]
+            )
+            drop_df = new_df.sparkSession.createDataFrame(
+                [(d,) for d in sorted(drop)], schema
+            )
+            return new_df.join(F.broadcast(drop_df), id_col, "left_anti")
+    # distributed fallback: ``matched`` is consumed twice below (the
+    # component flag and the final drop union), so cut it here — the
+    # callers no longer pre-checkpoint it
+    matched = matched.localCheckpoint(eager=True)
     cc = connected_components(pairs, "id_a", "id_b")
     comp_matched = (
         cc.join(matched, "id", "left_semi").select("component").distinct()
@@ -528,7 +613,7 @@ def embedding_dedup_against_index(
         .filter(cosine_expr(F.col("e"), F.col("oe")) >= threshold)
         .select("id")
         .distinct()
-        .localCheckpoint(eager=True)  # consumed twice by the drop rule
+        # materialized inside `_component_drop` (collect or checkpoint)
     )
     pairs = embedding_neardup_pairs(
         new_df,

@@ -264,6 +264,14 @@ def text_index_write(
     the per-bucket directories keep the scan bounded and the (term)
     filter inside a bucket is an ordinary pushed predicate.
 
+    Contract (ADVICE r12 #4 — explicit since r12 changed the counter):
+    corpus ``doc_id``s must be unique — ``n_docs`` counts DISTINCT ids
+    (mirroring `text_index_append`'s documented unique-id contract, so
+    build and incremental accounting agree), and a corpus that repeats
+    an id would get that id's term frequencies summed across copies in
+    the postings while counting once in n_docs. Exact-dedup upstream
+    (the ingest pipelines do) or assign fresh ids before building.
+
     Holds the `index_writer_lock` for the whole build. Rebuilding over
     a LIVE index publishes a NEW GENERATION: a fresh build never
     overwrites the directories in-flight readers resolved — it writes
@@ -320,69 +328,80 @@ def text_index_write(
         # and NULL-text docs now land in empty_docs exactly as an
         # APPENDED null-text doc always did — build and incremental
         # accounting agree on that edge instead of diverging.
+        # r13 (VERDICT r12 #3, ADVICE r12 #1): the build holds NO
+        # corpus-scale cache. r12 persisted the full sentinel-bearing
+        # postings relation for the whole build to get single-tokenize
+        # counters — at 100 TB that spills a postings-sized second copy
+        # to executor storage, and partial eviction under a
+        # nondeterministic upstream could recompute counters from a
+        # different corpus sample than the written postings. Now:
+        # ONE corpus tokenize (the postings write), then every counter
+        # derives from the WRITTEN snapshot plus one column-pruned
+        # aggregate over the corpus id column (no text read, no second
+        # tokenize): total_dl = sum(tf) over written postings (a doc's
+        # term frequencies sum to its dl), n_posting_docs from the same
+        # read-back aggregate, n_docs = countDistinct(id) over `docs` —
+        # the same distinct-id semantics as the r12 sentinel counter —
+        # and the empty-doc id list (only when empties exist) is the
+        # distinct corpus ids ANTI-JOINED against the written posting
+        # doc ids, never a re-tokenize.
         postings_all = _doc_postings_outer(docs, text_col, id_col)
         postings = (
             postings_all.filter(F.col("term").isNotNull())
             .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
             .withColumn("src_batch", F.lit(-1))
         )
-        postings_all = postings_all.persist()
-        try:
-            # cluster by the layout column before the dynamic-partition
-            # write (guide §6): without it every task holds rows of every
-            # bucket and the writer emits tasks x buckets files. AQE
-            # REBALANCE both coalesces (one file per bucket) and
-            # skew-splits (a stopword bucket bigger than the advisory
-            # size still splits into several right-sized files) —
-            # `text_index_compact` applies the same discipline via
-            # repartition(bucket).
-            postings.hint("rebalance", "bucket").write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(postings_dir)
-            # df from the just-written postings: reading back costs one
-            # pruned scan and guarantees terms/ agrees with postings/
-            # even if `docs` is nondeterministic upstream. Explicit
-            # schema: skips footer inference AND makes an EMPTY build
-            # legal — the bootstrap shape for stream-fed indexes
-            # (`prepared_serving_sink` over an index with no backfill
-            # corpus), whose zero-row partitioned write leaves no files
-            # to infer from.
-            written = postings.sparkSession.read.schema(postings.schema).parquet(
-                postings_dir
-            )
+        # cluster by the layout column before the dynamic-partition
+        # write (guide §6): without it every task holds rows of every
+        # bucket and the writer emits tasks x buckets files. AQE
+        # REBALANCE both coalesces (one file per bucket) and
+        # skew-splits (a stopword bucket bigger than the advisory
+        # size still splits into several right-sized files) —
+        # `text_index_compact` applies the same discipline via
+        # repartition(bucket).
+        postings.hint("rebalance", "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(postings_dir)
+        # df from the just-written postings: reading back costs one
+        # pruned scan and guarantees terms/ agrees with postings/
+        # even if `docs` is nondeterministic upstream. Explicit
+        # schema: skips footer inference AND makes an EMPTY build
+        # legal — the bootstrap shape for stream-fed indexes
+        # (`prepared_serving_sink` over an index with no backfill
+        # corpus), whose zero-row partitioned write leaves no files
+        # to infer from.
+        written = postings.sparkSession.read.schema(postings.schema).parquet(
+            postings_dir
+        )
+        (
+            written.groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .hint("rebalance", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(terms_dir)
+        )
+        total_dl, n_posting_docs = written.select(
+            F.coalesce(F.sum("tf"), F.lit(0)),
+            F.countDistinct("doc_id"),
+        ).first()
+        # one column-pruned scan of the corpus id column (ReadSchema is
+        # just the id — predicate/column pruning reach the source scan)
+        n_docs = docs.select(
+            F.countDistinct(F.col(id_col)).alias("n")
+        ).first()[0]
+        n_empty = int(n_docs) - int(n_posting_docs)
+        if n_empty > 0:
+            # empty-doc ids = corpus ids with no written posting — an
+            # id-column anti-join, not a tokenize pass
             (
-                written.groupBy("bucket", "term")
-                .agg(F.count(F.lit(1)).alias("df"))
-                .hint("rebalance", "bucket")
+                docs.select(F.col(id_col).alias("doc_id"))
+                .distinct()
+                .join(written.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(-1).cast("int").alias("src_batch"))
                 .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(terms_dir)
+                .parquet(gen_dir(path, "empty_docs", meta_stub))
             )
-            # all three counters from ONE cached-relation job (sum(tf)
-            # over real terms = sum of dl over docs; the NULL-term
-            # sentinels stand in for zero-token docs)
-            total_dl, n_posting_docs, n_docs = postings_all.select(
-                F.coalesce(
-                    F.sum(F.when(F.col("term").isNotNull(), F.col("tf"))),
-                    F.lit(0),
-                ),
-                F.countDistinct(
-                    F.when(F.col("term").isNotNull(), F.col("doc_id"))
-                ),
-                F.countDistinct("doc_id"),
-            ).first()
-            n_empty = int(n_docs) - int(n_posting_docs)
-            if n_empty > 0:
-                # empty-doc ids straight from the cached sentinel rows
-                # (no extra tokenize pass)
-                postings_all.filter(F.col("term").isNull()).select(
-                    "doc_id",
-                    F.lit(-1).cast("int").alias("src_batch"),
-                ).write.mode("overwrite").parquet(
-                    gen_dir(path, "empty_docs", meta_stub)
-                )
-        finally:
-            postings_all.unpersist()
         # total_dl is an exact integer, so avgdl derives from it
         # identically at build and after any number of
         # `text_index_append` merges — incremental and from-scratch

@@ -159,6 +159,45 @@ def dedup_stream(
     )
 
 
+#: corpus-output clustering gate (r13, VERDICT r12 #4): a batch whose
+#: driver-side size estimate clears this many bytes gets a REBALANCE
+#: before its ``batch_id=N`` write, so a large trigger lands
+#: advisory-sized files instead of task-count small ones
+_OUT_CLUSTER_MIN_BYTES = 256 * 1024 * 1024
+
+
+def _maybe_cluster_output(df: DataFrame, cluster_output):
+    """Size-gated REBALANCE before a ``batch_id=N`` corpus write (guide
+    §6, VERDICT r12 #4). ``cluster_output``: ``'auto'`` applies the
+    hint only when the optimizer's driver-only size estimate is KNOWN
+    and clears `_OUT_CLUSTER_MIN_BYTES` — small micro-batches never pay
+    a text shuffle for layout. The estimate caveat: foreachBatch hands
+    sinks an RDD-backed batch whose estimate is the defaultSizeInBytes
+    sentinel (not a measurement), so 'auto' stays off for plans rooted
+    ONLY at the batch — it fires when the dedup output's dominant
+    relations carry real stats. Deployments with known-large triggers
+    pass ``True`` (always cluster; AQE sizes the files by the advisory
+    partition size); ``False`` never clusters."""
+    if cluster_output is False:
+        return df
+    if cluster_output is True:
+        return df.hint("rebalance")
+    if cluster_output != "auto":
+        raise ValueError(
+            f"cluster_output must be True, False or 'auto', got "
+            f"{cluster_output!r}"
+        )
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if est < (1 << 60) and est >= _OUT_CLUSTER_MIN_BYTES:
+            return df.hint("rebalance")
+    except Exception:
+        pass
+    return df
+
+
 def incremental_ingest_sink(
     index_path: str,
     out_path: str,
@@ -167,6 +206,7 @@ def incremental_ingest_sink(
     index_cols: list[str],
     empty_index_schema,
     optional_index_cols: list[str] | None = None,
+    cluster_output: bool | str = "auto",
 ):
     """Generic `writeStream.foreachBatch(...)` sink for store-backed
     incremental dedup: each micro-batch is deduped against the persisted
@@ -246,6 +286,11 @@ def incremental_ingest_sink(
         # gate/dedup construction (eager signature checkpoints,
         # connected components), the corpus write, and the store write.
         sc = spark.sparkContext
+        # ADVICE r12 #2: restore the PRIOR description (the streaming
+        # engine's own batch label), not None — jobs running after this
+        # sink body in the same micro-batch (e.g. a composing sink's
+        # serving appends or maintenance) keep their attribution
+        prev_desc = sc.getLocalProperty("spark.job.description")
         sc.setJobDescription(f"ingest b={batch_id}: gates+dedup plan")
         try:
             res = dedup_fn(batch_df, idx)
@@ -253,16 +298,16 @@ def incremental_ingest_sink(
             if isinstance(res, tuple):
                 res, aux = res
             sc.setJobDescription(f"ingest b={batch_id}: corpus write")
-            res.write.mode("overwrite").parquet(
-                f"{out_path}/batch_id={batch_id}"
-            )
+            _maybe_cluster_output(res, cluster_output).write.mode(
+                "overwrite"
+            ).parquet(f"{out_path}/batch_id={batch_id}")
             kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
             sc.setJobDescription(f"ingest b={batch_id}: store index rows")
             (index_fn(kept, aux) if aux is not None else index_fn(kept)).write.mode(
                 "overwrite"
             ).parquet(f"{index_path}/batch_id={batch_id}")
         finally:
-            sc.setJobDescription(None)
+            sc.setJobDescription(prev_desc)
 
     return inner
 
@@ -277,6 +322,7 @@ def neardup_ingest_sink(
     bands: int = 16,
     threshold: float = 0.8,
     sig_hash: str = "xxhash64",
+    cluster_output: bool | str = "auto",
 ):
     """Near-dup-at-ingest against the persisted MinHash signature store
     (`operators/incremental.dedup_against_index`, signature-only — the
@@ -342,6 +388,7 @@ def neardup_ingest_sink(
         ["id", "sig"],
         empty_schema,
         optional_index_cols=["bands"],
+        cluster_output=cluster_output,
     )
 
 
@@ -354,6 +401,7 @@ def embedding_ingest_sink(
     planes: int = 16,
     seed: int = 42,
     threshold: float = 0.95,
+    cluster_output: bool | str = "auto",
 ):
     """Embedding near-dup-at-ingest against the persisted int8 vector
     store (`operators/incremental.embedding_dedup_against_index`) —
@@ -398,6 +446,7 @@ def embedding_ingest_sink(
         index_fn,
         ["id", "bucket", "scale", "qvec"],
         empty_schema,
+        cluster_output=cluster_output,
     )
 
 
@@ -579,6 +628,7 @@ def prepared_ingest_sink(
     lang_model=None,
     allowed_langs: list[str] | None = None,
     min_p_lang: float | None = None,
+    cluster_output: bool | str = "auto",
 ):
     """The streaming counterpart of
     `operators/pipelines.prepare_training_corpus`: each micro-batch runs
@@ -802,6 +852,7 @@ def prepared_ingest_sink(
         ["id", "sig"],
         empty_schema,
         optional_index_cols=["bands"],
+        cluster_output=cluster_output,
     )
 
 
@@ -861,6 +912,9 @@ def prepared_serving_sink(
         spark = batch_df.sparkSession
         sc = spark.sparkContext
         kept = spark.read.parquet(f"{out_path}/batch_id={batch_id}")
+        # ADVICE r12 #2: restore the prior (streaming-engine) description
+        # in finally, and give the maintenance branch its own label
+        prev_desc = sc.getLocalProperty("spark.job.description")
         try:
             if text_index_path is not None:
                 sc.setJobDescription(f"serve b={batch_id}: bm25 append")
@@ -874,34 +928,39 @@ def prepared_serving_sink(
             if ann_sink is not None:
                 sc.setJobDescription(f"serve b={batch_id}: ann append")
                 ann_sink(kept, batch_id)
-        finally:
-            sc.setJobDescription(None)
-        if maintain_every_n and batch_id > 0 and batch_id % maintain_every_n == 0:
-            from geoscan_fraud_spark.operators.retrieval import (
-                text_index_maintain,
-            )
-            from geoscan_fraud_spark.operators.similarity import (
-                ivf_index_maintain,
-            )
-            from geoscan_fraud_spark.sources.io import store_maintain
+            if (
+                maintain_every_n
+                and batch_id > 0
+                and batch_id % maintain_every_n == 0
+            ):
+                from geoscan_fraud_spark.operators.retrieval import (
+                    text_index_maintain,
+                )
+                from geoscan_fraud_spark.operators.similarity import (
+                    ivf_index_maintain,
+                )
+                from geoscan_fraud_spark.sources.io import store_maintain
 
-            store_maintain(
-                spark, index_path, compact_after=maintain_compact_after
-            )
-            if text_index_path is not None:
-                text_index_maintain(
-                    spark,
-                    text_index_path,
-                    compact_after=maintain_compact_after,
-                    vacuum_min_age_sec=maintain_vacuum_min_age_sec,
+                sc.setJobDescription(f"serve b={batch_id}: maintenance")
+                store_maintain(
+                    spark, index_path, compact_after=maintain_compact_after
                 )
-            if ann_index_path is not None:
-                ivf_index_maintain(
-                    spark,
-                    ann_index_path,
-                    compact_after=maintain_compact_after,
-                    vacuum_min_age_sec=maintain_vacuum_min_age_sec,
-                )
+                if text_index_path is not None:
+                    text_index_maintain(
+                        spark,
+                        text_index_path,
+                        compact_after=maintain_compact_after,
+                        vacuum_min_age_sec=maintain_vacuum_min_age_sec,
+                    )
+                if ann_index_path is not None:
+                    ivf_index_maintain(
+                        spark,
+                        ann_index_path,
+                        compact_after=maintain_compact_after,
+                        vacuum_min_age_sec=maintain_vacuum_min_age_sec,
+                    )
+        finally:
+            sc.setJobDescription(prev_desc)
 
     return inner
 

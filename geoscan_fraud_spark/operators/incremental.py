@@ -462,9 +462,26 @@ def _component_drop(
     path."""
     lim = _DROP_DRIVER_MAX_PAIRS if max_driver_pairs is None else max_driver_pairs
     if lim > 0:
-        pairs_pdf = pairs.limit(lim + 1).toPandas()
-        if len(pairs_pdf) <= lim:
-            matched_ids = [r[0] for r in matched.collect()]
+        # ONE action fetches both relations: matched ids ride the union
+        # as (id, id, true) marker rows — NOT null-padded id_b, which
+        # would coerce an int64 pandas column to float64 and corrupt
+        # 64-bit ids past 2^53. matched is bounded by batch docs, so the
+        # limit stays a pair-scale guard.
+        probe = (
+            matched.select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(True).alias("__m"),
+            )
+            .unionByName(
+                pairs.select("id_a", "id_b", F.lit(False).alias("__m"))
+            )
+            .limit(lim + 1)
+            .toPandas()
+        )
+        if len(probe) <= lim:
+            matched_ids = probe.loc[probe["__m"], "id_a"].tolist()
+            pairs_pdf = probe.loc[~probe["__m"], ["id_a", "id_b"]]
             drop = _driver_drop_ids(pairs_pdf, matched_ids)
             if not drop:
                 return new_df

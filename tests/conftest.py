@@ -29,3 +29,20 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply the `slow` marker from the measured list (pytest.ini): the
+    default run must fit the driver's output-capture budget, so every
+    test that measured >= 10 s on local[8] (tests/slow_tests.txt, from
+    a full --durations=0 run) is deselectable as a tier — never
+    deleted. Unlisted new tests run by default until re-measured."""
+    import pathlib
+
+    listed = set(
+        pathlib.Path(__file__).with_name("slow_tests.txt").read_text().split()
+    )
+    for item in items:
+        # nodeids are repo-relative ("tests/test_x.py::test_y[param]")
+        if item.nodeid in listed:
+            item.add_marker(pytest.mark.slow)

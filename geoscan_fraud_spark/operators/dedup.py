@@ -205,11 +205,20 @@ def minhash_signature_table(
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
     # hash the shingle string ONCE, then derive the H signature hashes by
-    # seed-mixing the first digest — not by re-hashing the string H times
+    # seed-mixing the first digest — not by re-hashing the string H times.
+    # The H aggregate expressions are built as JVM-parsed `F.expr` strings
+    # (r13, guide §5 — driver overhead): the Column-operator form made
+    # ~10 py4j round-trips per hash function (~0.7 s of pure driver-side
+    # construction per invocation at H=48, re-paid by every streaming
+    # micro-batch that rebuilds the gate plan); one parsed string per
+    # aggregate produces the IDENTICAL expression tree (integer literal
+    # typing and operator associativity match the Column form — parity
+    # pinned in tests/test_round13_fixes.py, and the md5 family stays
+    # oracle-hash-exact).
     if sig_hash == "xxhash64":
         sh = sh.select("id", F.xxhash64("shingle").alias("h"))
         aggs = [
-            F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
+            F.min(F.expr(f"xxhash64(h, {i})")).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
     elif sig_hash == "md5":
@@ -220,16 +229,17 @@ def minhash_signature_table(
             .alias("h"),
         )
         a_mul, b_mul, c_xor = minhash_mix_params(num_hashes)
-
-        def mh(i):
-            hx = F.col("h").bitwiseXOR(F.lit(c_xor[i]))
-            hlo = hx.bitwiseAND(F.lit((1 << 30) - 1))
-            hhi = F.shiftright(hx, 30)
-            return (
-                F.lit(a_mul[i]) * hlo + F.lit(b_mul[i]) * hhi + F.lit(i)
-            ) % F.lit(MINHASH_MOD)
-
-        aggs = [F.min(mh(i)).alias(f"mh_{i}") for i in range(num_hashes)]
+        lo_mask = (1 << 30) - 1
+        aggs = [
+            F.min(
+                F.expr(
+                    f"(({a_mul[i]} * ((h ^ {c_xor[i]}) & {lo_mask})) + "
+                    f"({b_mul[i]} * shiftright(h ^ {c_xor[i]}, 30)) + {i}) "
+                    f"% {MINHASH_MOD}"
+                )
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     else:
         raise ValueError(f"sig_hash must be 'xxhash64' or 'md5', got {sig_hash!r}")
     return sh.groupBy("id").agg(*aggs)
@@ -692,30 +702,34 @@ def simhash_table(
             "id",
             F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
         )
+    # lane aggregates and the per-bit unpack are built as JVM-parsed
+    # `F.expr` strings (r13, guide §5): the Column-operator loops made
+    # ~600 py4j round-trips (~1.2 s of driver-side plan construction per
+    # invocation — a third of the benched entry's wall); the parsed
+    # strings produce identical trees (`|`/`&`/shiftleft/shiftright and
+    # CASE WHEN are the same operators with the same literal typing and
+    # left-associativity — parity pinned in tests/test_round13_fixes.py,
+    # and the md5 family stays oracle-hash-exact).
     lane_aggs = []
     for k in range(stride):
-        lanes = None
-        for j in range(3):
-            b = k + stride * j
-            if b >= nbits:
-                continue
-            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            lane = F.shiftleft(bit, 21 * j)
-            lanes = lane if lanes is None else lanes.bitwiseOR(lane)
-        lane_aggs.append(F.sum(lanes).alias(f"p_{k}"))
+        lanes = " | ".join(
+            f"shiftleft(shiftright(h, {k + stride * j}) & 1, {21 * j})"
+            for j in range(3)
+            if k + stride * j < nbits
+        )
+        lane_aggs.append(F.sum(F.expr(lanes)).alias(f"p_{k}"))
     sums = tok.groupBy("id").agg(
         *lane_aggs, F.count(F.lit(1)).alias("n_tok")
     )
-    packed = F.lit(0).cast("long")
+    packed_terms = ["CAST(0 AS BIGINT)"]
     for b in range(nbits):
         k, j = b % stride, b // stride
-        c = F.shiftright(F.col(f"p_{k}"), 21 * j).bitwiseAND(F.lit(0x1FFFFF))
-        packed = packed.bitwiseOR(
-            F.when(
-                c * 2 >= F.col("n_tok"), F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
+        packed_terms.append(
+            f"(CASE WHEN (shiftright(p_{k}, {21 * j}) & {0x1FFFFF}) * 2 "
+            f">= n_tok THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
-    return sums.select("id", packed.alias("sh"))
+    return sums.select("id", F.expr(" | ".join(packed_terms)).alias("sh"))
 
 
 def simhash_chunk_bounds(nbits: int, max_hamming: int) -> list[tuple[int, int]]:
@@ -832,13 +846,44 @@ def norm_expr(a):
     return F.sqrt(dot_expr(a, a))
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip form
+    and Spark's `...D` literal goes through Double.parseDouble, so the
+    IEEE value is bit-identical to `F.lit(float)` (incl. subnormals and
+    exponent forms — pinned in tests/test_round13_fixes.py)."""
+    return repr(float(v)) + "D"
+
+
 def hyperplane_bucket(emb, dim: int, planes: int = 16, seed: int = 42):
     """Sign-bit LSH bucket key for an embedding column: one bit per
     seeded hyperplane (sign of the dot product), packed into an int.
     Shared between the batch near-dup pairs and the persisted embedding
     index (`operators/incremental.py`) — identical (dim, planes, seed)
-    means identical bucketing across runs."""
+    means identical bucketing across runs.
+
+    ``emb`` may be a column NAME (preferred — the whole key is built as
+    ONE JVM-parsed `F.expr`; the Column-operator form made dim x planes
+    py4j literal calls, ~0.9 s of driver-side construction per
+    invocation at 64x16, re-paid per streaming micro-batch) or any
+    Column expression (compatibility path, same tree built
+    operator-by-operator). Both produce identical values — the SQL
+    string mirrors `dot_expr`'s transform/zip_with/aggregate fold
+    exactly (parity pinned in tests/test_round13_fixes.py)."""
     hp = _hyperplanes(dim, planes, seed)
+    if isinstance(emb, str):
+        bits = []
+        for p, plane in enumerate(hp):
+            arr = "array(" + ",".join(_dlit(v) for v in plane) + ")"
+            dot = (
+                f"aggregate(zip_with("
+                f"transform(`{emb}`, x -> CAST(x AS DOUBLE)), "
+                f"transform({arr}, x -> CAST(x AS DOUBLE)), "
+                f"(x, y) -> x * y), 0.0D, (s, x) -> s + x)"
+            )
+            bits.append(
+                f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** p}"
+            )
+        return F.expr(" + ".join(bits))
     key = None
     for p, plane in enumerate(hp):
         dot = dot_expr(emb, F.array(*[F.lit(v) for v in plane]))
@@ -875,7 +920,7 @@ def embedding_neardup_pairs(
     self-join (`_cap_buckets`) — the hot-bucket guard for corpora with
     mass-duplicated embeddings.
     """
-    key = hyperplane_bucket(F.col(emb_col), dim, planes, seed)
+    key = hyperplane_bucket(emb_col, dim, planes, seed)
     keyed = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("e"), key.alias("bucket"))
     if max_bucket is not None:
         keyed = _cap_buckets(keyed, ["bucket"], max_bucket)

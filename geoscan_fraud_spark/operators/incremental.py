@@ -544,7 +544,7 @@ def embedding_index(
     from geoscan_fraud_spark.operators.similarity import quantize_embeddings
 
     bucketed = df.withColumn(
-        "__bucket", hyperplane_bucket(F.col(emb_col), dim, planes, seed)
+        "__bucket", hyperplane_bucket(emb_col, dim, planes, seed)
     )
     return quantize_embeddings(
         bucketed, vec_col=emb_col, id_col=id_col, keep_cols=["__bucket"]
@@ -601,7 +601,7 @@ def embedding_dedup_against_index(
     nb = new_df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("e"),
-        hyperplane_bucket(F.col(emb_col), dim, planes, seed).alias("bucket"),
+        hyperplane_bucket(emb_col, dim, planes, seed).alias("bucket"),
     )
     # batch-touched-bucket prune, then dequantize only survivors (the
     # minhash gate's VERDICT r10 #1 fix applied to the same join shape):

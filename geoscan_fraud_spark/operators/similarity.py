@@ -1766,11 +1766,20 @@ def ivf_index_query(
             # literals — evaluated on PROBES (one row per query x probed
             # list) BEFORE the candidate join, so the fold runs
             # |queries| * nprobe times, not once per candidate
-            arr = F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in ctr])
+            # one JVM-parsed literal (r13, guide §5): the nested
+            # F.array(F.lit) form made n_centroids x dim py4j calls
+            # (~1000 round-trips of driver latency per query
+            # construction); `_dlit` literals are bit-identical to
+            # F.lit(float)
+            from geoscan_fraud_spark.operators.dedup import _dlit
+
+            arr = F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(_dlit(v) for v in ctr) + ")"
                     for ctr in cent
-                ]
+                )
+                + ")"
             )
             idx = F.col("list_id") + F.lit(0 if meta["one_based"] else 1)
             probes = probes.withColumn(

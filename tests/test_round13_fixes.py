@@ -221,3 +221,163 @@ def test_sink_restores_prior_job_description(spark, tmp_path):
         )
     finally:
         sc.setJobDescription(prev)
+
+
+# ---------------------------------------------------------------------------
+# r13 driver-overhead fix: JVM-parsed expression builders are
+# bit-identical to the Column-operator forms they replaced
+# (guide §5 — ~0.7-1.2 s of py4j construction per invocation removed
+# from minhash/simhash/hyperplane plans; values must not move)
+# ---------------------------------------------------------------------------
+
+
+def _expr_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, ""),
+        (5, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dlit_double_literal_exact_roundtrip(spark):
+    """`_dlit` literals parse to the exact IEEE double of F.lit(float) —
+    incl. exponent forms and subnormals (the hyperplane/PQ literal
+    arrays are built from these)."""
+    from geoscan_fraud_spark.operators.dedup import _dlit
+
+    vals = [3e-05, -8.26e-05, 0.8444218515250481, -2.2135949537926754,
+            1e-320, 123456789.123456789, 0.0]
+    row = (
+        spark.range(1)
+        .select(*[F.expr(_dlit(v)).alias(f"c{i}") for i, v in enumerate(vals)])
+        .collect()[0]
+    )
+    assert all(row[i] == v for i, v in enumerate(vals))
+
+
+def test_minhash_expr_aggs_bit_parity_with_column_form(spark):
+    """The F.expr-built md5 mix aggregates equal the r12 Column-operator
+    form component-by-component (same literal typing, associativity and
+    modulo), for both hash families."""
+    from geoscan_fraud_spark.operators import dedup as dd
+
+    docs = _expr_docs(spark)
+    for sig_hash in ("md5", "xxhash64"):
+        new = dd.minhash_signature_table(
+            docs, num_hashes=8, sig_hash=sig_hash
+        )
+        # reference: the pre-r13 Column-operator aggregates
+        sh = docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dd.word_shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        if sig_hash == "xxhash64":
+            sh = sh.select("id", F.xxhash64("shingle").alias("h"))
+            aggs = [
+                F.min(F.xxhash64("h", F.lit(i))).alias(f"mh_{i}")
+                for i in range(8)
+            ]
+        else:
+            sh = sh.select(
+                "id",
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+            a_mul, b_mul, c_xor = dd.minhash_mix_params(8)
+
+            def mh(i):
+                hx = F.col("h").bitwiseXOR(F.lit(c_xor[i]))
+                hlo = hx.bitwiseAND(F.lit((1 << 30) - 1))
+                hhi = F.shiftright(hx, 30)
+                return (
+                    F.lit(a_mul[i]) * hlo + F.lit(b_mul[i]) * hhi + F.lit(i)
+                ) % F.lit(dd.MINHASH_MOD)
+
+            aggs = [F.min(mh(i)).alias(f"mh_{i}") for i in range(8)]
+        ref = sh.groupBy("id").agg(*aggs)
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, ref.collect())
+        ), sig_hash
+
+
+def test_simhash_expr_pack_bit_parity_with_column_form(spark):
+    """The F.expr-built lane aggregates + per-bit unpack equal the r12
+    Column-operator simhash_table for both hash families."""
+    from geoscan_fraud_spark.operators import dedup as dd
+
+    docs = _expr_docs(spark)
+    for sig_hash in ("xxhash64", "md5"):
+        nbits = dd.simhash_bits(sig_hash)
+        stride = (nbits + 2) // 3
+        tok = docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.split(F.col("text"), r"\s+")).alias("t"),
+        )
+        if sig_hash == "xxhash64":
+            tok = tok.select("id", F.xxhash64("t").alias("h"))
+        else:
+            tok = tok.select(
+                "id",
+                F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+                .cast("long")
+                .alias("h"),
+            )
+        lane_aggs = []
+        for k in range(stride):
+            lanes = None
+            for j in range(3):
+                b = k + stride * j
+                if b >= nbits:
+                    continue
+                bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+                lane = F.shiftleft(bit, 21 * j)
+                lanes = lane if lanes is None else lanes.bitwiseOR(lane)
+            lane_aggs.append(F.sum(lanes).alias(f"p_{k}"))
+        sums = tok.groupBy("id").agg(
+            *lane_aggs, F.count(F.lit(1)).alias("n_tok")
+        )
+        packed = F.lit(0).cast("long")
+        for b in range(nbits):
+            k, j = b % stride, b // stride
+            c = F.shiftright(F.col(f"p_{k}"), 21 * j).bitwiseAND(
+                F.lit(0x1FFFFF)
+            )
+            packed = packed.bitwiseOR(
+                F.when(
+                    c * 2 >= F.col("n_tok"),
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        ref = sums.select("id", packed.alias("sh"))
+        new = dd.simhash_table(docs, sig_hash=sig_hash)
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, ref.collect())
+        ), sig_hash
+
+
+def test_hyperplane_bucket_name_equals_column_form(spark):
+    """hyperplane_bucket(str) — the one-expr JVM-parsed path — equals
+    hyperplane_bucket(Column) — the kept compatibility path — on real
+    vectors including negatives and zeros."""
+    from geoscan_fraud_spark.operators import dedup as dd
+
+    rows = [
+        (1, [0.5, -1.25, 2.0, 0.0] * 16),
+        (2, [-3.0, 1e-9, -1e-9, 7.5] * 16),
+        (3, [0.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    by_name = df.select(
+        "vec_id", dd.hyperplane_bucket("embedding", 64, 16, 42).alias("b")
+    )
+    by_col = df.select(
+        "vec_id",
+        dd.hyperplane_bucket(F.col("embedding"), 64, 16, 42).alias("b"),
+    )
+    assert sorted(map(tuple, by_name.collect())) == sorted(
+        map(tuple, by_col.collect())
+    )

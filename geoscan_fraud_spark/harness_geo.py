@@ -294,10 +294,19 @@ def score_pipeline(pts, epsilon=80.0, min_pts=5, res=11):
         .groupBy("user")
         .agg(F.count(F.lit(1)).alias("bloom_anomalies"))
     )
-    n_tfidf = scored_tiles.count()
+    # tfidf_rows rides the result plan as a one-row broadcast aggregate
+    # (r13, guide §1.2/§5): the old driver-side `scored_tiles.count()`
+    # was a separately scheduled job per invocation whose only consumer
+    # was a literal column. The cross join against a single aggregated
+    # row is a broadcast nested loop over 2-3 user rows; `cast("int")`
+    # keeps the column's observable type identical to the old
+    # `F.lit(python_int)` (IntegerType — the golden pins it).
+    n_tfidf_rel = scored_tiles.agg(
+        F.count(F.lit(1)).cast("int").alias("tfidf_rows")
+    )
     return _ordered(
-        anti.join(blm, "user", "full_outer").withColumn(
-            "tfidf_rows", F.lit(n_tfidf)
+        anti.join(blm, "user", "full_outer").crossJoin(
+            F.broadcast(n_tfidf_rel)
         ),
         "user",
     )

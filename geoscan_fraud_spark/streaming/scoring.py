@@ -757,10 +757,23 @@ def prepared_ingest_sink(
                 rules["language"] = F.col("lang").isin(list(allowed_langs))
             if min_p_lang is not None:
                 rules["lang_confidence"] = F.col("p_lang") >= min_p_lang
+        # r13 (guide §1.2 — don't compute things twice): the gate chain
+        # (normalize + token counts + the Arrow repetition pass + the
+        # LM-NLL broadcast join + annotate/filter) used to live only in
+        # `passed`'s LINEAGE, so it executed TWICE per micro-batch —
+        # once under the signature checkpoint and again inside the
+        # corpus-write plan (only the signature table was cut). One
+        # eager checkpoint of the id-only gate verdict (8 bytes/doc)
+        # makes every downstream consumer a semi-join against
+        # already-materialized ids (auto-broadcast at micro-batch scale;
+        # a huge ad-hoc batch falls back to a shuffle join instead of
+        # blowing the driver); the second full gate pass (and its
+        # per-batch lm broadcast) disappears from the write plan.
         passed_ids = (
             annotate_filter_reasons(ann, rules)
             .filter(F.col("reject_reason").isNull())
             .select(id_col)
+            .localCheckpoint(eager=True)
         )
         passed = batch_df.join(passed_ids, id_col, "left_semi")
         sig_out: dict = {}

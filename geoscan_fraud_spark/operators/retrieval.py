@@ -381,15 +381,24 @@ def text_index_write(
             .partitionBy("bucket")
             .parquet(terms_dir)
         )
-        total_dl, n_posting_docs = written.select(
-            F.coalesce(F.sum("tf"), F.lit(0)),
-            F.countDistinct("doc_id"),
-        ).first()
-        # one column-pruned scan of the corpus id column (ReadSchema is
-        # just the id — predicate/column pruning reach the source scan)
-        n_docs = docs.select(
-            F.countDistinct(F.col(id_col)).alias("n")
-        ).first()[0]
+        # ONE blocking action for all three build counters (r13, guide
+        # §1.2/§5 — the probe-union trick from the incremental gate):
+        # the written-postings aggregate and the column-pruned corpus
+        # id count are independent one-row relations, so a cross join
+        # fetches both in a single first() instead of two scheduled
+        # round-trips per build. Values unchanged (same aggregates over
+        # the same relations; ReadSchema on the corpus side stays just
+        # the id column).
+        total_dl, n_posting_docs, n_docs = (
+            written.select(
+                F.coalesce(F.sum("tf"), F.lit(0)),
+                F.countDistinct("doc_id"),
+            )
+            .crossJoin(
+                docs.select(F.countDistinct(F.col(id_col)).alias("__nd"))
+            )
+            .first()
+        )
         n_empty = int(n_docs) - int(n_posting_docs)
         if n_empty > 0:
             # empty-doc ids = corpus ids with no written posting — an
